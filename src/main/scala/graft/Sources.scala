@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink edge of the engine — all I/O lives here, the jobs stay
+  * pure (reference: src/plugins/common/s3.py:88-117,
+  * src/plugins/scripts/opensky/client.py:20-41,
+  * src/plugins/scripts/complete_flights/db.py:42-79).
+  */
+object Sources {
+
+  /** Raised when a decoded payload does not match the declared schema
+    * (reference: common/exceptions.py via opensky/transformers.py:44-47).
+    */
+  final class InvalidResponseError(msg: String, cause: Throwable = null)
+    extends RuntimeException(msg, cause)
+
+  /** Raised when the persisted state lacks required columns
+    * (reference: opensky/transformers.py:64-65).
+    */
+  final class InvalidSource(msg: String) extends RuntimeException(msg)
+
+  /** S4: Parquet scan with missing→empty-with-declared-schema fallback —
+    * a missing state file means "first ever batch", not an error
+    * (reference: common/s3.py:88-106, opensky/transformers.py:60-66).
+    */
+  def readParquetOrEmpty(
+      spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) {
+      // Read the file's own schema first — forcing the declared schema
+      // would silently null out missing columns instead of failing the
+      // reference's required-columns check.
+      val df = spark.read.parquet(path)
+      requireColumns(df, schema.fieldNames)
+      df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    } else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+  }
+
+  /** F6: schema validation — analysis-time in Spark. */
+  def requireColumns(df: DataFrame, required: Seq[String]): Unit = {
+    val missing = required.filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw new InvalidSource(
+        s"Latest source dataframe lacks required columns: ${missing.mkString(",")}")
+  }
+
+  /** S2: decode an OpenSky states payload (seq of 17-element rows) onto
+    * the fixed 17-column schema; shape mismatch fails fast
+    * (reference: opensky/transformers.py:37-58).
+    */
+  def statesFromRows(spark: SparkSession, rows: Seq[Seq[Any]]): DataFrame = {
+    val bad = rows.find(_.length != Schemas.states17.length)
+    if (bad.isDefined)
+      throw new InvalidResponseError(
+        s"states row has ${bad.get.length} fields, expected ${Schemas.states17.length}")
+    val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq))
+    spark.createDataFrame(rdd, Schemas.states17)
+  }
+
+  /** P1: project the raw snapshot to the 4-column working subset. */
+  def projectStates(states17: DataFrame): DataFrame =
+    states17.select("icao24", "last_contact", "velocity", "vertical_rate")
+
+  /** S3: aircraft-database CSV scan (header, inferred types) —
+    * the only inferred-schema read in the engine
+    * (reference: opensky/client.py:37-41).
+    */
+  def readMetadataCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S5: full-overwrite state write — idempotent per input
+    * (reference: common/s3.py:108-117).
+    */
+  def writeState(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S6: completed-flights sink — append-mode parquet partitioned by
+    * landing date; partition pruning makes the reference's 365-day TTL a
+    * cheap partition-drop instead of a row-level delete
+    * (reference: complete_flights/db.py:42-79).
+    */
+  def writeFlights(flights: DataFrame, path: String): Unit =
+    flights
+      .withColumn("landed_date",
+        org.apache.spark.sql.functions.to_date(
+          org.apache.spark.sql.functions.col("landed_at")))
+      .write.mode("append").partitionBy("landed_date").parquet(path)
+}
