@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic flight-shaped tables derived from the driver's test
+  * corpus (`events`, `customer`), so every reference-fidelity operator
+  * can be exercised against a DuckDB oracle on the same inputs.
+  *
+  * The `*Sql` vals are the DuckDB CTE bodies replicating each
+  * derivation exactly — any change here must change both forms.
+  */
+object Derived {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with its TIMESTAMP(NANOS) column (read as long nanos via
+    * spark.sql.legacy.parquet.nanosAsLong) converted to a micros-precision
+    * TimestampType — integer division, because a double round-trip would
+    * lose precision at 1e18 nanos.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Snapshot-shaped table (icao24, last_contact, velocity,
+    * vertical_rate) from even event ids; every 7th key withheld so the
+    * state side has keys absent from the snapshot. Nulls injected into
+    * velocity/vertical_rate to exercise the isna predicate arms.
+    */
+  def states(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(pmod(col("event_id"), lit(2)) === 0 && pmod(col("event_id"), lit(7)) =!= 0)
+      .select(
+        (col("event_id") / 2).cast("long").cast("string").as("icao24"),
+        unix_timestamp(col("ts")).as("last_contact"),
+        when(pmod(col("event_id"), lit(13)) === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("velocity"),
+        when(pmod(col("event_id"), lit(17)) === 0, lit(null).cast("double"))
+          .otherwise(col("value") - 50).as("vertical_rate"))
+
+  val statesSql: String = """
+    SELECT CAST(event_id // 2 AS VARCHAR) AS icao24,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_contact,
+           CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS velocity,
+           CASE WHEN event_id % 17 = 0 THEN NULL ELSE value - 50 END AS vertical_rate
+    FROM events WHERE event_id % 2 = 0 AND event_id % 7 <> 0"""
+
+  /** Persisted-state-shaped table from odd event ids; every 5th key
+    * withheld so the snapshot side has brand-new keys. Tri-state
+    * is_first_contact and nullable trajectory included.
+    */
+  def source(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .filter(pmod(col("event_id"), lit(2)) === 1 && pmod(col("event_id"), lit(5)) =!= 0)
+      .select(
+        ((col("event_id") - 1) / 2).cast("long").cast("string").as("icao24"),
+        unix_timestamp(col("ts")).cast("int").as("last_contact"),
+        when(pmod(col("event_id"), lit(13)) === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("velocity"),
+        when(pmod(col("event_id"), lit(17)) === 0, lit(null).cast("double"))
+          .otherwise(col("value") - 50).as("vertical_rate"),
+        when(col("value") > 60, unix_timestamp(col("ts")).cast("int") - 3600)
+          .otherwise(0).as("takeoff_at"),
+        unix_timestamp(col("ts")).cast("int").as("flight_last_contact"),
+        when(pmod(col("user_id"), lit(11)) === 0, lit(null).cast("string"))
+          .when(col("value") < 40, "descend")
+          .when(col("value") > 60, "climb")
+          .otherwise("other").as("flight_trajectory"),
+        when(pmod(col("event_id"), lit(3)) === 0, lit(null).cast("boolean"))
+          .otherwise(pmod(col("event_id"), lit(3)) === 1).as("is_first_contact"))
+
+  val sourceSql: String = """
+    SELECT CAST((event_id - 1) // 2 AS VARCHAR) AS icao24,
+           CAST(floor(epoch(ts)) AS INTEGER) AS last_contact,
+           CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS velocity,
+           CASE WHEN event_id % 17 = 0 THEN NULL ELSE value - 50 END AS vertical_rate,
+           CASE WHEN value > 60 THEN CAST(floor(epoch(ts)) AS INTEGER) - 3600
+                ELSE 0 END AS takeoff_at,
+           CAST(floor(epoch(ts)) AS INTEGER) AS flight_last_contact,
+           CASE WHEN user_id % 11 = 0 THEN NULL
+                WHEN value < 40 THEN 'descend'
+                WHEN value > 60 THEN 'climb'
+                ELSE 'other' END AS flight_trajectory,
+           CASE WHEN event_id % 3 = 0 THEN NULL
+                ELSE event_id % 3 = 1 END AS is_first_contact
+    FROM events WHERE event_id % 2 = 1 AND event_id % 5 <> 0"""
+
+  /** Metadata-dimension-shaped table from `customer`; keys overlap the
+    * low end of the derived state keys so the enrichment join has both
+    * matched and unmatched rows.
+    */
+  def metadata(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .select(
+        col("c_custkey").cast("string").as("icao24"),
+        col("c_name").as("registration"),
+        col("c_mktsegment").as("model"),
+        upper(substring(col("c_name"), 1, 8)).as("manufacturer_icao"),
+        col("c_name").as("owner"),
+        col("c_mktsegment").as("operator"),
+        format_string("%04d-%02d-%02d",
+          lit(1990) + pmod(col("c_custkey"), lit(30)),
+          lit(1) + pmod(col("c_custkey"), lit(12)),
+          lit(1) + pmod(col("c_custkey"), lit(28))).as("built"))
+
+  val metadataSql: String = """
+    SELECT CAST(c_custkey AS VARCHAR) AS icao24,
+           c_name AS registration,
+           c_mktsegment AS model,
+           upper(substr(c_name, 1, 8)) AS manufacturer_icao,
+           c_name AS owner,
+           c_mktsegment AS operator,
+           printf('%04d-%02d-%02d', 1990 + c_custkey % 30,
+                  1 + c_custkey % 12, 1 + c_custkey % 28) AS built
+    FROM customer"""
+
+  /** Raw 27-column-CSV-shaped table (pre-rename column names) for the
+    * metadata projection operator.
+    */
+  def rawAircraftDb(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "customer")
+      .select(
+        col("c_custkey").cast("string").as("icao24"),
+        col("c_name").as("registration"),
+        col("c_mktsegment").as("model"),
+        upper(substring(col("c_name"), 1, 8)).as("manufacturericao"),
+        col("c_name").as("owner"),
+        col("c_mktsegment").as("operator"),
+        format_string("%04d-%02d-%02d",
+          lit(1990) + pmod(col("c_custkey"), lit(30)),
+          lit(1) + pmod(col("c_custkey"), lit(12)),
+          lit(1) + pmod(col("c_custkey"), lit(28))).as("built"),
+        col("c_acctbal").as("unused_extra"))
+}

@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: compare_oracle.py <verify_out_dir> <sf_dir>
+
+Reads each <out_dir>/<name> parquet (written by graft.Verify), runs the
+matching SQL from <out_dir>/oracle_sql.json in DuckDB against views over
+<sf_dir>/*.parquet, and compares: row count, column names, and a hash of
+all values (columns sorted by name, rows sorted by all columns).
+"""
+import json
+import sys
+import hashlib
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(con, rel_sql):
+    """Fetch a relation deterministically: columns sorted by name, rows
+    sorted by all columns, floats rounded."""
+    rel = con.sql(rel_sql)
+    cols = sorted(rel.columns)
+    sel = ", ".join(f'"{c}"' for c in cols)
+    rows = con.sql(
+        f"SELECT {sel} FROM ({rel_sql}) ORDER BY ALL NULLS FIRST").fetchall()
+    out = []
+    for row in rows:
+        vals = []
+        for v in row:
+            if isinstance(v, float):
+                vals.append(f"{v:.9g}")
+            else:
+                vals.append(repr(v))
+        out.append("|".join(vals))
+    return cols, out
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.sql("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    import os
+    for name in sorted(os.listdir(out_dir)):
+        if name == "oracle_sql.json":
+            continue
+        got_sql = f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')"
+        if name not in oracle:
+            n = con.sql(got_sql).shape[0]
+            print(f"[rows-only] {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+            continue
+        try:
+            gcols, grows = canon(con, got_sql)
+            ecols, erows = canon(con, f"SELECT * FROM ({oracle[name]})")
+            status = []
+            if gcols != ecols:
+                status.append(f"COLS got={gcols} exp={ecols}")
+            if len(grows) != len(erows):
+                status.append(f"NROWS got={len(grows)} exp={len(erows)}")
+            if not status:
+                gh = hashlib.md5("\n".join(grows).encode()).hexdigest()
+                eh = hashlib.md5("\n".join(erows).encode()).hexdigest()
+                if gh != eh:
+                    diffs = [(g, e) for g, e in zip(grows, erows) if g != e]
+                    status.append(f"HASH ({len(diffs)} differing rows; first: "
+                                  f"{diffs[0] if diffs else '?'})")
+            if status:
+                print(f"[FAIL] {name}: {'; '.join(status)}")
+                n_bad += 1
+            else:
+                print(f"[OK]   {name}: {len(grows)} rows")
+                n_ok += 1
+        except Exception as e:
+            print(f"[ERR]  {name}: {e}")
+            n_bad += 1
+    print(f"== {n_ok} ok, {n_bad} bad ==")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
