@@ -7,7 +7,8 @@ import graft.queries._
 object SparkEntry {
 
   private val registry: Seq[Map[String, (RefQueries.Fn, Option[String])]] =
-    Seq(RefQueries.entries)
+    Seq(RefQueries.entries, AnalyticsQueries.entries,
+      TextQueries.entries, SimilarityQueries.entries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extension operator surface beyond the reference (SURVEY.md §2.8):
+  * aggregation, multi-way joins, top-k, window functions, set ops,
+  * semi/anti joins, rollup, time-bucketed and session windows, JSON
+  * extraction — each with an independent DuckDB oracle.
+  *
+  * Scale notes are per query; the common rules: aggregate before join
+  * where legal, broadcast dimensions, keep money math `round(..., 2)`
+  * so cross-engine double summation order can't flip the compare.
+  */
+object AnalyticsQueries {
+
+  import RefQueries.Fn
+
+  private def t(s: SparkSession, d: String, n: String) = Derived.table(s, d, n)
+
+  val entries: Map[String, (Fn, Option[String])] = Map(
+
+    // Grouped aggregation over the fact table (TPC-H Q1 shape).
+    // Map-side partial aggregation → 6-group shuffle; scans only the
+    // 6 referenced columns.
+    "q1_pricing_summary" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") < lit("1998-01-01"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum("l_quantity").as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("sum_disc_price"),
+            round(
+              sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+                * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+            count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus,
+          sum(l_quantity) AS sum_qty,
+          round(sum(l_extendedprice), 2) AS sum_base_price,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag, l_linestatus""")
+    )),
+
+    // Four-way join + aggregation (TPC-H Q5 shape). nation/customer
+    // broadcast; lineitem⋈orders shuffles on the order key.
+    "q2_revenue_by_nation" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .join(t(s, d, "orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(t(s, d, "customer")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"),
+            count(lit(1)).as("n_items")),
+      Some("""SELECT n_name,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+          count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name""")
+    )),
+
+    // Top-k by aggregate: group → order → limit (TakeOrderedAndProject,
+    // no global sort materialization).
+    "q3_top_orders" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10),
+      Some("""SELECT l_orderkey,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+    )),
+
+    // Ranking window: top-3 orders per customer.
+    "q4_top_orders_per_customer" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) WHERE rn <= 3""")
+    )),
+
+    // Running-frame window: cumulative revenue per supplier in
+    // ship-date order (deterministic total order → bitwise-stable sums).
+    "q5_running_revenue" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "lineitem")
+          .withColumn("running_base",
+            round(sum("l_extendedprice").over(w), 2))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "running_base")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+          round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ROWS UNBOUNDED PRECEDING), 2) AS running_base
+        FROM lineitem""")
+    )),
+
+    // Exact deduplication of a key pair.
+    "q6_distinct_part_supp" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem").select("l_partkey", "l_suppkey").distinct(),
+      Some("SELECT DISTINCT l_partkey, l_suppkey FROM lineitem")
+    )),
+
+    // Set difference: parts ordered in bulk but never in small lots.
+    "q7_except_parts" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        li.filter(col("l_quantity") >= 45).select("l_partkey")
+          .except(li.filter(col("l_quantity") <= 5).select("l_partkey"))
+      },
+      Some("""SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+        EXCEPT
+        SELECT l_partkey FROM lineitem WHERE l_quantity <= 5""")
+    )),
+
+    // Set intersection: parts both shipped early and late.
+    "q8_intersect_parts" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        li.filter(col("l_shipdate") < lit("1996-01-01")).select("l_partkey")
+          .intersect(
+            li.filter(col("l_shipdate") >= lit("2000-01-01")).select("l_partkey"))
+      },
+      Some("""SELECT l_partkey FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'""")
+    )),
+
+    // Left-semi join (EXISTS): customers holding a big order.
+    "q9_big_spenders" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer").join(
+          t(s, d, "orders").filter(col("o_totalprice") > 200000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_totalprice > 200000)""")
+    )),
+
+    // Left-anti join (NOT EXISTS): customers with no early orders.
+    "q10_customers_without_orders" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer").join(
+          t(s, d, "orders").filter(col("o_orderdate") < lit("1996-01-01")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate < TIMESTAMP '1996-01-01')""")
+    )),
+
+    // Hierarchical aggregate: rollup over flag/status.
+    "q11_rollup_flag_status" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"), sum("l_quantity").as("qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+          sum(l_quantity) AS qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")
+    )),
+
+    // Tumbling time window over the event stream (batch twin of the
+    // streaming windowed aggregation).
+    "q12_hourly_events" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d)
+          .groupBy(
+            window(col("ts"), "1 hour").getField("start").as("wstart"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v")),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+          count(*) AS n, round(sum(value), 2) AS v
+        FROM events GROUP BY 1, 2""")
+    )),
+
+    // Sessionization: 30-minute-gap sessions per user via lag +
+    // running count (batch twin of session_window / state timeout).
+    "q13_user_sessions" -> ((
+      (s: SparkSession, d: String) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Derived.events(s, d)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("is_new",
+            when(col("prev_us").isNull ||
+              unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("is_new").over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            min("ts").as("session_start"),
+            max("ts").as("session_end"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, ts,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        m AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m)
+        SELECT user_id, session_id, count(*) AS n_events,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM sess GROUP BY user_id, session_id""")
+    )),
+
+    // Exact distinct aggregation.
+    "q14_users_per_type" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d)
+          .groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("users"),
+            count(lit(1)).as("n")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS users,
+          count(*) AS n
+        FROM events GROUP BY event_type""")
+    )),
+
+    // Sketch-based distinct (HLL++) — no exact oracle by construction;
+    // the driver records a rows-only check.
+    "q15_approx_users_per_type" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users")),
+      None
+    )),
+
+    // JSON extraction from the event payload.
+    "q16_json_props" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d)
+          .select(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .filter(col("k") > 50),
+      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50""")
+    )),
+  )
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float], 64-d).
+  *
+  * s1 is the brute-force cosine top-k baseline (cross join — correct
+  * but O(n·q)); s2 is the bucketed scale path: restrict the search to
+  * a coarse partition (the label column stands in for IVF cell
+  * assignment), turning the cross join into a co-partitioned equi-join
+  * — the shape that survives 100 TB.
+  *
+  * All arithmetic is done in double with a sequential fold so Spark
+  * and DuckDB agree bit-for-bit before rounding.
+  */
+object SimilarityQueries {
+
+  import RefQueries.Fn
+
+  private def emb(s: SparkSession, d: String) =
+    Derived.table(s, d, "embeddings")
+
+  /** dot(qv, nv) / (|qv| · |nv|) in double precision, sequential. */
+  private val cosineExpr = expr(
+    """aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                 0D, (acc, v) -> acc + v)
+       / (sqrt(aggregate(qv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+          * sqrt(aggregate(nv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""")
+
+  private val cosineSql =
+    """list_sum([qv[i]::DOUBLE * nv[i]::DOUBLE for i in range(1, len(qv) + 1)])
+       / (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]))
+          * sqrt(list_sum([nv[i]::DOUBLE * nv[i]::DOUBLE for i in range(1, len(nv) + 1)])))"""
+
+  val entries: Map[String, (Fn, Option[String])] = Map(
+
+    // Brute-force cosine top-5 for the first 10 query vectors.
+    "s1_cosine_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val q = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val c = emb(s, d)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        q.crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("n_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+          sims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id),
+          ranked AS (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank
+            FROM sims)
+        SELECT q_id, n_id, rank, round(sim, 6) AS sim_r
+        FROM ranked WHERE rank <= 5""")
+    )),
+
+    // Bucketed ANN: search only the query's coarse cell (label) —
+    // the IVF-style equi-join scale path.
+    "s2_bucketed_ann" -> ((
+      (s: SparkSession, d: String) => {
+        val q = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("label"))
+        val c = emb(s, d)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+            col("label"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        q.join(c, Seq("label"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("label").cast("long").as("label"),
+            col("n_id"), col("rank"), round(col("sim"), 6).as("sim_r"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv, label FROM embeddings),
+          sims AS (
+            SELECT q_id, q.label AS label, n_id, $cosineSql AS sim
+            FROM q JOIN c ON q.label = c.label WHERE q_id <> n_id),
+          ranked AS (
+            SELECT q_id, label, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank
+            FROM sims)
+        SELECT q_id, CAST(label AS BIGINT) AS label, n_id, rank,
+               round(sim, 6) AS sim_r
+        FROM ranked WHERE rank <= 3""")
+    )),
+  )
+}

@@ -1,0 +1,273 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline text operators over the `documents` table:
+  * token statistics, quality scoring, heuristic language ID, exact
+  * dedup, shingle profiles, MinHash signatures + LSH candidate pairs,
+  * SimHash fingerprints, and the multimodal binary-column plumbing.
+  *
+  * Hashing is md5-hex-prefix → int64 in BOTH engines (Spark `conv`,
+  * DuckDB `'0x…'::BIGINT`) so the oracles stay engine-independent —
+  * Spark's xxhash64/hash and DuckDB's hash() would never agree.
+  *
+  * Scale notes: everything here is embarrassingly parallel per
+  * document except the LSH bucket join, which shuffles once on
+  * (band, bucket-hash) — the standard way to avoid the O(n²) pair
+  * comparison at 100 TB.
+  */
+object TextQueries {
+
+  import RefQueries.Fn
+
+  private def docs(s: SparkSession, d: String) =
+    Derived.table(s, d, "documents")
+
+  /** k-salted portable 60-bit hash of a string column (Spark side). */
+  private def saltedHash(k: Int, c: org.apache.spark.sql.Column) =
+    conv(substring(md5(concat(lit(s"$k:"), c)), 1, 15), 16, 10).cast("long")
+
+  /** Same hash, DuckDB side. */
+  private def saltedHashSql(k: Int, e: String) =
+    s"('0x' || substr(md5('$k:' || $e), 1, 15))::BIGINT"
+
+  /** Distinct word-3-gram shingles (falls back to the whole text for
+    * very short docs), Spark side as a SQL expression over `w`.
+    */
+  private val shinglesExpr =
+    """CASE WHEN size(w) < 3 THEN array(concat_ws(' ', w))
+       ELSE array_distinct(transform(sequence(0, size(w) - 3),
+              i -> concat_ws(' ', slice(w, i + 1, 3)))) END"""
+
+  private val shinglesSql =
+    """CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       ELSE list_distinct([array_to_string(w[i:i+2], ' ')
+              for i in range(1, len(w) - 1)]) END"""
+
+  /** Per-doc MinHash signature (4 salted hashes over shingles). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("s", explode(expr(shinglesExpr)))
+      .groupBy("doc_id")
+      .agg(
+        min(saltedHash(0, col("s"))).as("h0"),
+        min(saltedHash(1, col("s"))).as("h1"),
+        min(saltedHash(2, col("s"))).as("h2"),
+        min(saltedHash(3, col("s"))).as("h3"))
+
+  private val minhashSql =
+    s"""SELECT doc_id,
+          min(${saltedHashSql(0, "s")}) AS h0,
+          min(${saltedHashSql(1, "s")}) AS h1,
+          min(${saltedHashSql(2, "s")}) AS h2,
+          min(${saltedHashSql(3, "s")}) AS h3
+        FROM (
+          SELECT doc_id, unnest($shinglesSql) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        GROUP BY doc_id"""
+
+  private val SimhashBits = 16
+
+  val entries: Map[String, (Fn, Option[String])] = Map(
+
+    // Token counting: whitespace tokens + BPE-ish alnum-run tokens.
+    "t1_token_stats" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d).select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          regexp_count(col("text"), lit("[a-z0-9]+")).cast("long")
+            .as("n_word_tokens"),
+          length(col("text")).cast("long").as("len_chars")),
+      Some("""SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
+          length(text) AS len_chars
+        FROM documents""")
+    )),
+
+    // Quality scoring: stopword density + punctuation ratio.
+    "t2_quality_scores" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .withColumn("stop_hits",
+            regexp_count(col("text"), lit("\\b(the|a|of|and|to)\\b")).cast("long"))
+          .withColumn("punct_chars",
+            length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long"))
+          .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
+            col("punct_chars"),
+            round(col("stop_hits").cast("double") / col("n_tokens"), 4)
+              .as("stop_ratio"),
+            round(col("punct_chars").cast("double") / length(col("text")), 4)
+              .as("punct_ratio")),
+      Some("""SELECT doc_id, n_tokens, stop_hits, punct_chars,
+          round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+          round(CAST(punct_chars AS DOUBLE) / length(text), 4) AS punct_ratio
+        FROM (SELECT doc_id, text,
+            len(string_split(text, ' ')) AS n_tokens,
+            len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS stop_hits,
+            length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_chars
+          FROM documents)""")
+    )),
+
+    // Heuristic n-gram language ID: stopword votes per language + CJK
+    // detection, deterministic tie-break by vote order.
+    "t3_lang_guess" -> ((
+      (s: SparkSession, d: String) => {
+        val hits = Map(
+          "en" -> "\\b(the|of|and|to|in)\\b",
+          "de" -> "\\b(der|die|das|und|ist)\\b",
+          "es" -> "\\b(el|los|las|una|y)\\b",
+          "fr" -> "\\b(le|les|et|des|est)\\b")
+        val withScores = hits.foldLeft(docs(s, d)) { case (df, (l, pat)) =>
+          df.withColumn(s"hits_$l",
+            regexp_count(col("text"), lit(pat)).cast("long"))
+        }.withColumn("cjk",
+          regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long"))
+        withScores.select(col("doc_id"), col("lang"),
+          col("hits_en"), col("hits_de"), col("hits_es"), col("hits_fr"),
+          when(col("cjk") > 0, "zh")
+            .when(col("hits_en") >= greatest(col("hits_de"), col("hits_es"),
+              col("hits_fr")), "en")
+            .when(col("hits_de") >= greatest(col("hits_es"), col("hits_fr")), "de")
+            .when(col("hits_es") >= col("hits_fr"), "es")
+            .otherwise("fr").as("lang_guess"))
+      },
+      Some("""SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr,
+          CASE WHEN cjk > 0 THEN 'zh'
+               WHEN hits_en >= greatest(hits_de, hits_es, hits_fr) THEN 'en'
+               WHEN hits_de >= greatest(hits_es, hits_fr) THEN 'de'
+               WHEN hits_es >= hits_fr THEN 'es'
+               ELSE 'fr' END AS lang_guess
+        FROM (SELECT doc_id, lang,
+            len(regexp_extract_all(text, '\b(the|of|and|to|in)\b')) AS hits_en,
+            len(regexp_extract_all(text, '\b(der|die|das|und|ist)\b')) AS hits_de,
+            len(regexp_extract_all(text, '\b(el|los|las|una|y)\b')) AS hits_es,
+            len(regexp_extract_all(text, '\b(le|les|et|des|est)\b')) AS hits_fr,
+            len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+          FROM documents)""")
+    )),
+
+    // Exact dedup: hash-group on normalized text, keep the canonical id.
+    "d1_dedup_exact" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .withColumn("fp",
+            md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .groupBy("fp")
+          .agg(count(lit(1)).as("n_dups"), min("doc_id").as("canonical_id")),
+      Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+          count(*) AS n_dups, min(doc_id) AS canonical_id
+        FROM documents GROUP BY 1""")
+    )),
+
+    // n-gram Jaccard support: distinct-shingle profile per document.
+    "d2_shingle_profile" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"),
+            size(expr(shinglesExpr)).cast("long").as("n_shingles"),
+            size(array_distinct(col("w"))).cast("long").as("n_unique_words")),
+      Some(s"""SELECT doc_id, len($shinglesSql) AS n_shingles,
+          len(list_distinct(w)) AS n_unique_words
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""")
+    )),
+
+    // MinHash signatures (shingle → 4 salted min-hashes).
+    "d3_minhash_signatures" -> ((
+      minhashSignatures _,
+      Some(minhashSql)
+    )),
+
+    // LSH: band the signature (2 bands × 2 hashes), bucket-join to get
+    // candidate near-dup pairs without an O(n²) cross join.
+    "d4_lsh_candidate_pairs" -> ((
+      (s: SparkSession, d: String) => {
+        val sig = minhashSignatures(s, d)
+          .withColumn("bands", array(
+            struct(lit(0).as("band"),
+              md5(concat_ws(",", col("h0"), col("h1"))).as("bh")),
+            struct(lit(1).as("band"),
+              md5(concat_ws(",", col("h2"), col("h3"))).as("bh"))))
+          .select(col("doc_id"), explode(col("bands")).as("b"))
+          .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+        sig.as("a").join(sig.as("b"), Seq("band", "bh"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("band").cast("long").as("band"),
+            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      },
+      Some(s"""WITH sig AS ($minhashSql),
+        bands AS (
+          SELECT doc_id, 0 AS band,
+                 md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bh FROM sig
+          UNION ALL
+          SELECT doc_id, 1 AS band,
+                 md5(h2::VARCHAR || ',' || h3::VARCHAR) AS bh FROM sig)
+        SELECT DISTINCT a.band AS band, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+        WHERE a.doc_id < b.doc_id""")
+    )),
+
+    // SimHash: 16-bit sign-aggregated fingerprint over word hashes.
+    "d5_simhash" -> ((
+      (s: SparkSession, d: String) => {
+        val tokens = docs(s, d)
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .withColumn("h", saltedHash(9, col("tok")))
+        val bitSums = (0 until SimhashBits).map { b =>
+          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+            .otherwise(-1)).as(s"s$b")
+        }
+        val fingerprint = (0 until SimhashBits).map { b =>
+          when(col(s"s$b") > 0, 1L << b).otherwise(0L)
+        }.reduce(_ + _)
+        tokens.groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), fingerprint.as("simhash"))
+      },
+      Some {
+        val bitSums = (0 until SimhashBits).map { b =>
+          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+        }.mkString(", ")
+        val fp = (0 until SimhashBits).map { b =>
+          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+        }.mkString(" + ")
+        s"""SELECT doc_id, $fp AS simhash FROM (
+             SELECT doc_id, $bitSums FROM (
+               SELECT doc_id, ${saltedHashSql(9, "tok")} AS h FROM (
+                 SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+                 FROM documents))
+             GROUP BY doc_id)"""
+      }
+    )),
+
+    // Multimodal plumbing: text treated as an opaque binary payload
+    // with derived typed metadata; the "decode" is a deterministic
+    // stub (no image/audio libs in this container) but the binary
+    // column, byte accounting, and fingerprint path are real.
+    "m1_binary_features" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+          .select(col("doc_id"),
+            octet_length(col("payload")).cast("long").as("n_bytes"),
+            substring(md5(col("payload")), 1, 8).as("fp8"),
+            (pmod(octet_length(col("payload")), lit(64)) + 1).cast("long")
+              .as("fake_width"),
+            (pmod(floor(octet_length(col("payload")) / 64), lit(64)) + 1)
+              .cast("long").as("fake_height")),
+      Some("""SELECT doc_id,
+          octet_length(encode(text)) AS n_bytes,
+          substr(md5(text), 1, 8) AS fp8,
+          octet_length(encode(text)) % 64 + 1 AS fake_width,
+          (octet_length(encode(text)) // 64) % 64 + 1 AS fake_height
+        FROM documents""")
+    )),
+  )
+}
