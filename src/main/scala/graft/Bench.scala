@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query against
+  * $SPARK_GRAFT_SF_DIR, one JSON result line on stdout.
+  *
+  * Queries are fully materialized through the no-op sink (a bare
+  * count() would let Catalyst prune unused projections — windows,
+  * JSON parsing, hashes — and under-report); a small warmup query
+  * absorbs JVM/codegen startup so per-query numbers are comparable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,14 +22,31 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Warmup: JIT/codegen + file-listing caches, not counted.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
+    // Per-query: one unmeasured warmup run (whole-stage-codegen +
+    // JIT compile of the plan, 2-4s per distinct plan shape, a fixed
+    // cost irrelevant to data-scale throughput), then the measured run.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def run(): Unit =
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try {
+        run()
+        val t0 = System.nanoTime()
+        run()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

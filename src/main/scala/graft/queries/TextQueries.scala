@@ -45,28 +45,57 @@ object TextQueries {
        ELSE list_distinct([array_to_string(w[i:i+2], ' ')
               for i in range(1, len(w) - 1)]) END"""
 
-  /** Per-doc MinHash signature (4 salted hashes over shingles). */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+  /** Same shingles without the distinct pass — for consumers that are
+    * duplicate-invariant (minhash).
+    */
+  private val shinglesRawExpr =
+    """CASE WHEN size(w) < 3 THEN array(concat_ws(' ', w))
+       ELSE transform(sequence(0, size(w) - 3),
+              i -> concat_ws(' ', slice(w, i + 1, 3))) END"""
+
+  private val shinglesRawSql =
+    """CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+       ELSE [array_to_string(w[i:i+2], ' ')
+              for i in range(1, len(w) - 1)] END"""
+
+  /** MinHash prime modulus (< 2^30 so the affine step stays exact in
+    * int64 in both engines).
+    */
+  private val P = 1073741789L
+
+  /** Per-doc MinHash signature: ONE md5 per shingle reduced to a 60-bit
+    * base, then 4 affine universal hashes `(a_k·b + c_k) mod P` — far
+    * cheaper than 4 salted md5 invocations, still independent enough
+    * for banding. `min` is duplicate-invariant, so shingles are
+    * exploded without a distinct pass.
+    */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    def h(k: Int) = pmod(col("b") * lit(2 * k + 3) + lit(7 * k + 1), lit(P))
     docs(s, d)
       .withColumn("w", split(col("text"), " "))
-      .withColumn("s", explode(expr(shinglesExpr)))
+      .withColumn("s", explode(expr(shinglesRawExpr)))
+      // materialized once per shingle — the md5 must not be duplicated
+      // into each of the four aggregate expressions
+      .select(col("doc_id"), pmod(saltedHash(0, col("s")), lit(P)).as("b"))
       .groupBy("doc_id")
-      .agg(
-        min(saltedHash(0, col("s"))).as("h0"),
-        min(saltedHash(1, col("s"))).as("h1"),
-        min(saltedHash(2, col("s"))).as("h2"),
-        min(saltedHash(3, col("s"))).as("h3"))
+      .agg(min(h(0)).as("h0"), min(h(1)).as("h1"),
+        min(h(2)).as("h2"), min(h(3)).as("h3"))
+  }
 
-  private val minhashSql =
+  private val minhashSql = {
+    def h(k: Int) = s"(b * ${2 * k + 3} + ${7 * k + 1}) % $P"
     s"""SELECT doc_id,
-          min(${saltedHashSql(0, "s")}) AS h0,
-          min(${saltedHashSql(1, "s")}) AS h1,
-          min(${saltedHashSql(2, "s")}) AS h2,
-          min(${saltedHashSql(3, "s")}) AS h3
+          min(${h(0)}) AS h0,
+          min(${h(1)}) AS h1,
+          min(${h(2)}) AS h2,
+          min(${h(3)}) AS h3
         FROM (
-          SELECT doc_id, unnest($shinglesSql) AS s
-          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+          SELECT doc_id, ${saltedHashSql(0, "s")} % $P AS b
+          FROM (
+            SELECT doc_id, unnest($shinglesRawSql) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
         GROUP BY doc_id"""
+  }
 
   private val SimhashBits = 16
 
@@ -164,17 +193,25 @@ object TextQueries {
         FROM documents GROUP BY 1""")
     )),
 
-    // n-gram Jaccard support: distinct-shingle profile per document.
+    // n-gram Jaccard support: distinct-shingle profile per document —
+    // explode + hash-aggregate (codegen'd) instead of per-row
+    // array_distinct on a non-codegen higher-order function.
     "d2_shingle_profile" -> ((
       (s: SparkSession, d: String) =>
         docs(s, d)
           .withColumn("w", split(col("text"), " "))
-          .select(col("doc_id"),
-            size(expr(shinglesExpr)).cast("long").as("n_shingles"),
-            size(array_distinct(col("w"))).cast("long").as("n_unique_words")),
-      Some(s"""SELECT doc_id, len($shinglesSql) AS n_shingles,
-          len(list_distinct(w)) AS n_unique_words
-        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)""")
+          .withColumn("nuw", size(array_distinct(col("w"))).cast("long"))
+          .select(col("doc_id"), col("nuw"),
+            explode(expr(shinglesRawExpr)).as("s"))
+          .groupBy("doc_id")
+          .agg(countDistinct(col("s")).as("n_shingles"),
+            max("nuw").as("n_unique_words")),
+      Some(s"""SELECT doc_id, count(DISTINCT s) AS n_shingles,
+          max(nuw) AS n_unique_words
+        FROM (SELECT doc_id, len(list_distinct(w)) AS nuw,
+                unnest($shinglesRawSql) AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+        GROUP BY doc_id""")
     )),
 
     // MinHash signatures (shingle → 4 salted min-hashes).
@@ -187,7 +224,11 @@ object TextQueries {
     // candidate near-dup pairs without an O(n²) cross join.
     "d4_lsh_candidate_pairs" -> ((
       (s: SparkSession, d: String) => {
-        val sig = minhashSignatures(s, d)
+        // The signature pipeline (explode + groupBy) feeds BOTH sides
+        // of the self-join — materialize it once instead of paying the
+        // shingle explosion twice. At cluster scale this would be a
+        // checkpoint / exchange reuse; in-memory cache is the local twin.
+        val sig = minhashSignatures(s, d).persist()
           .withColumn("bands", array(
             struct(lit(0).as("band"),
               md5(concat_ws(",", col("h0"), col("h1"))).as("bh")),
