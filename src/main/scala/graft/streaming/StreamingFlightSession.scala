@@ -1,0 +1,130 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twin of the batch pipeline: the reference's
+  * 5-minute Airflow cycle (snapshot ⟗ state → classify → emit landed,
+  * persist active) is exactly a keyed-state streaming job
+  * (reference DAG: src/dags/flight_utilization.py:72-78; state loop:
+  * opensky/transformers.py:105-146 + complete_flights/transformers.py:155-178).
+  *
+  * State per `icao24` lives in `GroupState[ActiveFlight]`; the batch
+  * twin's 20-minute inactivity eviction (F1) becomes a
+  * processing-time timeout. Landing detection closes the session and
+  * emits a `CompletedFlight`; the built-in `session_window` cannot
+  * express this close condition (predicate-based, not gap-based).
+  *
+  * Scale note: state is hash-partitioned by key across executors by
+  * the engine; per-key state is O(1) (four fields), so total state is
+  * bounded by the live-aircraft cardinality, not input volume.
+  */
+object StreamingFlightSession {
+
+  /** One observation of one aircraft from a snapshot batch. */
+  final case class Observation(
+      icao24: String,
+      last_contact: Long,
+      velocity: Option[Double],
+      vertical_rate: Option[Double])
+
+  /** Keyed state carried across batches (cf. Schemas.source). */
+  final case class ActiveFlight(
+      takeoff_at: Int,
+      flight_last_contact: Int,
+      flight_trajectory: String,
+      is_first_contact: Option[Boolean])
+
+  /** Emitted when a landing closes the session (cf. Schemas.flights,
+    * pre-enrichment — the metadata join happens downstream).
+    */
+  final case class CompletedFlight(
+      icao24: String,
+      flight_duration_minutes: Int,
+      landed_at: java.sql.Timestamp)
+
+  val InactivityTimeout = "20 minutes"
+
+  private val Climb = "climb"
+  private val Descend = "descend"
+  private val Other = "other"
+
+  private def isLanding(obs: Observation, trajectory: String): Boolean =
+    obs.last_contact != 0 &&
+      obs.vertical_rate.forall(_ == 0) &&
+      ((trajectory == Descend && obs.velocity.exists(_ < 10)) ||
+        obs.velocity.forall(_ == 0))
+
+  private def nextTrajectory(
+      verticalRate: Option[Double], prev: String): String =
+    if (verticalRate.exists(_ > 0)) Climb
+    else if (verticalRate.exists(_ < 0) || prev == Descend) Descend
+    else Other
+
+  /** The per-key state machine, processing one micro-batch's
+    * observations for one aircraft. Mirrors the batch plan:
+    * first-contact transition (C3) → contact refresh (C4) →
+    * classification (E1–E3) → takeoff stamp (C5) / landing emission →
+    * trajectory update (E4).
+    */
+  def updateFlight(
+      icao24: String,
+      observations: Iterator[Observation],
+      state: GroupState[ActiveFlight]): Iterator[CompletedFlight] = {
+    if (state.hasTimedOut) {
+      // F1 twin: unseen past the horizon — evict silently.
+      state.remove()
+      Iterator.empty
+    } else {
+      val completed = Seq.newBuilder[CompletedFlight]
+      observations.toSeq.sortBy(_.last_contact).foreach { obs =>
+        val prior = state.getOption
+        val firstContact = prior match {
+          case None => Some(true)
+          case Some(f) => f.is_first_contact match {
+            case None => Some(true)
+            case Some(true) => Some(false)
+            case other => other
+          }
+        }
+        val flc =
+          if (obs.last_contact != 0) obs.last_contact.toInt
+          else prior.map(_.flight_last_contact).getOrElse(0)
+        val trajectory = prior.map(_.flight_trajectory).orNull
+        val takeoffAt = prior.map(_.takeoff_at).getOrElse(0)
+        val isTakeoff =
+          firstContact.contains(true) && obs.vertical_rate.exists(_ > 0)
+        if (!isTakeoff && isLanding(obs, trajectory)) {
+          if (takeoffAt != 0)
+            completed += CompletedFlight(
+              icao24,
+              math.ceil((obs.last_contact - takeoffAt) / 60.0).toInt,
+              java.sql.Timestamp.from(
+                java.time.Instant.ofEpochSecond(obs.last_contact)))
+          state.remove()
+        } else {
+          val stamped = if (isTakeoff) flc else takeoffAt
+          state.update(ActiveFlight(
+            stamped, flc,
+            nextTrajectory(obs.vertical_rate, trajectory), firstContact))
+          state.setTimeoutDuration(InactivityTimeout)
+        }
+      }
+      completed.result().iterator
+    }
+  }
+
+  /** Wire a streaming Dataset of observations into the session state
+    * machine. Caller attaches the sink (`writeStream`) and trigger.
+    */
+  def completedFlights(
+      spark: SparkSession,
+      observations: Dataset[Observation]): Dataset[CompletedFlight] = {
+    import spark.implicits._
+    observations
+      .groupByKey(_.icao24)
+      .flatMapGroupsWithState[ActiveFlight, CompletedFlight](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        updateFlight)
+  }
+}

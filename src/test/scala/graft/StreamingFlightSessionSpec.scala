@@ -1,0 +1,82 @@
+package graft
+
+import graft.streaming.StreamingFlightSession
+import graft.streaming.StreamingFlightSession._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming twin specs. The state machine is deliberately
+  * per-observation (not per-micro-batch), so results are independent of
+  * how the engine slices batches — the specs feed all data up front and
+  * wait for the input row count to be absorbed.
+  *
+  * NOTE: `processAllAvailable()` cannot be used here — with
+  * ProcessingTimeTimeout the engine keeps constructing no-data batches
+  * (timeouts must be able to fire), so the no-new-data signal never
+  * arrives and the call blocks forever.
+  */
+class StreamingFlightSessionSpec extends SparkSpecBase {
+
+  private def awaitProcessed(
+      query: StreamingQuery, n: Long, timeoutMs: Long = 60000): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (query.recentProgress.map(_.numInputRows).sum < n &&
+      System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(query.recentProgress.map(_.numInputRows).sum >= n,
+      s"stream did not absorb $n input rows within ${timeoutMs}ms")
+  }
+
+  private def runScenario(name: String, batches: Seq[Seq[Observation]])
+      : Seq[CompletedFlight] = {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Observation]
+    val query = StreamingFlightSession
+      .completedFlights(spark, input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name)
+      .start()
+    try {
+      batches.foreach(b => input.addData(b: _*))
+      awaitProcessed(query, batches.map(_.size).sum)
+    } finally query.stop()
+    spark.table(name).as[CompletedFlight].collect().toSeq.sortBy(_.icao24)
+  }
+
+  private val t0 = 1712338000L
+
+  test("streaming session: takeoff, cruise, landing emits one flight") {
+    val got = runScenario("flights_out", Seq(
+      Seq(Observation("ab0001", t0, Some(80.0), Some(12.0))),
+      Seq(Observation("ab0001", t0 + 300, Some(230.0), Some(-2.0))),
+      Seq(Observation("ab0001", t0 + 600, Some(0.0), Some(0.0)))))
+    assert(got == Seq(CompletedFlight("ab0001", 10,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + 600)))))
+  }
+
+  test("streaming session: landing without takeoff stamp emits nothing") {
+    // Appears mid-flight already level+stopped → landing detected on
+    // first contact, but no takeoff was ever stamped → session closes
+    // silently (matches the batch twin's takeoff_at != 0 filter).
+    val got = runScenario("flights_none", Seq(
+      Seq(Observation("cd0002", t0, Some(0.0), Some(0.0)))))
+    assert(got.isEmpty)
+  }
+
+  test("streaming matches batch twin on a multi-aircraft scenario") {
+    val got = runScenario("flights_multi", Seq(
+      Seq(Observation("aa", t0, Some(80.0), Some(12.0)),
+        Observation("bb", t0, Some(200.0), Some(1.0))),
+      Seq(Observation("aa", t0 + 300, Some(100.0), Some(-3.0)),
+        Observation("bb", t0 + 300, Some(210.0), Some(0.5)),
+        Observation("cc", t0 + 300, Some(5.0), None)),
+      Seq(Observation("aa", t0 + 900, Some(4.0), Some(0.0)),
+        Observation("bb", t0 + 900, Some(205.0), Some(0.2)))))
+    // aa: takeoff at t0, descend at t0+300, level+slow at t0+900 → 15 min
+    // flight. bb cruises throughout. cc: vertical rate null + velocity 5
+    // → landing needs descend trajectory for the <10 arm → stays active.
+    assert(got == Seq(CompletedFlight("aa", 15,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + 900)))))
+  }
+}
