@@ -268,6 +268,70 @@ object AnalyticsQueries {
       None
     )),
 
+    // Full cube over two dimensions.
+    "q17_cube_status_priority" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+    )),
+
+    // Sliding window (1h width, 30m slide): each event lands in two
+    // overlapping buckets.
+    "q18_sliding_windows" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d)
+          .groupBy(
+            window(col("ts"), "1 hour", "30 minutes").getField("start")
+              .as("wstart"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n")),
+      Some("""SELECT wstart, event_type, count(*) AS n FROM (
+          SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                         time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')])
+                 AS wstart, event_type
+          FROM events) GROUP BY wstart, event_type""")
+    )),
+
+    // Argument extremes: per user, the event type of the highest- and
+    // lowest-valued event. Plain max_by/arg_min tie-break is
+    // engine-arbitrary on duplicate values — lexicographic struct
+    // extremes make the tie-break (value, event_type) deterministic.
+    "q19_user_extremes" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d)
+          .groupBy("user_id")
+          .agg(
+            max(struct(col("value"), col("event_type")))
+              .getField("event_type").as("top_type"),
+            min(struct(col("value"), col("event_type")))
+              .getField("event_type").as("bottom_type"),
+            round(max("value"), 2).as("top_value")),
+      Some("""SELECT user_id,
+          (max({'value': value, 'event_type': event_type})).event_type AS top_type,
+          (min({'value': value, 'event_type': event_type})).event_type AS bottom_type,
+          round(max(value), 2) AS top_value
+        FROM events GROUP BY user_id""")
+    )),
+
+    // Exact interpolated percentiles per event type.
+    "q20_value_percentiles" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d)
+          .groupBy("event_type")
+          .agg(
+            round(expr("percentile(value, 0.5)"), 6).as("p50"),
+            round(expr("percentile(value, 0.95)"), 6).as("p95")),
+      Some("""SELECT event_type,
+          round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+          round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95
+        FROM events GROUP BY event_type""")
+    )),
+
     // JSON extraction from the event payload.
     "q16_json_props" -> ((
       (s: SparkSession, d: String) =>

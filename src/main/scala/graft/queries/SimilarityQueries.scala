@@ -68,6 +68,33 @@ object SimilarityQueries {
         FROM ranked WHERE rank <= 5""")
     )),
 
+    // Embedding-cosine near-duplicate pairs, bucketed by label so the
+    // pair generation is an equi-join (n²/k), not a full cross join.
+    "s3_neardup_pairs" -> ((
+      (s: SparkSession, d: String) => {
+        val a = emb(s, d).select(col("vec_id").as("id_a"),
+          col("embedding").as("qv"), col("label"))
+        val b = emb(s, d).select(col("vec_id").as("id_b"),
+          col("embedding").as("nv"), col("label"))
+        a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("sim", cosineExpr)
+          .filter(col("sim") > 0.35)
+          .select(col("label").cast("long").as("label"), col("id_a"),
+            col("id_b"), round(col("sim"), 6).as("sim_r"))
+      },
+      Some(s"""WITH a AS (SELECT vec_id AS id_a, embedding AS qv, label
+            FROM embeddings),
+          b AS (SELECT vec_id AS id_b, embedding AS nv, label FROM embeddings),
+          sims AS (
+            SELECT a.label AS label, id_a, id_b, $cosineSql AS sim
+            FROM a JOIN b ON a.label = b.label
+            WHERE id_a < id_b)
+        SELECT CAST(label AS BIGINT) AS label, id_a, id_b,
+               round(sim, 6) AS sim_r
+        FROM sims WHERE sim > 0.35""")
+    )),
+
     // Bucketed ANN: search only the query's coarse cell (label) —
     // the IVF-style equi-join scale path.
     "s2_bucketed_ann" -> ((

@@ -288,6 +288,39 @@ object TextQueries {
       }
     )),
 
+    // Document fingerprinting: weakened polynomial rolling hash —
+    // token hashes weighted by a periodic power-of-B table mod P,
+    // order-sensitive (unlike minhash) yet shuffle-free per document.
+    "d6_rolling_fingerprint" -> ((
+      (s: SparkSession, d: String) => {
+        val B = 31L
+        val powers = (0 until 16).scanLeft(1L)((acc, _) => acc * B % P).take(16)
+        val powArray = array(powers.map(lit): _*)
+        docs(s, d)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .select(col("doc_id"),
+            pmod(pmod(saltedHash(9, col("tok")), lit(P))
+              * element_at(powArray, pmod(col("pos"), lit(16)).cast("int") + 1),
+              lit(P)).as("term"))
+          .groupBy("doc_id")
+          .agg(pmod(sum("term"), lit(P)).as("fingerprint"))
+      },
+      Some {
+        val B = 31L
+        val powers = (0 until 16).scanLeft(1L)((acc, _) => acc * B % P).take(16)
+        s"""SELECT doc_id,
+             sum((${saltedHashSql(9, "tok")} % $P)
+                 * ([${powers.mkString(",")}])[pos % 16 + 1] % $P) % $P
+               AS fingerprint
+           FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+             FROM documents)
+           GROUP BY doc_id"""
+      }
+    )),
+
     // Multimodal plumbing: text treated as an opaque binary payload
     // with derived typed metadata; the "decode" is a deterministic
     // stub (no image/audio libs in this container) but the binary
