@@ -22,12 +22,13 @@ object SimilarityQueries {
   private def emb(s: SparkSession, d: String) =
     Derived.table(s, d, "embeddings")
 
-  /** dot(qv, nv) / (|qv| · |nv|) in double precision, sequential. */
-  private val cosineExpr = expr(
-    """aggregate(zip_with(qv, nv, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-                 0D, (acc, v) -> acc + v)
-       / (sqrt(aggregate(qv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
-          * sqrt(aggregate(nv, 0D, (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""")
+  /** dot(qv, nv) / (|qv| · |nv|) in double precision, sequential —
+    * the native codegen'd expression (see graft.functions.VectorExprs;
+    * bit-identical to the zip_with/aggregate HOF formulation, minus
+    * the per-row array allocation and lambda interpretation).
+    */
+  private val cosineExpr =
+    graft.functions.VectorExprs.cosine_similarity(col("qv"), col("nv"))
 
   private val cosineSql =
     """list_sum([qv[i]::DOUBLE * nv[i]::DOUBLE for i in range(1, len(qv) + 1)])
