@@ -70,7 +70,15 @@ object Sources {
     * (reference: opensky/client.py:37-41).
     */
   def readMetadataCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    spark.read.option("header", "true").option("inferSchema", "true")
+      // pandas read_csv infers only numeric types — date-like strings
+      // stay strings. Spark's date/timestamp inference would silently
+      // retype `built` and diverge, so pin both to strict formats a
+      // bare date can't match.
+      .option("preferDate", "false")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
+      .option("inferTimestampNTZType", "false")
+      .csv(path)
 
   /** S5: full-overwrite state write — idempotent per input
     * (reference: common/s3.py:108-117).

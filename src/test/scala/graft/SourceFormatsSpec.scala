@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.Row
+import java.nio.file.{Files, Paths}
+
+/** File-format source coverage: header+inferSchema CSV for the
+  * aircraft database (S3) and schema'd JSON replay for states
+  * snapshots (S1 file-based twin).
+  */
+class SourceFormatsSpec extends SparkSpecBase {
+
+  test("metadata CSV scan infers types and projects to the dimension") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val csv =
+      """icao24,registration,manufacturericao,model,owner,operator,built,extra
+        |a23456,AB-CDE,BOEING,Boeing 737,Lease Co,Test Air,2000-02-01,1
+        |65432a,BC-DEF,AIRBUS,Airbus 320,Own Co,New Air,1990-03-05,2
+        |""".stripMargin
+    Files.writeString(dir.resolve("aircraft.csv"), csv)
+
+    val raw = Sources.readMetadataCsv(spark, dir.toString + "/aircraft.csv")
+    assert(raw.schema("extra").dataType.typeName == "integer") // inferred
+    val dim = MetadataJob.projectMetadata(raw)
+    assert(dim.columns.toSeq == Schemas.metadata.fieldNames.toSeq)
+    assertSameRows(dim.select("icao24", "manufacturer_icao", "built"), Seq(
+      Row("65432a", "AIRBUS", "1990-03-05"),
+      Row("a23456", "BOEING", "2000-02-01")))
+  }
+
+  test("states JSON replay reads with the declared schema, no inference") {
+    val dir = Files.createTempDirectory("graft-json")
+    // one snapshot row per line, fields named as in the 17-col schema
+    Files.writeString(dir.resolve("states.json"),
+      """{"icao24":"a23456","callsign":"Speedbird","origin_country":"UA","time_position":1712338230,"last_contact":1712338130,"longitude":-37.8,"latitude":144.9,"baro_altitude":700.25,"on_ground":false,"velocity":240.52,"true_track":5.154,"vertical_rate":6.3,"sensors":null,"geo_altitude":620.25,"squawk":"Code","spi":false,"position_source":0}
+        |{"icao24":"65432a","last_contact":1712338131,"velocity":10.5,"vertical_rate":0.0,"on_ground":true}
+        |""".stripMargin)
+
+    val states17 = spark.read.schema(Schemas.states17)
+      .json(dir.toString + "/states.json")
+    assert(states17.schema == Schemas.states17)
+    val projected = Sources.projectStates(states17)
+    assertSameRows(projected, Seq(
+      Row("65432a", java.lang.Long.valueOf(1712338131L),
+        java.lang.Double.valueOf(10.5), java.lang.Double.valueOf(0.0)),
+      Row("a23456", java.lang.Long.valueOf(1712338130L),
+        java.lang.Double.valueOf(240.52), java.lang.Double.valueOf(6.3))))
+  }
+
+  test("flights sink partitions by landing date for TTL partition drops") {
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val flights = df(Schemas.flights,
+      Row("a23456", Integer.valueOf(10),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1712338215L)),
+        null, null, null, null, null, null),
+      Row("65432a", Integer.valueOf(20),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1712500000L)),
+        null, null, null, null, null, null))
+    Sources.writeFlights(flights, s"$dir/flights")
+    val partitions = Files.list(Paths.get(s"$dir/flights")).toArray
+      .map(_.toString).filter(_.contains("landed_date=")).sorted
+    assert(partitions.map(_.split("landed_date=").last).toSeq ==
+      Seq("2024-04-05", "2024-04-07"))
+  }
+}
