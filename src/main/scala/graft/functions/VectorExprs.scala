@@ -89,4 +89,9 @@ object VectorExprs {
   def cosine_similarity(a: Column, b: Column): Column =
     bridge.column(
       CosineSimilarity(bridge.expression(a), bridge.expression(b)))
+
+  /** Expose the function to SQL: `SELECT cosine_similarity(a, b)`. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    bridge.registerFunction(spark, "cosine_similarity",
+      exprs => CosineSimilarity(exprs(0), exprs(1)))
 }
