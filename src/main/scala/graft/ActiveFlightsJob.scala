@@ -49,9 +49,15 @@ object ActiveFlightsJob {
   def stateUpdate(
       states: DataFrame,
       latestSource: DataFrame,
-      horizonEpoch: Long): DataFrame = {
-    val active =
-      removeInactive(activeFlightsFromSource(latestSource), horizonEpoch)
+      horizonEpoch: Long): DataFrame =
+    mergeWithActive(states,
+      removeInactive(activeFlightsFromSource(latestSource), horizonEpoch))
+
+  /** The merge core (J1 + C1–C4) over an already-evicted active set —
+    * also the entry point for callers that express eviction
+    * declaratively (e.g. a broadcast-scalar horizon join).
+    */
+  def mergeWithActive(states: DataFrame, active: DataFrame): DataFrame = {
     val merged = states.join(active, Seq("icao24"), "full_outer")
       .na.fill(0, zeroFilled)
     val casted = epochCols.foldLeft(merged) { (df, c) =>

@@ -17,21 +17,100 @@ object RefQueries {
     */
   private val HorizonSeconds = 1296000L
 
-  private def horizon(src: DataFrame): Long =
-    src.agg(max(col("flight_last_contact"))).head.getInt(0) - HorizonSeconds
+  /** Data-dependent horizon kept IN the plan: a broadcast scalar join
+    * instead of a driver-side collect, so the query stays one job at
+    * any scale. (The production job takes the horizon as a parameter —
+    * `ActiveFlightsJob.stateUpdate` — because "now" comes from the
+    * trigger, not the data.)
+    */
+  private def withHorizon(src: DataFrame): DataFrame =
+    src.crossJoin(broadcast(
+      src.agg((max(col("flight_last_contact")) - HorizonSeconds)
+        .as("horizon"))))
 
-  def stateUpdate(spark: SparkSession, dir: String): DataFrame = {
-    val src = Derived.source(spark, dir)
-    ActiveFlightsJob.stateUpdate(
-      Derived.states(spark, dir), src, horizon(src))
-  }
+  def activeSurvivors(spark: SparkSession, dir: String): DataFrame =
+    withHorizon(ActiveFlightsJob.activeFlightsFromSource(
+      Derived.source(spark, dir)))
+      .filter(col("flight_last_contact") > col("horizon"))
+      .select(Schemas.activeFlightCols.map(col): _*)
+
+  def stateUpdate(spark: SparkSession, dir: String): DataFrame =
+    ActiveFlightsJob.mergeWithActive(
+      Derived.states(spark, dir), activeSurvivors(spark, dir))
+
+  /** Both reference phases fused end-to-end: state update (phase A)
+    * feeding the completion split (phase B) in one declarative plan.
+    */
+  def pipelineEndToEnd(spark: SparkSession, dir: String): DataFrame =
+    CompleteFlightsJob.transformComplete(
+      CompleteFlightsJob.classify(stateUpdate(spark, dir)),
+      Derived.metadata(spark, dir))
 
   def completeFlights(spark: SparkSession, dir: String): DataFrame =
     CompleteFlightsJob.transformComplete(
       CompleteFlightsJob.classify(Derived.source(spark, dir)),
       Derived.metadata(spark, dir))
 
+  /** E1–E3 as a SQL CASE — shared by every classifying oracle. */
+  private val statusCaseSql =
+    """CASE WHEN is_first_contact = true AND vertical_rate > 0 THEN 'takeoff'
+         WHEN last_contact <> 0
+              AND (vertical_rate = 0 OR vertical_rate IS NULL)
+              AND ((flight_trajectory = 'descend' AND velocity < 10)
+                   OR velocity = 0 OR velocity IS NULL)
+         THEN 'landing'
+         ELSE 'other' END"""
+
+  /** Full state-update oracle (phase A), reusable as a nested subquery. */
+  private val stateUpdateOracleSql =
+    s"""WITH st AS (${Derived.statesSql}),
+      src AS (${Derived.sourceSql}),
+      active AS (
+        SELECT icao24, takeoff_at, flight_last_contact, flight_trajectory, is_first_contact
+        FROM src
+        WHERE flight_last_contact > (SELECT max(flight_last_contact) - $HorizonSeconds FROM src)),
+      merged AS (
+        SELECT COALESCE(st.icao24, a.icao24) AS icao24,
+               CAST(COALESCE(st.last_contact, 0) AS INTEGER) AS last_contact,
+               COALESCE(st.velocity, 0) AS velocity,
+               COALESCE(st.vertical_rate, 0) AS vertical_rate,
+               CAST(COALESCE(a.takeoff_at, 0) AS INTEGER) AS takeoff_at,
+               CAST(COALESCE(a.flight_last_contact, 0) AS INTEGER) AS flight_last_contact,
+               a.flight_trajectory AS flight_trajectory,
+               a.is_first_contact AS is_first_contact
+        FROM st FULL OUTER JOIN active a ON st.icao24 = a.icao24)
+      SELECT icao24, last_contact, velocity, vertical_rate, takeoff_at,
+             CASE WHEN last_contact <> 0 THEN last_contact
+                  ELSE flight_last_contact END AS flight_last_contact,
+             flight_trajectory,
+             CASE WHEN is_first_contact IS NULL THEN true
+                  WHEN is_first_contact = true THEN false
+                  ELSE is_first_contact END AS is_first_contact
+      FROM merged"""
+
+  /** Phase B (classify → landed → enrich) over any 8-col source CTE. */
+  private def completeOracleSql(sourceRef: String) =
+    s"""WITH meta AS (${Derived.metadataSql}),
+      classified AS (
+        SELECT *, $statusCaseSql AS flight_status FROM $sourceRef),
+      complete AS (
+        SELECT icao24, takeoff_at, last_contact FROM classified
+        WHERE flight_status = 'landing' AND takeoff_at <> 0)
+      SELECT c.icao24,
+             CAST(ceil((c.last_contact - c.takeoff_at) / 60.0) AS INTEGER) AS flight_duration_minutes,
+             to_timestamp(c.last_contact)::TIMESTAMP AS landed_at,
+             m.registration, m.model, m.manufacturer_icao, m.owner, m.operator,
+             strptime(m.built, '%Y-%m-%d') AS built
+      FROM complete c LEFT JOIN meta m ON c.icao24 = m.icao24"""
+
   val entries: Map[String, (Fn, Option[String])] = Map(
+
+    // The two-phase reference cycle fused: phase A state update feeding
+    // phase B completion split, one declarative plan end-to-end.
+    "ref_pipeline_e2e" -> ((
+      pipelineEndToEnd _,
+      Some(completeOracleSql(s"(${stateUpdateOracleSql})"))
+    )),
 
     // P3/P4 — dimension projection + rename (MetadataJob).
     "ref_metadata_project" -> ((
@@ -40,13 +119,9 @@ object RefQueries {
       Some(s"SELECT icao24, registration, model, manufacturer_icao, owner, operator, built FROM (${Derived.metadataSql})")
     )),
 
-    // F1 — inactivity eviction with a scalar-subquery horizon.
+    // F1 — inactivity eviction; horizon via broadcast scalar join.
     "ref_eviction" -> ((
-      (s: SparkSession, d: String) => {
-        val src = Derived.source(s, d)
-        ActiveFlightsJob.removeInactive(
-          ActiveFlightsJob.activeFlightsFromSource(src), horizon(src))
-      },
+      activeSurvivors _,
       Some(s"""WITH src AS (${Derived.sourceSql})
         SELECT icao24, takeoff_at, flight_last_contact, flight_trajectory, is_first_contact
         FROM src
@@ -56,30 +131,7 @@ object RefQueries {
     // J1 + C1–C4 — the full state-update plan.
     "ref_state_update" -> ((
       stateUpdate _,
-      Some(s"""WITH st AS (${Derived.statesSql}),
-        src AS (${Derived.sourceSql}),
-        active AS (
-          SELECT icao24, takeoff_at, flight_last_contact, flight_trajectory, is_first_contact
-          FROM src
-          WHERE flight_last_contact > (SELECT max(flight_last_contact) - $HorizonSeconds FROM src)),
-        merged AS (
-          SELECT COALESCE(st.icao24, a.icao24) AS icao24,
-                 CAST(COALESCE(st.last_contact, 0) AS INTEGER) AS last_contact,
-                 COALESCE(st.velocity, 0) AS velocity,
-                 COALESCE(st.vertical_rate, 0) AS vertical_rate,
-                 CAST(COALESCE(a.takeoff_at, 0) AS INTEGER) AS takeoff_at,
-                 CAST(COALESCE(a.flight_last_contact, 0) AS INTEGER) AS flight_last_contact,
-                 a.flight_trajectory AS flight_trajectory,
-                 a.is_first_contact AS is_first_contact
-          FROM st FULL OUTER JOIN active a ON st.icao24 = a.icao24)
-        SELECT icao24, last_contact, velocity, vertical_rate, takeoff_at,
-               CASE WHEN last_contact <> 0 THEN last_contact
-                    ELSE flight_last_contact END AS flight_last_contact,
-               flight_trajectory,
-               CASE WHEN is_first_contact IS NULL THEN true
-                    WHEN is_first_contact = true THEN false
-                    ELSE is_first_contact END AS is_first_contact
-        FROM merged""")
+      Some(stateUpdateOracleSql)
     )),
 
     // E1–E4 — classification + trajectory as pure expressions.
@@ -134,27 +186,7 @@ object RefQueries {
     // with the metadata dimension (flagship; also SparkEntry.entry).
     "ref_complete_flights" -> ((
       completeFlights _,
-      Some(s"""WITH src AS (${Derived.sourceSql}),
-        meta AS (${Derived.metadataSql}),
-        classified AS (
-          SELECT *,
-            CASE WHEN is_first_contact = true AND vertical_rate > 0 THEN 'takeoff'
-                 WHEN last_contact <> 0
-                      AND (vertical_rate = 0 OR vertical_rate IS NULL)
-                      AND ((flight_trajectory = 'descend' AND velocity < 10)
-                           OR velocity = 0 OR velocity IS NULL)
-                 THEN 'landing'
-                 ELSE 'other' END AS flight_status
-          FROM src),
-        complete AS (
-          SELECT icao24, takeoff_at, last_contact FROM classified
-          WHERE flight_status = 'landing' AND takeoff_at <> 0)
-        SELECT c.icao24,
-               CAST(ceil((c.last_contact - c.takeoff_at) / 60.0) AS INTEGER) AS flight_duration_minutes,
-               to_timestamp(c.last_contact)::TIMESTAMP AS landed_at,
-               m.registration, m.model, m.manufacturer_icao, m.owner, m.operator,
-               strptime(m.built, '%Y-%m-%d') AS built
-        FROM complete c LEFT JOIN meta m ON c.icao24 = m.icao24""")
+      Some(completeOracleSql(s"(${Derived.sourceSql})"))
     )),
   )
 }
