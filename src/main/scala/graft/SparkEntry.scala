@@ -8,7 +8,8 @@ object SparkEntry {
 
   private val registry: Seq[Map[String, (RefQueries.Fn, Option[String])]] =
     Seq(RefQueries.entries, AnalyticsQueries.entries,
-      TextQueries.entries, SimilarityQueries.entries)
+      TextQueries.entries, SimilarityQueries.entries,
+      MultimodalQueries.entries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,108 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column processing: media carried as opaque `binary`
+  * columns with typed metadata, decoded/feature-extracted inside
+  * `mapPartitions` so any heavyweight decoder is initialized once per
+  * partition (the Scala twin of a batched pandas UDF).
+  *
+  * The decoder itself is STUBBED — this container has no image/audio
+  * libraries — behind the [[MediaDecoder]] interface with a
+  * deterministic fake implementation. Everything around it (schema,
+  * partition batching, decoder lifecycle, feature plumbing, frame
+  * sampling) is the real production shape: swap [[StubDecoder]] for a
+  * JNI/javacv-backed decoder and nothing else changes.
+  */
+object MediaPipeline {
+
+  /** Input: one media object per row. `payload` is the raw bytes. */
+  final case class MediaFile(
+      media_id: Long, kind: String, payload: Array[Byte])
+
+  /** Decoded-image features (per media object). */
+  final case class ImageFeatures(
+      media_id: Long, width: Int, height: Int, channels: Int,
+      mean_byte: Double, byte_entropy_q: Long)
+
+  /** One sampled frame of a "video" payload. */
+  final case class FrameSample(
+      media_id: Long, frame_index: Int, offset: Long, frame_bytes: Int,
+      frame_checksum: Long)
+
+  /** Decoder SPI — one instance per partition, initialized lazily. */
+  trait MediaDecoder extends Serializable {
+    def decodeDims(payload: Array[Byte]): (Int, Int, Int)
+    def meanByte(payload: Array[Byte]): Double
+  }
+
+  /** Deterministic stand-in for a real image decoder (??? territory:
+    * a production build plugs e.g. TwelveMonkeys/javacv here). Derives
+    * "dimensions" from payload length and content so tests are stable.
+    */
+  final class StubDecoder extends MediaDecoder {
+    def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
+      val n = payload.length
+      (n % 64 + 1, (n / 64) % 64 + 1, 3)
+    }
+    def meanByte(payload: Array[Byte]): Double =
+      if (payload.isEmpty) 0.0
+      else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / payload.length
+  }
+
+  /** Decode + feature-extract, decoder initialized once per partition.
+    * Embarrassingly parallel: no shuffle, scales with input splits.
+    */
+  def extractImageFeatures(media: Dataset[MediaFile]): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val decoder = new StubDecoder // per-partition init (expensive IRL)
+      rows.map { m =>
+        val (w, h, c) = decoder.decodeDims(m.payload)
+        val mean = decoder.meanByte(m.payload)
+        ImageFeatures(m.media_id, w, h, c, mean,
+          math.round(mean / 16.0))
+      }
+    }
+  }
+
+  /** Sample every `stride`-th fixed-size frame from a "video" payload —
+    * one input row fans out to its sampled frames (flatMap shape).
+    */
+  def sampleFrames(
+      media: Dataset[MediaFile],
+      frameBytes: Int = 256,
+      stride: Int = 4): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val nFrames = m.payload.length / frameBytes
+      (0 until nFrames by stride).map { i =>
+        val off = i.toLong * frameBytes
+        val slice = m.payload.slice(off.toInt, off.toInt + frameBytes)
+        FrameSample(m.media_id, i, off, slice.length,
+          slice.foldLeft(0L)((a, b) => (a * 31 + (b & 0xff)) & 0xffffffffL))
+      }
+    }
+  }
+
+  /** Build a MediaFile dataset from the documents corpus (text bytes
+    * standing in for media payloads; kind alternates by id).
+    */
+  def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").as("media_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "video")
+          .otherwise("image").as("kind"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaFile]
+  }
+
+  /** Feature table as a DataFrame for the query/oracle surface. */
+  def imageFeaturesDf(spark: SparkSession, dir: String): DataFrame =
+    extractImageFeatures(fromDocuments(spark, dir)).toDF()
+
+  def frameSamplesDf(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(fromDocuments(spark, dir)).toDF()
+}

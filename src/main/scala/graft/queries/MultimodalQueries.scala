@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.multimodal.MediaPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Query/oracle surface for the multimodal pipeline. The corpus text
+  * is ASCII, so the DuckDB oracle can recompute byte statistics from
+  * codepoints; the frame-sampling oracle enumerates stride offsets
+  * from the payload length. (The per-frame checksum is typed-API-only,
+  * covered by MediaPipelineSpec — SQL can't fold bytes sequentially.)
+  */
+object MultimodalQueries {
+
+  import RefQueries.Fn
+
+  val entries: Map[String, (Fn, Option[String])] = Map(
+
+    // mapPartitions decode + feature extraction (stubbed decoder).
+    "m2_image_features" -> ((
+      (s: SparkSession, d: String) =>
+        MediaPipeline.imageFeaturesDf(s, d)
+          .withColumn("mean_byte", round(col("mean_byte"), 6)),
+      Some("""SELECT doc_id AS media_id,
+          octet_length(encode(text)) % 64 + 1 AS width,
+          (octet_length(encode(text)) // 64) % 64 + 1 AS height,
+          3 AS channels,
+          round(list_avg([ord(text[i]) for i in range(1, len(text) + 1)]), 6)
+            AS mean_byte,
+          round(list_avg([ord(text[i]) for i in range(1, len(text) + 1)]) / 16.0)
+            ::BIGINT AS byte_entropy_q
+        FROM documents""")
+    )),
+
+    // flatMap frame sampling: every 4th 256-byte frame of "video" rows.
+    "m3_frame_samples" -> ((
+      (s: SparkSession, d: String) =>
+        MediaPipeline.frameSamplesDf(s, d)
+          .select("media_id", "frame_index", "offset", "frame_bytes"),
+      Some("""SELECT doc_id AS media_id,
+          CAST(f AS INTEGER) AS frame_index,
+          f * 256 AS offset,
+          256 AS frame_bytes
+        FROM (SELECT doc_id, octet_length(encode(text)) AS n
+              FROM documents WHERE doc_id % 3 = 0),
+             unnest(range(0, n // 256, 4)) AS t(f)""")
+    )),
+  )
+}
