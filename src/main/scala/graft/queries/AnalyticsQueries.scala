@@ -332,6 +332,21 @@ object AnalyticsQueries {
         FROM events GROUP BY event_type""")
     )),
 
+    // Explicit grouping sets through the engine's SQL surface.
+    "q21_grouping_sets" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderstatus, o_orderpriority,
+            count(*) AS n, round(sum(o_totalprice), 2) AS total
+          FROM orders_v
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
+    )),
+
     // JSON extraction from the event payload.
     "q16_json_props" -> ((
       (s: SparkSession, d: String) =>

@@ -200,12 +200,10 @@ object TextQueries {
       (s: SparkSession, d: String) =>
         docs(s, d)
           .withColumn("w", split(col("text"), " "))
-          .withColumn("nuw", size(array_distinct(col("w"))).cast("long"))
-          .select(col("doc_id"), col("nuw"),
-            explode(expr(shinglesRawExpr)).as("s"))
-          .groupBy("doc_id")
-          .agg(countDistinct(col("s")).as("n_shingles"),
-            max("nuw").as("n_unique_words")),
+          .select(col("doc_id"),
+            size(expr(shinglesExpr)).cast("long").as("n_shingles"),
+            size(array_distinct(col("w"))).cast("long")
+              .as("n_unique_words")),
       Some(s"""SELECT doc_id, count(DISTINCT s) AS n_shingles,
           max(nuw) AS n_unique_words
         FROM (SELECT doc_id, len(list_distinct(w)) AS nuw,
