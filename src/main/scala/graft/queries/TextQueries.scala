@@ -247,7 +247,7 @@ object TextQueries {
           UNION ALL
           SELECT doc_id, 1 AS band,
                  md5(h2::VARCHAR || ',' || h3::VARCHAR) AS bh FROM sig)
-        SELECT DISTINCT a.band AS band, a.doc_id AS doc_a, b.doc_id AS doc_b
+        SELECT DISTINCT CAST(a.band AS BIGINT) AS band, a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
         WHERE a.doc_id < b.doc_id""")
     )),
@@ -309,7 +309,7 @@ object TextQueries {
         val powers = (0 until 16).scanLeft(1L)((acc, _) => acc * B % P).take(16)
         s"""SELECT doc_id,
              sum((${saltedHashSql(9, "tok")} % $P)
-                 * ([${powers.mkString(",")}])[pos % 16 + 1] % $P) % $P
+                 * ([${powers.mkString(",")}])[pos % 16 + 1] % $P)::BIGINT % $P
                AS fingerprint
            FROM (
              SELECT doc_id, unnest(string_split(text, ' ')) AS tok,

@@ -64,6 +64,23 @@ class StreamingFlightSessionSpec extends SparkSpecBase {
     assert(got.isEmpty)
   }
 
+  test("runs on the RocksDB state store (production backend for large state)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val got = runScenario("flights_rocks", Seq(
+        Seq(Observation("ee", t0, Some(80.0), Some(12.0))),
+        Seq(Observation("ee", t0 + 600, Some(0.0), Some(0.0)))))
+      assert(got == Seq(CompletedFlight("ee", 10,
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + 600)))))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming matches batch twin on a multi-aircraft scenario") {
     val got = runScenario("flights_multi", Seq(
       Seq(Observation("aa", t0, Some(80.0), Some(12.0)),
