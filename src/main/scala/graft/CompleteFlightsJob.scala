@@ -53,6 +53,17 @@ object CompleteFlightsJob {
       .join(broadcast(metadata), Seq("icao24"), "left")
       .withColumn("built", to_timestamp(col("built"), "yyyy-MM-dd"))
 
+  /** Typed view of the complete branch — compile-time field checking at
+    * the sink boundary (the reference's `Flights(TypedDict)` analog).
+    */
+  def completeAsDataset(
+      classified: DataFrame,
+      metadata: DataFrame): org.apache.spark.sql.Dataset[Flight] = {
+    val df = transformComplete(classified, metadata)
+    import df.sparkSession.implicits._
+    df.as[Flight]
+  }
+
   /** Full batch transform (reference: complete_flights/transformers.py:155-171). */
   def transform(source: DataFrame, metadata: DataFrame): TransformedFlights = {
     val classified = classify(source)

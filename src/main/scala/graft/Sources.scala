@@ -65,6 +65,16 @@ object Sources {
   def projectStates(states17: DataFrame): DataFrame =
     states17.select("icao24", "last_contact", "velocity", "vertical_rate")
 
+  /** S1 file twin: replay states snapshots from JSON lines with the
+    * declared 17-column schema; malformed rows fail fast like the
+    * reference's InvalidResponseError (reference:
+    * opensky/transformers.py:44-47).
+    */
+  def readStatesJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Schemas.states17)
+      .option("mode", "FAILFAST")
+      .json(path)
+
   /** S3: aircraft-database CSV scan (header, inferred types) —
     * the only inferred-schema read in the engine
     * (reference: opensky/client.py:37-41).

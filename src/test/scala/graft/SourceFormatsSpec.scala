@@ -35,8 +35,7 @@ class SourceFormatsSpec extends SparkSpecBase {
         |{"icao24":"65432a","last_contact":1712338131,"velocity":10.5,"vertical_rate":0.0,"on_ground":true}
         |""".stripMargin)
 
-    val states17 = spark.read.schema(Schemas.states17)
-      .json(dir.toString + "/states.json")
+    val states17 = Sources.readStatesJson(spark, dir.toString + "/states.json")
     assert(states17.schema == Schemas.states17)
     val projected = Sources.projectStates(states17)
     assertSameRows(projected, Seq(
@@ -44,6 +43,34 @@ class SourceFormatsSpec extends SparkSpecBase {
         java.lang.Double.valueOf(10.5), java.lang.Double.valueOf(0.0)),
       Row("a23456", java.lang.Long.valueOf(1712338130L),
         java.lang.Double.valueOf(240.52), java.lang.Double.valueOf(6.3))))
+  }
+
+  test("malformed states JSON fails fast") {
+    val dir = Files.createTempDirectory("graft-badjson")
+    Files.writeString(dir.resolve("states.json"),
+      """{"icao24":"a23456","last_contact":"not-a-number"}
+        |""".stripMargin)
+    intercept[org.apache.spark.SparkException] {
+      Sources.readStatesJson(spark, dir.toString + "/states.json").collect()
+    }
+  }
+
+  test("complete branch has a typed Dataset[Flight] view") {
+    val classified = df(
+      org.apache.spark.sql.types.StructType(Schemas.source.fields :+
+        org.apache.spark.sql.types.StructField("flight_status",
+          org.apache.spark.sql.types.StringType)),
+      Row("65432a", Integer.valueOf(1712338215), java.lang.Double.valueOf(9.11),
+        java.lang.Double.valueOf(0.0), Integer.valueOf(1712329013),
+        Integer.valueOf(1712338215), "descend", java.lang.Boolean.FALSE,
+        "landing"))
+    val metadata = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], Schemas.metadata)
+    val ds = CompleteFlightsJob.completeAsDataset(classified, metadata)
+    val flights: Seq[Flight] = ds.collect().toSeq
+    assert(flights == Seq(Flight("65432a", 154,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1712338215L)),
+      None, None, None, None, None, None)))
   }
 
   test("flights sink partitions by landing date for TTL partition drops") {
