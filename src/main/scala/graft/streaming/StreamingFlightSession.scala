@@ -127,4 +127,18 @@ object StreamingFlightSession {
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         updateFlight)
   }
+
+  /** Full streaming pipeline: session close events enriched with the
+    * static metadata dimension (stream–static broadcast left join —
+    * the streaming twin of phase B's J2).
+    */
+  def enrichedFlights(
+      spark: SparkSession,
+      observations: Dataset[Observation],
+      metadata: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    completedFlights(spark, observations).toDF()
+      .join(org.apache.spark.sql.functions.broadcast(metadata),
+        Seq("icao24"), "left")
+      .withColumn("built", org.apache.spark.sql.functions.to_timestamp(
+        org.apache.spark.sql.functions.col("built"), "yyyy-MM-dd"))
 }

@@ -64,6 +64,31 @@ class StreamingFlightSessionSpec extends SparkSpecBase {
     assert(got.isEmpty)
   }
 
+  test("stream-static metadata enrichment joins on the session close event") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val metadata = df(Schemas.metadata,
+      org.apache.spark.sql.Row("ff", "AB-CDE", "Boeing 737", "BOEING",
+        "Lease Co", "Demo Air", "2000-02-01"))
+    val input = MemoryStream[Observation]
+    val query = StreamingFlightSession
+      .enrichedFlights(spark, input.toDS(), metadata)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("flights_enriched")
+      .start()
+    try {
+      input.addData(Observation("ff", t0, Some(80.0), Some(12.0)))
+      input.addData(Observation("ff", t0 + 600, Some(0.0), Some(0.0)))
+      awaitProcessed(query, 2)
+    } finally query.stop()
+    val got = spark.table("flights_enriched")
+      .select("icao24", "flight_duration_minutes", "registration", "built")
+      .collect().toSeq
+    assert(got == Seq(org.apache.spark.sql.Row("ff", 10, "AB-CDE",
+      java.sql.Timestamp.valueOf("2000-02-01 00:00:00"))))
+  }
+
   test("runs on the RocksDB state store (production backend for large state)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
