@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the LATEST right row with
+  * `right.ts <= left.ts` on the same key — the standard
+  * enrich-with-most-recent-state operator (rates, quotes, config
+  * versions) that Spark has no built-in for.
+  *
+  * Composition instead of a custom physical operator: union both
+  * sides, one window pass per key ordered by (ts, side) carrying the
+  * last non-null right values forward, keep the left rows. Cost is ONE
+  * shuffle on the key + a per-partition sort — same asymptotics as a
+  * sort-merge join, no range-condition row explosion (a naive
+  * `l JOIN r ON key AND r.ts <= l.ts` + max() grows O(|l|·|r|) per
+  * key before aggregation, which dies at scale).
+  *
+  * At equal timestamps the right row is considered visible to the left
+  * row (inclusive <=, matching DuckDB/QuestDB ASOF semantics): right
+  * rows sort before left rows at the same instant.
+  */
+object AsOfJoin {
+
+  /** @param left      probe side; all columns preserved
+    * @param right     build side; must contain `key`, `ts`, and
+    *                  `valueCols`; its other columns are ignored
+    * @param key       equi-join key column name (both sides)
+    * @param ts        event-time column name (both sides)
+    * @param valueCols right columns to carry onto each left row
+    *                  (null when no right row precedes the left row)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    val leftCols = left.columns.toSeq
+    require(!valueCols.exists(leftCols.contains),
+      s"value columns ${valueCols.mkString(",")} collide with left columns")
+
+    val side = "__asof_is_left"
+    val l = left.withColumn(side, lit(true))
+    val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
+      .withColumn(side, lit(false))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+
+    // right (false) sorts before left (true) at equal ts → inclusive <=
+    val w = Window.partitionBy(key).orderBy(col(ts), col(side))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the right row travels as ONE struct so "latest row" stays atomic
+    // even when some of its value columns are null
+    val pack = "__asof_pack"
+    val carried = unioned
+      .withColumn(pack,
+        when(!col(side), struct(valueCols.map(col): _*)))
+      .withColumn(pack, last(col(pack), ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried) { (df, v) =>
+      df.withColumn(v, col(s"$pack.$v"))
+    }.filter(col(side)).drop(side, pack)
+  }
+}
