@@ -69,6 +69,46 @@ object SimilarityQueries {
         FROM ranked WHERE rank <= 5""")
     )),
 
+    // Same result as s1 through a different physical strategy: a typed
+    // bounded top-k Aggregator (groupByKey + partial top-k merge) —
+    // ships ≤k candidates per partition per group instead of window-
+    // sorting every pair. Oracle shared with s1.
+    "s4_topk_aggregated" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val q = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val c = emb(s, d)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        val scored = q.crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .select(col("q_id"),
+            col("n_id").as("id"), cosineExpr.as("score"))
+        scored.as[(Long, Long, Double)]
+          .groupByKey(_._1)
+          .mapValues(t => graft.functions.Scored(t._2, t._3))
+          .agg(graft.functions.TopKAggregator.topK(5).name("top"))
+          .toDF("q_id", "top")
+          .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "s")))
+          .select(col("q_id"), col("s.id").as("n_id"),
+            (col("pos") + 1).cast("long").as("rank"),
+            round(col("s.score"), 6).as("sim_r"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+          sims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id),
+          ranked AS (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank
+            FROM sims)
+        SELECT q_id, n_id, rank, round(sim, 6) AS sim_r
+        FROM ranked WHERE rank <= 5""")
+    )),
+
     // Embedding-cosine near-duplicate pairs, bucketed by label so the
     // pair generation is an equi-join (n²/k), not a full cross join.
     "s3_neardup_pairs" -> ((
