@@ -99,6 +99,41 @@ object TextQueries {
 
   private val SimhashBits = 16
 
+  /** LSH candidate pairs (Spark side), shared by d4 and the d7
+    * verification stage.
+    */
+  def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+    // The signature pipeline (explode + groupBy) feeds BOTH sides of
+    // the self-join — materialize it once instead of paying the
+    // shingle explosion twice. At cluster scale this would be a
+    // checkpoint / exchange reuse; in-memory cache is the local twin.
+    val sig = minhashSignatures(s, d).persist()
+      .withColumn("bands", array(
+        struct(lit(0).as("band"),
+          md5(concat_ws(",", col("h0"), col("h1"))).as("bh")),
+        struct(lit(1).as("band"),
+          md5(concat_ws(",", col("h2"), col("h3"))).as("bh"))))
+      .select(col("doc_id"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    sig.as("a").join(sig.as("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("band").cast("long").as("band"),
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val lshPairsSql =
+    s"""WITH sig AS ($minhashSql),
+      bands AS (
+        SELECT doc_id, 0 AS band,
+               md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bh FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band,
+               md5(h2::VARCHAR || ',' || h3::VARCHAR) AS bh FROM sig)
+      SELECT DISTINCT CAST(a.band AS BIGINT) AS band, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id < b.doc_id"""
+
   val entries: Map[String, (Fn, Option[String])] = Map(
 
     // Token counting: whitespace tokens + BPE-ish alnum-run tokens.
@@ -221,35 +256,58 @@ object TextQueries {
     // LSH: band the signature (2 bands × 2 hashes), bucket-join to get
     // candidate near-dup pairs without an O(n²) cross join.
     "d4_lsh_candidate_pairs" -> ((
+      lshCandidatePairs _,
+      Some(lshPairsSql)
+    )),
+
+    // MinHash→LSH→verify: exact shingle-set Jaccard for the candidate
+    // pairs only — the verification stage that makes approximate dedup
+    // trustworthy while staying O(candidates), not O(n²).
+    "d7_lsh_verified_jaccard" -> ((
       (s: SparkSession, d: String) => {
-        // The signature pipeline (explode + groupBy) feeds BOTH sides
-        // of the self-join — materialize it once instead of paying the
-        // shingle explosion twice. At cluster scale this would be a
-        // checkpoint / exchange reuse; in-memory cache is the local twin.
-        val sig = minhashSignatures(s, d).persist()
-          .withColumn("bands", array(
-            struct(lit(0).as("band"),
-              md5(concat_ws(",", col("h0"), col("h1"))).as("bh")),
-            struct(lit(1).as("band"),
-              md5(concat_ws(",", col("h2"), col("h3"))).as("bh"))))
-          .select(col("doc_id"), explode(col("bands")).as("b"))
-          .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
-        sig.as("a").join(sig.as("b"), Seq("band", "bh"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .select(col("band").cast("long").as("band"),
-            col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+        val pairs = lshCandidatePairs(s, d)
+          .select("doc_a", "doc_b").distinct()
+        val sh = docs(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val inter = pairs
+          .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+          .join(sh.as("sb"),
+            col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
+        pairs
+          .join(inter, Seq("doc_a", "doc_b"), "left")
+          .na.fill(0, Seq("n_inter"))
+          .join(sizes.withColumnRenamed("doc_id", "doc_a")
+            .withColumnRenamed("n", "n_a"), Seq("doc_a"))
+          .join(sizes.withColumnRenamed("doc_id", "doc_b")
+            .withColumnRenamed("n", "n_b"), Seq("doc_b"))
+          .select(col("doc_a"), col("doc_b"), col("n_inter"),
+            col("n_a"), col("n_b"),
+            round(col("n_inter") /
+              (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
       },
-      Some(s"""WITH sig AS ($minhashSql),
-        bands AS (
-          SELECT doc_id, 0 AS band,
-                 md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bh FROM sig
-          UNION ALL
-          SELECT doc_id, 1 AS band,
-                 md5(h2::VARCHAR || ',' || h3::VARCHAR) AS bh FROM sig)
-        SELECT DISTINCT CAST(a.band AS BIGINT) AS band, a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
-        WHERE a.doc_id < b.doc_id""")
+      Some(s"""WITH pairs AS (
+          SELECT DISTINCT doc_a, doc_b FROM ($lshPairsSql)),
+        sh AS (
+          SELECT doc_id, unnest($shinglesSql) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+          FROM pairs p
+          JOIN sh sa ON p.doc_a = sa.doc_id
+          JOIN sh sb ON p.doc_b = sb.doc_id AND sa.s = sb.s
+          GROUP BY p.doc_a, p.doc_b)
+        SELECT p.doc_b, p.doc_a, COALESCE(i.n_inter, 0) AS n_inter,
+               a.n AS n_a, b.n AS n_b,
+               round(COALESCE(i.n_inter, 0)
+                 / (a.n + b.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+        FROM pairs p
+        LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+        JOIN sizes a ON p.doc_a = a.doc_id
+        JOIN sizes b ON p.doc_b = b.doc_id""")
     )),
 
     // SimHash: 16-bit sign-aggregated fingerprint over word hashes.
