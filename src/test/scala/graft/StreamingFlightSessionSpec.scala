@@ -64,6 +64,35 @@ class StreamingFlightSessionSpec extends SparkSpecBase {
     assert(got.isEmpty)
   }
 
+  test("foreachBatch persists enriched flights to the partitioned sink") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink")
+    val sink = s"$dir/flights"
+    val metadata = df(Schemas.metadata,
+      org.apache.spark.sql.Row("gg", "AB-CDE", "Boeing 737", "BOEING",
+        "Lease Co", "Demo Air", "2000-02-01"))
+    val input = MemoryStream[Observation]
+    val query = StreamingFlightSession
+      .enrichedFlights(spark, input.toDS(), metadata)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) Sources.writeFlights(batch, sink)
+      }
+      .option("checkpointLocation", s"$dir/checkpoint")
+      .start()
+    try {
+      input.addData(Observation("gg", t0, Some(80.0), Some(12.0)))
+      input.addData(Observation("gg", t0 + 600, Some(0.0), Some(0.0)))
+      awaitProcessed(query, 2)
+    } finally query.stop()
+    val persisted = spark.read.parquet(sink)
+    assert(persisted.select("icao24", "registration", "landed_date")
+      .collect().toSeq == Seq(org.apache.spark.sql.Row("gg", "AB-CDE",
+        java.sql.Date.valueOf("2024-04-05"))))
+  }
+
   test("stream-static metadata enrichment joins on the session close event") {
     val session = spark
     import session.implicits._
