@@ -377,6 +377,45 @@ object AnalyticsQueries {
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
     )),
 
+    // Pivot: event counts per user spread across type columns.
+    "q23_pivot_event_types" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d)
+          .groupBy("user_id")
+          .pivot("event_type",
+            Seq("click", "view", "purchase", "signup", "error"))
+          .agg(count(lit(1)))
+          .na.fill(0),
+      Some("""SELECT user_id,
+          count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+          count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+          count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+          count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+          count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        FROM events GROUP BY user_id""")
+    )),
+
+    // Range-frame window: per-user trailing-hour event-value sum,
+    // framed by VALUE RANGE over epoch seconds (not row counts).
+    "q24_trailing_hour_sum" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts_sec"))
+          .rangeBetween(-3599, Window.currentRow)
+        Derived.events(s, d)
+          .withColumn("ts_sec", unix_timestamp(col("ts")))
+          .withColumn("trailing_hour_sum", round(sum("value").over(w), 2))
+          .select("event_id", "user_id", "ts_sec", "trailing_hour_sum")
+      },
+      Some("""SELECT event_id, user_id, ts_sec,
+          round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_sec
+            RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2)
+            AS trailing_hour_sum
+        FROM (SELECT event_id, user_id,
+                CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+              FROM events)""")
+    )),
+
     // JSON extraction from the event payload.
     "q16_json_props" -> ((
       (s: SparkSession, d: String) =>
