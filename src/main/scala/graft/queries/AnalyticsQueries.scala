@@ -377,6 +377,23 @@ object AnalyticsQueries {
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
     )),
 
+    // Correlated scalar subquery (Catalyst decorrelates it into a
+    // left outer aggregate join).
+    "q25_correlated_subquery" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "customer").createOrReplaceTempView("customer_v")
+        t(s, d, "orders").createOrReplaceTempView("orders_v2")
+        s.sql("""SELECT c_custkey, c_name,
+            (SELECT round(max(o_totalprice), 2) FROM orders_v2
+             WHERE o_custkey = c_custkey) AS max_order
+          FROM customer_v""")
+      },
+      Some("""SELECT c_custkey, c_name,
+          (SELECT round(max(o_totalprice), 2) FROM orders
+           WHERE o_custkey = c_custkey) AS max_order
+        FROM customer""")
+    )),
+
     // Pivot: event counts per user spread across type columns.
     "q23_pivot_event_types" -> ((
       (s: SparkSession, d: String) =>

@@ -267,9 +267,12 @@ object TextQueries {
       (s: SparkSession, d: String) => {
         val pairs = lshCandidatePairs(s, d)
           .select("doc_a", "doc_b").distinct()
+        // both sides of the intersection join and the size aggregate
+        // read the exploded shingles — materialize once
         val sh = docs(s, d)
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+          .persist()
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = pairs
           .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
