@@ -268,6 +268,16 @@ object AnalyticsQueries {
       None
     )),
 
+    // Sketch-based quantiles (KLL-style) — rows-only like q15.
+    "q26_approx_percentiles" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d)
+          .groupBy("event_type")
+          .agg(percentile_approx(col("value"), lit(0.5), lit(1000))
+            .as("p50_approx")),
+      None
+    )),
+
     // Full cube over two dimensions.
     "q17_cube_status_priority" -> ((
       (s: SparkSession, d: String) =>

@@ -30,6 +30,27 @@ class RetentionJobSpec extends SparkSpecBase {
       == Seq("new222"))
   }
 
+  test("landed_date filters prune partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    val sink = s"$dir/flights"
+    Sources.writeFlights(df(Schemas.flights,
+      flight("aaa111", 1712338215L), flight("bbb222", 1743874215L)), sink)
+    val all = spark.read.parquet(sink)
+    val filtered = all
+      .filter(org.apache.spark.sql.functions.col("landed_date")
+        === "2024-04-05")
+    filtered.collect()
+    // the executed scan reads strictly fewer files than the table has
+    // (inputFiles reflects the pre-pruning index, so probe the metric)
+    val scanned = filtered.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.get
+    assert(scanned > 0 && scanned < all.inputFiles.length,
+      s"scanned $scanned of ${all.inputFiles.length} files")
+  }
+
   test("no-op on a missing sink and on all-fresh data") {
     assert(RetentionJob.dropExpired(
       spark, "/tmp/graft-no-such-sink", LocalDate.now()).isEmpty)
