@@ -64,6 +64,51 @@ class StreamingFlightSessionSpec extends SparkSpecBase {
     assert(got.isEmpty)
   }
 
+  test("state survives a query restart from the checkpoint") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-restart")
+    val checkpoint = s"$dir/checkpoint"
+    val sink = s"$dir/out"
+    val input = MemoryStream[Observation]
+
+    // the memory sink cannot recover from a checkpoint — foreachBatch
+    // into parquet is the restart-capable shape
+    def start() = StreamingFlightSession
+      .completedFlights(spark, input.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[CompletedFlight],
+          _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+    // leg 1: takeoff observed, then the query goes down
+    val q1 = start()
+    try {
+      input.addData(Observation("hh", t0, Some(80.0), Some(12.0)))
+      awaitProcessed(q1, 1)
+    } finally q1.stop()
+
+    // leg 2: restart from the checkpoint — the keyed state (stamped
+    // takeoff) must still be there for the landing to close the session
+    val q2 = start()
+    try {
+      input.addData(Observation("hh", t0 + 600, Some(0.0), Some(0.0)))
+      val deadline = System.currentTimeMillis + 60000
+      def emitted() = scala.util.Try(
+        spark.read.parquet(sink).count() >= 1).getOrElse(false)
+      while (!emitted() && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+    } finally q2.stop()
+
+    val got = spark.read.parquet(sink).as[CompletedFlight].collect()
+    assert(got.toSeq == Seq(CompletedFlight("hh", 10,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + 600)))))
+  }
+
   test("foreachBatch persists enriched flights to the partitioned sink") {
     val session = spark
     import session.implicits._
