@@ -387,6 +387,23 @@ object AnalyticsQueries {
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
     )),
 
+    // Unpivot (melt): wide metric columns to long (metric, value) rows.
+    "q27_unpivot_lineitem" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "lineitem")
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+            "metric", "value"),
+      Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+            l_quantity AS value FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+          FROM lineitem
+          UNION ALL
+          SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""")
+    )),
+
     // Correlated scalar subquery (Catalyst decorrelates it into a
     // left outer aggregate join).
     "q25_correlated_subquery" -> ((

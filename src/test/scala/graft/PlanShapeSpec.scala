@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Plan-shape regression guards: the properties that make these plans
+  * scale must not silently disappear in a refactor — filters reaching
+  * the parquet scan, dimension joins broadcasting, rank-limit pushdown,
+  * and no accidental cartesian products outside the brute-force
+  * similarity baselines.
+  */
+class PlanShapeSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def finalPlan(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case other => other
+  }
+
+  private def planOf(name: String) = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan
+  }
+
+  test("q1 pushes the ship-date filter into the parquet scan") {
+    val s = planOf("q1_pricing_summary").toString
+    assert(s.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"),
+      s"missing pushdown in:\n$s")
+    assert(!s.contains("l_comment"), "scan should prune unused columns")
+  }
+
+  test("metadata enrichment joins stay broadcast") {
+    val plan = finalPlan(planOf("ref_complete_flights"))
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"expected BroadcastHashJoin in:\n$plan")
+  }
+
+  test("ranking windows keep the group-limit pushdown") {
+    val s = planOf("q4_top_orders_per_customer").toString
+    assert(s.contains("WindowGroupLimit"), s"missing WindowGroupLimit in:\n$s")
+  }
+
+  test("no cartesian products outside the brute-force similarity baselines") {
+    val allowed = Set("s1_cosine_topk", "s4_topk_aggregated")
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowed)
+      .foreach { name =>
+        val plan = finalPlan(planOf(name))
+        val cartesian = plan.collect { case c: CartesianProductExec => c }
+        assert(cartesian.isEmpty, s"unexpected cartesian product in $name")
+      }
+  }
+}
