@@ -86,6 +86,29 @@ object MediaPipeline {
     }
   }
 
+  /** A "resized" media object: payload subsampled by `stride`. */
+  final case class ResizedMedia(
+      media_id: Long, n_bytes: Int, fp8: String)
+
+  /** Resize stub: deterministic byte subsampling (every `stride`-th
+    * byte) standing in for a real scaler; byte accounting and the
+    * content fingerprint are real.
+    */
+  def resize(media: Dataset[MediaFile], stride: Int = 4): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { m =>
+        val sub = m.payload.indices.collect {
+          case i if i % stride == 0 => m.payload(i)
+        }.toArray
+        md.reset()
+        val fp = md.digest(sub).map("%02x".format(_)).mkString.take(8)
+        ResizedMedia(m.media_id, sub.length, fp)
+      }
+    }
+  }
+
   /** Build a MediaFile dataset from the documents corpus (text bytes
     * standing in for media payloads; kind alternates by id).
     */
@@ -105,4 +128,7 @@ object MediaPipeline {
 
   def frameSamplesDf(spark: SparkSession, dir: String): DataFrame =
     sampleFrames(fromDocuments(spark, dir)).toDF()
+
+  def resizedDf(spark: SparkSession, dir: String): DataFrame =
+    resize(fromDocuments(spark, dir)).toDF()
 }

@@ -32,6 +32,20 @@ object MultimodalQueries {
         FROM documents""")
     )),
 
+    // Resize stub: every-4th-byte subsampling with byte accounting and
+    // content fingerprint (corpus is ASCII → DuckDB recomputes the
+    // subsample from characters).
+    "m4_resized_features" -> ((
+      (s: SparkSession, d: String) => MediaPipeline.resizedDf(s, d),
+      Some("""SELECT doc_id AS media_id,
+          CAST(len([text[i] for i in range(1, len(text) + 1)
+                    if (i - 1) % 4 = 0]) AS INTEGER) AS n_bytes,
+          substr(md5(array_to_string(
+            [text[i] for i in range(1, len(text) + 1)
+             if (i - 1) % 4 = 0], '')), 1, 8) AS fp8
+        FROM documents""")
+    )),
+
     // flatMap frame sampling: every 4th 256-byte frame of "video" rows.
     "m3_frame_samples" -> ((
       (s: SparkSession, d: String) =>

@@ -44,6 +44,18 @@ class MediaPipelineSpec extends SparkSpecBase {
     assert(got.map(_.frame_checksum).distinct.size == 3)
   }
 
+  test("resize subsamples every 4th byte and fingerprints the result") {
+    val session = spark
+    import session.implicits._
+    val payload = "abcdefghij".getBytes("UTF-8")
+    val ds = spark.createDataset(Seq(media(3L, "image", payload)))
+    val got = MediaPipeline.resize(ds).collect().toSeq
+    val expected = "aei".getBytes("UTF-8") // indices 0, 4, 8
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fp = md.digest(expected).map("%02x".format(_)).mkString.take(8)
+    assert(got == Seq(MediaPipeline.ResizedMedia(3L, 3, fp)))
+  }
+
   test("empty payload does not divide by zero") {
     val session = spark
     import session.implicits._
