@@ -228,7 +228,10 @@ object AnalyticsQueries {
             max("ts").as("session_end"))
       },
       Some("""WITH e AS (
-          SELECT user_id, event_id, ts,
+          -- CAST to micros: the events parquet is TIMESTAMP(NANOS); Spark's
+          -- side floors to micros, so the oracle must too (newer DuckDB
+          -- otherwise keeps TIMESTAMP_NS in min/max outputs).
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
           FROM events),
         m AS (
