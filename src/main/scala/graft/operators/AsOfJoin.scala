@@ -62,4 +62,58 @@ object AsOfJoin {
       df.withColumn(v, col(s"$pack.$v"))
     }.filter(col(side)).drop(side, pack)
   }
+
+  /** Same semantics as [[asofJoin]], through the engine's native
+    * whole-operator path: [[graft.plans.AsOfJoinNode]] →
+    * [[graft.plans.AsOfJoinStrategy]] → [[graft.plans.AsOfJoinExec]]
+    * (one hash shuffle per side — elided when a side is already
+    * partitioned on the key — then a single streaming merge pass per
+    * partition). Registers the strategy on the session idempotently,
+    * so it works on any SparkSession without build-time extensions.
+    */
+  def asofJoinNative(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      ts: String,
+      valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graft.bridge
+
+    require(valueCols.nonEmpty, "asofJoinNative needs at least one value column")
+    require(!valueCols.exists(left.columns.contains),
+      s"value columns ${valueCols.mkString(",")} collide with left columns")
+    val spark = left.sparkSession
+    bridge.addStrategy(spark, graft.plans.AsOfJoinStrategy)
+
+    val lPlan = bridge.analyzed(left)
+    // Self-join safety: if the two sides share attribute exprIds (both
+    // derived from one scan), re-alias the right side so every
+    // reference in the node is unambiguous.
+    val rPlan0 = bridge.analyzed(right)
+    val rPlan =
+      if (rPlan0.outputSet.intersect(lPlan.outputSet).isEmpty) rPlan0
+      else Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not found in ${plan.output.map(_.name).mkString(",")}"))
+
+    val lKey = attr(lPlan, key)
+    val rKey = attr(rPlan, key)
+    require(lKey.dataType == rKey.dataType,
+      s"as-of key types differ: ${lKey.dataType} vs ${rKey.dataType}")
+    val lTs = attr(lPlan, ts)
+    val rTs = attr(rPlan, ts)
+    require(lTs.dataType == rTs.dataType,
+      s"as-of ts types differ: ${lTs.dataType} vs ${rTs.dataType}")
+    val rVals = valueCols.map(attr(rPlan, _))
+    val valueAttrs = rVals.map(a =>
+      AttributeReference(a.name, a.dataType, nullable = true)())
+    bridge.ofRows(spark, graft.plans.AsOfJoinNode(
+      lPlan, rPlan, lKey, rKey, lTs, rTs, rVals, valueAttrs))
+  }
 }

@@ -1,0 +1,177 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, AttributeSet, Expression, GenericInternalRow,
+  JoinedRow, NamedExpression, RowOrdering, SortOrder, UnsafeProjection,
+  UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
+
+/** Whole-operator Catalyst extension for the as-of join: a logical
+  * node, a planner strategy, and a physical merge-scan operator.
+  *
+  * The physical plan declares `ClusteredDistribution` on each side's
+  * key and `(key, ts)` ascending child ordering, so EnsureRequirements
+  * plans exactly one hash shuffle per side (skipped entirely when a
+  * side is already partitioned on the key — e.g. a bucketed table or
+  * an upstream aggregation on the same key) followed by in-partition
+  * sorts. Each partition pair is then merged in one streaming pass:
+  * for every left row, the latest right row with the same key and
+  * `right.ts <= left.ts` is attached — O(|L|+|R|) per partition with
+  * O(1) state (one buffered right row), versus the union+window
+  * composition in [[graft.operators.AsOfJoin]] which must co-shuffle
+  * both sides into ONE sort and carry a packed struct through a
+  * window. At 100 TB the native operator also preserves the left
+  * side's hash partitioning for downstream same-key operators.
+  *
+  * Inclusive `<=` at equal timestamps (DuckDB/QuestDB ASOF
+  * semantics); NULL keys and NULL timestamps never match (SQL
+  * comparison semantics), on either side.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    rightValues: Seq[NamedExpression],
+    valueAttrs: Seq[Attribute]) extends BinaryNode {
+
+  override def output: Seq[Attribute] = left.output ++ valueAttrs
+
+  override def producedAttributes: AttributeSet = AttributeSet(valueAttrs)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinNode]] into [[AsOfJoinExec]]. Register per-session
+  * via `bridge.addStrategy` (done lazily by the public API) or
+  * globally via `spark.sql.extensions=graft.GraftExtensions`.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, rv, va) =>
+      AsOfJoinExec(lk, rk, lt, rt, rv, va, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTs: Expression,
+    rightTs: Expression,
+    rightValues: Seq[NamedExpression],
+    valueAttrs: Seq[Attribute],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ valueAttrs
+
+  override def producedAttributes: AttributeSet = AttributeSet(valueAttrs)
+
+  override lazy val metrics = Map(
+    "numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  // One ClusteredDistribution per side: EnsureRequirements co-partitions
+  // them (same partition count, value-based hash → equal keys land in
+  // the same partition index), exactly as for a sort-merge join.
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  // The merge pass neither moves nor reorders left rows.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val vLen = valueAttrs.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(leftKey), left.output)
+      val rKeyProj = UnsafeProjection.create(Seq(rightKey), right.output)
+      val lTsProj = UnsafeProjection.create(Seq(leftTs), left.output)
+      val rTsProj = UnsafeProjection.create(Seq(rightTs), right.output)
+      val rValProj = UnsafeProjection.create(rightValues, right.output)
+      val resultProj = UnsafeProjection.create(output, output)
+      val keyOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(leftKey.dataType))
+      val tsOrd =
+        RowOrdering.createNaturalAscendingOrdering(Seq(leftTs.dataType))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(vLen)
+
+      // Latest right row consumed for its key (copied: iterator rows
+      // and projection buffers are reused).
+      var matchKey: UnsafeRow = null
+      var matchVals: UnsafeRow = null
+      // Buffered (not yet consumed) right row; null-key / null-ts right
+      // rows are dropped on read — they can never match.
+      var rHead: InternalRow = null
+      var rHeadKey: UnsafeRow = null
+      var rHeadTs: UnsafeRow = null
+      def advanceRight(): Unit = {
+        rHead = null
+        while (rHead == null && rIter.hasNext) {
+          val r = rIter.next()
+          val k = rKeyProj(r)
+          if (!k.isNullAt(0)) {
+            val t = rTsProj(r)
+            if (!t.isNullAt(0)) { rHead = r; rHeadKey = k; rHeadTs = t }
+          }
+        }
+      }
+      advanceRight()
+
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val lKeyNull = lk.isNullAt(0)
+        val lt = lTsProj(l)
+        if (!lKeyNull && !lt.isNullAt(0)) {
+          // Consume right rows visible to this left row. Left rows
+          // arrive key/ts-ascending, so right rows behind the current
+          // left key are stale and right rows at the key with
+          // ts <= left.ts monotonically improve the match.
+          var continue = rHead != null
+          while (continue) {
+            val c = keyOrd.compare(rHeadKey, lk)
+            if (c < 0) {
+              advanceRight()
+            } else if (c == 0 && tsOrd.compare(rHeadTs, lt) <= 0) {
+              matchVals = rValProj(rHead).copy()
+              matchKey = rHeadKey.copy()
+              advanceRight()
+            } else {
+              continue = false
+            }
+            if (rHead == null) continue = false
+          }
+        }
+        val rightSide =
+          if (!lKeyNull && matchKey != null &&
+            keyOrd.compare(matchKey, lk) == 0) matchVals
+          else nullRight
+        numOutputRows += 1
+        resultProj(joined(l, rightSide))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}

@@ -375,6 +375,36 @@ object AnalyticsQueries {
           ON p.user_id = s.user_id AND s.ts <= p.ts""")
     )),
 
+    // Same as-of semantics through the native whole-operator path:
+    // AsOfJoinNode logical plan → AsOfJoinStrategy → AsOfJoinExec
+    // (one shuffle per side + in-partition merge scan, no union/window
+    // machinery). Shares q22's independent DuckDB ASOF oracle.
+    "q28_asof_native" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = Derived.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"),
+            col("value").as("signup_value"),
+            unix_micros(col("ts")).as("signup_us"))
+        graft.operators.AsOfJoin
+          .asofJoinNative(purchases, signups, "user_id", "ts",
+            Seq("signup_value", "signup_us"))
+          .select("event_id", "user_id", "value", "signup_value",
+            "signup_us")
+      },
+      Some("""SELECT p.event_id, p.user_id, p.value,
+          s.signup_value, s.signup_us
+        FROM (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value AS signup_value,
+                     epoch_us(ts) AS signup_us
+              FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND s.ts <= p.ts""")
+    )),
+
     // Explicit grouping sets through the engine's SQL surface.
     "q21_grouping_sets" -> ((
       (s: SparkSession, d: String) => {

@@ -23,4 +23,36 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Analyzed logical plan of a DataFrame (`queryExecution` lives on
+    * the classic Dataset, not the sql-api facade).
+    */
+  def analyzed(df: org.apache.spark.sql.Dataset[_])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
+  /** Wrap a hand-built logical plan back into a DataFrame
+    * (`Dataset.ofRows` is `private[sql]`).
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Idempotently add a planner strategy to a live session (the
+    * public `ExperimentalMethods` hook — works on any session, unlike
+    * `spark.sql.extensions` which must be set at session build time).
+    */
+  def addStrategy(
+      spark: org.apache.spark.sql.SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy)) {
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ strategy
+    }
+  }
 }
