@@ -136,6 +136,35 @@ object SimilarityQueries {
         FROM sims WHERE sim > 0.35""")
     )),
 
+    // Real IVF ANN: k-means centroids (deterministic Lloyd iterations
+    // on an id-ordered sample), codegen'd corpus-wide cell assignment,
+    // nprobe-cell probe → broadcast equi-join on cell. Approximate by
+    // construction (no SQL oracle; IvfIndexSpec pins determinism and
+    // recall vs the exact brute force).
+    "s5_ivf_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val model = graft.operators.IvfIndex.train(
+          emb(s, d), "vec_id", "embedding", k = 8, iters = 3)
+        val index = graft.operators.IvfIndex.assign(
+          emb(s, d).select(col("vec_id").as("n_id"),
+            col("embedding").as("nv")), "nv", model)
+        val queries = graft.operators.IvfIndex.probe(
+          emb(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+          "qv", model, nprobe = 2)
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        broadcast(queries).join(index, col("probe_cell") === col("cell"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("q_id"), col("n_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+      },
+      None
+    )),
+
     // Bucketed ANN: search only the query's coarse cell (label) —
     // the IVF-style equi-join scale path.
     "s2_bucketed_ann" -> ((
