@@ -405,6 +405,28 @@ object AnalyticsQueries {
           ON p.user_id = s.user_id AND s.ts <= p.ts""")
     )),
 
+    // Skew-salted shuffle join: lineitem's hot order keys are spread
+    // over 8 salt buckets, orders is replicated 8×, and the join runs
+    // on (key, salt) — identical results to the plain join (this
+    // oracle), with the largest reducer shrunk ~8×. SaltedJoinSpec
+    // proves the balance effect on a synthetically skewed key.
+    "q29_salted_join" -> ((
+      (s: SparkSession, d: String) => {
+        val joined = graft.operators.SaltedJoin.inner(
+          t(s, d, "lineitem"), t(s, d, "orders"),
+          "l_orderkey", "o_orderkey",
+          saltFrom = Seq("l_linenumber"), buckets = 8)
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+              .as("revenue"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+          round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""")
+    )),
+
     // Explicit grouping sets through the engine's SQL surface.
     "q21_grouping_sets" -> ((
       (s: SparkSession, d: String) => {
