@@ -427,6 +427,32 @@ object AnalyticsQueries {
         GROUP BY o_orderpriority""")
     )),
 
+    // Binned range join: event values against overlapping value bands
+    // (stride 7, width 10 → most values match 2 bands). The bin trick
+    // turns the BETWEEN theta join (nested-loop, O(|P|·|I|)) into a
+    // hash equi-join on bin id + exact re-check; the plain BETWEEN
+    // join is the independent oracle.
+    "q31_range_join" -> ((
+      (s: SparkSession, d: String) => {
+        val bands = s.range(14).select(
+          col("id").as("band_id"),
+          (col("id") * 7.0).as("lo"),
+          (col("id") * 7.0 + 10.0).as("hi"))
+        graft.operators.RangeJoin
+          .pointInInterval(
+            Derived.events(s, d).select("event_id", "value"),
+            bands, "value", "lo", "hi", binWidth = 10.0)
+          .groupBy("band_id")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v_sum"))
+      },
+      Some("""SELECT band_id, count(*) AS n, round(sum(value), 2) AS v_sum
+        FROM events
+        JOIN (SELECT i AS band_id, i * 7.0 AS lo, i * 7.0 + 10.0 AS hi
+              FROM range(14) t(i)) bands
+          ON value >= lo AND value <= hi
+        GROUP BY band_id""")
+    )),
+
     // Explicit grouping sets through the engine's SQL surface.
     "q21_grouping_sets" -> ((
       (s: SparkSession, d: String) => {

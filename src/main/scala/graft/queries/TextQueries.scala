@@ -215,6 +215,52 @@ object TextQueries {
           FROM documents)""")
     )),
 
+    // Deterministic train/val/test split: each doc lands in a split by
+    // its portable md5 bucket — reproducible across runs, engines, and
+    // cluster sizes (unlike rand()-based sampling), and a narrow map at
+    // any scale. 80/10/10 on bucket = hash % 100.
+    "t4_hash_split" -> ((
+      (s: SparkSession, d: String) => {
+        val bucket = pmod(saltedHash(0, col("doc_id").cast("string")), lit(100L))
+        docs(s, d)
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_chars").as("total_chars"),
+            round(avg("n_chars"), 4).as("avg_chars"))
+      },
+      Some(s"""SELECT split, count(*) AS n_docs,
+          sum(n_chars) AS total_chars, round(avg(n_chars), 4) AS avg_chars
+        FROM (SELECT n_chars,
+            CASE WHEN ${saltedHashSql(0, "doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+                 WHEN ${saltedHashSql(0, "doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+        GROUP BY split""")
+    )),
+
+    // Corpus vocabulary: global top-50 tokens — explode + count + top-k,
+    // the canonical heavy text aggregation (map-side partial counts,
+    // one shuffle on token, bounded TakeOrdered at the end).
+    "t5_top_tokens" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy("token")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("token"))
+          .limit(50),
+      Some("""SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 50""")
+    )),
+
     // Exact dedup: hash-group on normalized text, keep the canonical id.
     "d1_dedup_exact" -> ((
       (s: SparkSession, d: String) =>
