@@ -261,6 +261,51 @@ object TextQueries {
         LIMIT 50""")
     )),
 
+    // End-to-end corpus curation: quality gate → exact dedup (keep
+    // canonical) → deterministic split → per-split stats. The chain a
+    // training-data pipeline actually runs, as ONE declarative plan —
+    // Catalyst fuses the narrow stages; the only shuffles are the
+    // dedup group-by, the canonical join, and the final split rollup.
+    "p1_corpus_pipeline" -> ((
+      (s: SparkSession, d: String) => {
+        val base = docs(s, d)
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .filter(col("n_tokens") >= 20)
+          .withColumn("fp",
+            md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        val canon = base.groupBy("fp")
+          .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+        val bucket = pmod(saltedHash(0, col("doc_id").cast("string")), lit(100L))
+        canon.join(base.select("doc_id", "n_chars", "n_tokens"), Seq("doc_id"))
+          .withColumn("split",
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_dups").as("n_source_docs"),
+            sum("n_chars").as("total_chars"),
+            round(avg("n_tokens"), 4).as("avg_tokens"))
+      },
+      Some(s"""WITH base AS (
+          SELECT doc_id, n_chars,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+          FROM documents
+          WHERE len(string_split(text, ' ')) >= 20),
+        canon AS (
+          SELECT fp, min(doc_id) AS doc_id, count(*) AS n_dups
+          FROM base GROUP BY fp),
+        split AS (
+          SELECT c.doc_id, c.n_dups, b.n_chars, b.n_tokens,
+                 CASE WHEN ${saltedHashSql(0, "c.doc_id::VARCHAR")} % 100 < 80 THEN 'train'
+                      WHEN ${saltedHashSql(0, "c.doc_id::VARCHAR")} % 100 < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM canon c JOIN base b ON c.doc_id = b.doc_id)
+        SELECT split, count(*) AS n_docs, sum(n_dups) AS n_source_docs,
+               sum(n_chars) AS total_chars, round(avg(n_tokens), 4) AS avg_tokens
+        FROM split GROUP BY split""")
+    )),
+
     // Exact dedup: hash-group on normalized text, keep the canonical id.
     "d1_dedup_exact" -> ((
       (s: SparkSession, d: String) =>
