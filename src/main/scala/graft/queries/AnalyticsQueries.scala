@@ -249,6 +249,39 @@ object AnalyticsQueries {
         FROM sess GROUP BY user_id, session_id""")
     )),
 
+    // Same gap sessions through Spark's native session_window operator
+    // (merging-window aggregation — the same operator Structured
+    // Streaming uses for streaming sessionization) instead of q13's
+    // lag+running-sum composition. Oracle shares q13's gap-CTE logic,
+    // emitting the session bounds rather than ordinals.
+    "q32_session_window" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("v_sum"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"),
+            col("n_events"), col("v_sum")),
+      Some("""WITH e AS (
+          SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events),
+        m AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e),
+        sess AS (
+          SELECT user_id, ts, value,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM m)
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events, round(sum(value), 2) AS v_sum
+        FROM sess GROUP BY user_id, session_id""")
+    )),
+
     // Exact distinct aggregation.
     "q14_users_per_type" -> ((
       (s: SparkSession, d: String) =>

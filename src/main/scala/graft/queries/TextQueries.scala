@@ -357,10 +357,19 @@ object TextQueries {
     "d7_lsh_verified_jaccard" -> ((
       (s: SparkSession, d: String) => {
         val pairs = lshCandidatePairs(s, d)
-          .select("doc_a", "doc_b").distinct()
+          .select("doc_a", "doc_b").distinct().persist()
+        // Only candidate docs' shingles are needed: a broadcast
+        // semi-join gates the explosion so verification work is
+        // O(candidate docs), not O(corpus) — at scale the candidate
+        // set is orders of magnitude smaller than the corpus. The
+        // oracle computes the same values over all docs; rows for
+        // non-candidates never reach the output either way.
+        val cand = pairs.select(col("doc_a").as("doc_id"))
+          .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
         // both sides of the intersection join and the size aggregate
         // read the exploded shingles — materialize once
         val sh = docs(s, d)
+          .join(broadcast(cand), Seq("doc_id"), "left_semi")
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
           .persist()
