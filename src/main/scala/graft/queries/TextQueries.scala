@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline text operators over the `documents` table:
@@ -259,6 +260,30 @@ object TextQueries {
         GROUP BY token
         ORDER BY n DESC, token
         LIMIT 50""")
+    )),
+
+    // Deterministic stratified sampling: per (lang, source) stratum,
+    // keep the n docs with the smallest portable hash — a reproducible
+    // "random" sample (hash order is uncorrelated with content) that
+    // needs one shuffle on the stratum key and prunes with
+    // WindowGroupLimit, unlike rand()-based sampleBy which changes
+    // membership every run.
+    "t6_stratified_sample" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("lang", "source")
+          .orderBy(col("hk"), col("doc_id"))
+        docs(s, d)
+          .withColumn("hk", saltedHash(3, col("doc_id").cast("string")))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 2)
+          .select("lang", "source", "doc_id", "rk")
+      },
+      Some(s"""SELECT lang, source, doc_id, rk FROM (
+          SELECT lang, source, doc_id,
+                 row_number() OVER (PARTITION BY lang, source
+                   ORDER BY ${saltedHashSql(3, "doc_id::VARCHAR")}, doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 2""")
     )),
 
     // End-to-end corpus curation: quality gate → exact dedup (keep

@@ -43,6 +43,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(s.contains("WindowGroupLimit"), s"missing WindowGroupLimit in:\n$s")
   }
 
+  test("stratified sampling keeps the group-limit pushdown") {
+    val s = planOf("t6_stratified_sample").toString
+    assert(s.contains("WindowGroupLimit"), s"missing WindowGroupLimit in:\n$s")
+  }
+
+  test("vocabulary scan prunes to the text column") {
+    val s = planOf("t5_top_tokens").toString
+    assert(s.contains("ReadSchema: struct<text:string>"),
+      s"scan should read only text in:\n$s")
+  }
+
+  test("binned range join never falls back to a nested loop") {
+    val s = planOf("q31_range_join").toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"), s)
+  }
+
+  test("native as-of join plans its merge exec, not a window") {
+    val s = planOf("q28_asof_native").toString
+    assert(s.contains("AsOfJoin "), s)
+    assert(!s.contains("Window"), s)
+  }
+
   test("no cartesian products outside the brute-force similarity baselines") {
     val allowed = Set("s1_cosine_topk", "s4_topk_aggregated")
     SparkEntry.queries.keys.toSeq.sorted
