@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName,
         "cosine_similarity"),
       exprs => CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[graft.functions.NearestCell].getName,
+        "nearest_cell"),
+      exprs => graft.functions.NearestCell(exprs(0), exprs(1))))
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
