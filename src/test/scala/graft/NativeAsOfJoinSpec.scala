@@ -111,6 +111,33 @@ class NativeAsOfJoinSpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(p).size == 2, p)
   }
 
+  test("a side already partitioned on the key is not re-shuffled") {
+    val l = df(leftSchema,
+      Row(L(1), L(10), t("2024-01-01 10:00:00"))).repartition(4, col("u"))
+    val r = df(rightSchema, right: _*)
+    val p = plan(AsOfJoin.asofJoinNative(l, r, "u", "ts", Seq("rate", "tag")))
+    // repartition(4, u) satisfies ClusteredDistribution(u): only the
+    // right side needs an exchange (ENSURE_REQUIREMENTS), the left
+    // keeps its REPARTITION_BY_COL exchange from the explicit call.
+    assert("ENSURE_REQUIREMENTS".r.findAllIn(p).size == 1, p)
+  }
+
+  test("mismatched pre-partitioned sides are re-coordinated, results unchanged") {
+    val lRows = Seq(
+      Row(L(1), L(10), t("2024-01-01 10:00:00")),
+      Row(L(2), L(10), t("2024-01-01 12:00:00")),
+      Row(L(3), L(99), t("2024-01-01 10:00:00")))
+    val got = AsOfJoin.asofJoinNative(
+      df(leftSchema, lRows: _*).repartition(7, col("u")),
+      df(rightSchema, right: _*).repartition(3, col("u")),
+      "u", "ts", Seq("rate", "tag"))
+      .select("id", "rate", "tag").collect().toSeq.sortBy(_.getLong(0))
+    assert(got == Seq(
+      Row(L(1), D(5.0), "a"),
+      Row(L(2), D(7.0), "b"),
+      Row(L(3), D(1.0), "z")))
+  }
+
   test("output partitioning feeds a same-key aggregation without another shuffle") {
     val joined = AsOfJoin.asofJoinNative(
       df(leftSchema, Row(L(1), L(10), t("2024-01-01 10:00:00"))),
