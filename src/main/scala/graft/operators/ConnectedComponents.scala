@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components by min-label propagation with pointer
+  * jumping — the operator that turns near-duplicate PAIRS (LSH +
+  * verification) into duplicate CLUSTERS, so each cluster keeps one
+  * canonical document.
+  *
+  * Each round does two shuffle steps:
+  *   1. neighbor min — every node takes the minimum component id among
+  *      itself and its neighbors (one hop of propagation);
+  *   2. pointer jumping — every node re-reads the component of its
+  *      current component (`comp ← comp(comp)`), which squares the
+  *      effective propagation distance.
+  * Together they converge in O(log diameter) rounds (a 40-hop chain
+  * resolves in ~6), each round costing two hash shuffles over the
+  * label table. The label sum is monotonically non-increasing and
+  * gives an exact convergence test.
+  *
+  * Iterative DataFrames grow their lineage every round; each round's
+  * result is `localCheckpoint`ed so the plan stays constant-size and
+  * the optimizer never re-plans the full history (without this, 20+
+  * rounds take minutes just in planning and can overflow the stack).
+  *
+  * Deterministic: min() over ids, no randomness.
+  */
+object ConnectedComponents {
+
+  /** @param edges undirected edge list (one row per edge, any order)
+    * @return (id, component) for every node appearing in `edges`,
+    *         component = minimum node id reachable from the node
+    */
+  def run(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIters: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .persist()
+    var labels = sym.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+        .getDecimal(0)
+
+    var converged = false
+    var it = 0
+    var oldSum = labelSum(labels)
+    while (!converged && it < maxIters) {
+      // 1. neighbor min
+      val viaNeighbors = sym
+        .join(labels, sym("b") === labels("id"))
+        .select(sym("a").as("id"), col("component"))
+      val afterMin = labels.select("id", "component").union(viaNeighbors)
+        .groupBy("id").agg(min("component").as("component"))
+      // 2. pointer jumping: comp ← comp(comp). Every component value is
+      // itself a node id (min over node ids), so the inner self-join is
+      // total.
+      val mapping = afterMin
+        .select(col("id").as("cid"), col("component").as("ccomp"))
+      val next = afterMin.join(mapping, afterMin("component") === col("cid"))
+        .select(afterMin("id"), col("ccomp").as("component"))
+        .localCheckpoint(true)
+      val newSum = labelSum(next)
+      labels = next
+      converged = newSum.compareTo(oldSum) == 0
+      oldSum = newSum
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

@@ -380,7 +380,40 @@ object TextQueries {
     // pairs only — the verification stage that makes approximate dedup
     // trustworthy while staying O(candidates), not O(n²).
     "d7_lsh_verified_jaccard" -> ((
+      (s: SparkSession, d: String) => verifiedJaccard(s, d),
+      Some(verifiedJaccardSql)
+    )),
+
+    // Pairs → clusters: connected components over the verified
+    // near-dup edges (iterative min-label propagation, one shuffle per
+    // round, diameter-bounded). Completes the dedup story: each
+    // component keeps min(doc_id) as its canonical document. Oracle is
+    // an independent recursive-CTE transitive closure in DuckDB.
+    "d8_dedup_clusters" -> ((
       (s: SparkSession, d: String) => {
+        val edges = verifiedJaccard(s, d)
+          .filter(col("jaccard") >= 0.2)
+          .select("doc_a", "doc_b")
+        graft.operators.ConnectedComponents.run(edges, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE d7 AS ($verifiedJaccardSql),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM d7 WHERE jaccard >= 0.2
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM d7 WHERE jaccard >= 0.2),
+          reach(doc, comp) AS (
+            SELECT a, a FROM e
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN e ON r.doc = e.a)
+        SELECT doc AS doc_id, min(comp) AS component
+        FROM reach GROUP BY doc""")
+    )),
+  ) ++ entriesTail
+
+  /** d7's DataFrame: exact Jaccard over the LSH candidate pairs —
+    * shared by d7 (verification) and d8 (clustering).
+    */
+  private def verifiedJaccard(s: SparkSession, d: String): DataFrame = {
         val pairs = lshCandidatePairs(s, d)
           .select("doc_a", "doc_b").distinct().persist()
         // Only candidate docs' shingles are needed: a broadcast
@@ -415,8 +448,13 @@ object TextQueries {
             col("n_a"), col("n_b"),
             round(col("n_inter") /
               (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
-      },
-      Some(s"""WITH pairs AS (
+  }
+
+  /** d7's independent DuckDB oracle — also embedded (as a CTE) in
+    * d8's recursive-closure oracle.
+    */
+  private lazy val verifiedJaccardSql: String =
+    s"""WITH pairs AS (
           SELECT DISTINCT doc_a, doc_b FROM ($lshPairsSql)),
         sh AS (
           SELECT doc_id, unnest($shinglesSql) AS s
@@ -435,8 +473,9 @@ object TextQueries {
         FROM pairs p
         LEFT JOIN inter i ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
         JOIN sizes a ON p.doc_a = a.doc_id
-        JOIN sizes b ON p.doc_b = b.doc_id""")
-    )),
+        JOIN sizes b ON p.doc_b = b.doc_id"""
+
+  private lazy val entriesTail: Map[String, (Fn, Option[String])] = Map(
 
     // SimHash: 16-bit sign-aggregated fingerprint over word hashes.
     "d5_simhash" -> ((
