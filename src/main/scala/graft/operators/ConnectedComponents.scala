@@ -37,11 +37,15 @@ object ConnectedComponents {
       srcCol: String,
       dstCol: String,
       maxIters: Int = 25): DataFrame = {
+    // localCheckpoint (not persist): the union references `edges`
+    // twice, so an un-truncated lineage would compute the caller's
+    // (possibly expensive — d8 feeds a whole LSH pipeline) plan twice,
+    // and every iteration would re-plan it.
     val sym = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     var labels = sym.select(col("a").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
@@ -74,7 +78,6 @@ object ConnectedComponents {
       oldSum = newSum
       it += 1
     }
-    sym.unpersist()
     labels
   }
 }
