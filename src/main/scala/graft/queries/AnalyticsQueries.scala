@@ -486,6 +486,58 @@ object AnalyticsQueries {
         GROUP BY band_id""")
     )),
 
+    // Window-function breadth on the event stream: lead, ntile,
+    // percent_rank, cume_dist — one shuffle on user_id, one
+    // in-partition sort shared by all four functions.
+    "q34_window_functions" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Derived.events(s, d).select(
+          col("event_id"), col("user_id"),
+          round(lead("value", 1).over(w), 6).as("next_value"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+      },
+      Some("""SELECT event_id, user_id,
+          round(lead(value, 1) OVER w, 6) AS next_value,
+          ntile(4) OVER w AS quartile,
+          round(percent_rank() OVER w, 6) AS pct_rank,
+          round(cume_dist() OVER w, 6) AS cume
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")
+    )),
+
+    // Scalar date/string function breadth on orders: truncation, month
+    // arithmetic (end-of-month clamping), day diffs, last_day, and
+    // levenshtein (the fuzzy-match primitive) — all codegen'd builtins.
+    "q35_scalar_functions" -> ((
+      (s: SparkSession, d: String) => {
+        val od = to_date(col("o_orderdate"))
+        t(s, d, "orders").select(
+          col("o_orderkey"),
+          trunc(od, "month").as("month_start"),
+          add_months(od, 1).as("next_month"),
+          datediff(lit(java.sql.Date.valueOf("1998-12-31")), od)
+            .cast("long").as("days_to_end"),
+          last_day(od).as("month_end"),
+          levenshtein(col("o_orderpriority"), lit("1-URGENT"))
+            .cast("long").as("prio_dist"),
+          concat_ws("|", upper(substring(col("o_orderstatus"), 1, 1)),
+            lpad(col("o_orderkey").cast("string"), 10, "0")).as("tag"))
+      },
+      Some("""SELECT o_orderkey,
+          date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+          CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS next_month,
+          date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31')
+            AS days_to_end,
+          last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          levenshtein(o_orderpriority, '1-URGENT') AS prio_dist,
+          upper(substr(o_orderstatus, 1, 1)) || '|' ||
+            lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS tag
+        FROM orders""")
+    )),
+
     // Explicit grouping sets through the engine's SQL surface.
     "q21_grouping_sets" -> ((
       (s: SparkSession, d: String) => {

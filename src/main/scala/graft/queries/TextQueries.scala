@@ -262,6 +262,52 @@ object TextQueries {
         LIMIT 50""")
     )),
 
+    // Repetition ratio (compression-proxy quality signal): fraction of
+    // duplicated word bigrams per document — high repetition flags
+    // boilerplate/spam for corpus filtering.
+    "t7_repetition" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("grams", expr(
+            """CASE WHEN size(w) < 2 THEN array(concat_ws(' ', w))
+               ELSE transform(sequence(0, size(w) - 2),
+                 i -> concat_ws(' ', slice(w, i + 1, 2))) END"""))
+          .select(col("doc_id"),
+            size(col("grams")).cast("long").as("n_grams"),
+            size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
+            round(lit(1.0) - size(array_distinct(col("grams"))) /
+              size(col("grams")).cast("double"), 4).as("rep_ratio")),
+      Some("""SELECT doc_id, n_grams, n_distinct,
+          round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) AS rep_ratio
+        FROM (SELECT doc_id, len(grams) AS n_grams,
+                len(list_distinct(grams)) AS n_distinct
+          FROM (SELECT doc_id,
+                  CASE WHEN len(w) < 2 THEN [array_to_string(w, ' ')]
+                       ELSE [array_to_string(w[i:i+1], ' ')
+                             for i in range(1, len(w))] END AS grams
+                FROM (SELECT doc_id, string_split(text, ' ') AS w
+                      FROM documents)))""")
+    )),
+
+    // PII-style masking: redact digit runs, count redactions — the
+    // narrow-map scrubbing pass every corpus goes through before
+    // training. Output carries the redacted-text fingerprint so the
+    // oracle verifies the actual rewritten content.
+    "t8_redact" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d).select(
+          col("doc_id"),
+          regexp_count(col("text"), lit("[0-9]+")).cast("long")
+            .as("n_redactions"),
+          md5(regexp_replace(col("text"), "[0-9]+", "<num>"))
+            .as("redacted_fp")),
+      Some("""SELECT doc_id,
+          len(regexp_extract_all(text, '[0-9]+')) AS n_redactions,
+          md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS redacted_fp
+        FROM documents""")
+    )),
+
     // Deterministic stratified sampling: per (lang, source) stratum,
     // keep the n docs with the smallest portable hash — a reproducible
     // "random" sample (hash order is uncorrelated with content) that
