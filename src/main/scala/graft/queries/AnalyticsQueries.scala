@@ -538,6 +538,42 @@ object AnalyticsQueries {
         FROM orders""")
     )),
 
+    // SCD2 dimension history: collapse each user's event-type stream
+    // into change intervals (valid_from/valid_to, open-ended current
+    // row) — the slowly-changing-dimension build the reference's
+    // replace-daily metadata job becomes when history must be kept.
+    // One shuffle on the key; change detection and interval stitching
+    // are lag/lead over the same sort.
+    "q36_scd2_history" -> ((
+      (s: SparkSession, d: String) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Derived.events(s, d)
+          .withColumn("prev_type", lag("event_type", 1).over(byUser))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to",
+            lead("ts", 1).over(Window.partitionBy("user_id")
+              .orderBy("ts", "event_id")))
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+      },
+      Some("""WITH marked AS (
+          SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+          FROM events),
+        changes AS (
+          SELECT user_id, event_id, event_type, ts FROM marked
+          WHERE prev_type IS NULL OR prev_type <> event_type)
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL AS is_current
+        FROM changes""")
+    )),
+
     // Explicit grouping sets through the engine's SQL surface.
     "q21_grouping_sets" -> ((
       (s: SparkSession, d: String) => {

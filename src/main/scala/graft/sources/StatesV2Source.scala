@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.util
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 connector generating deterministic ADS-B-style state
+  * snapshots — the connector slot the reference fills with an HTTP
+  * client (`/api/states/all`), rebuilt as a first-class distributed
+  * source: the scan is split into `partitions` independent input
+  * partitions (each executor generates its own range — nothing is
+  * funnelled through the driver), and required-column pushdown means a
+  * projection of 2 of the 4 columns only materializes those 2.
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft-states")
+  *     .option("rows", 1000000).option("partitions", 32)
+  *     .option("seed", 42).load()
+  * }}}
+  *
+  * Rows are a pure function of (seed, row index) — splitmix64 — so any
+  * subset, any partitioning, and repeated reads agree exactly.
+  */
+class StatesV2Source extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-states"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StatesV2Source.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new StatesV2Table(new CaseInsensitiveStringMap(properties))
+}
+
+object StatesV2Source {
+  val schema: StructType = StructType(Seq(
+    StructField("icao24", StringType, nullable = false),
+    StructField("last_contact", LongType, nullable = false),
+    StructField("velocity", DoubleType, nullable = true),
+    StructField("vertical_rate", DoubleType, nullable = true)))
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+class StatesV2Table(options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String = "graft_states"
+  override def schema(): StructType = StatesV2Source.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // getTable receives the load-time options as table properties; the
+    // per-read options arrive here. Merge with read options winning.
+    val merged = new CaseInsensitiveStringMap(
+      (options.asScala ++ caseInsensitiveOptions.asScala).asJava)
+    new StatesV2ScanBuilder(merged)
+  }
+}
+
+class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = StatesV2Source.schema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = StatesV2Scan(
+    rows = options.getLong("rows", 1000L),
+    partitions = options.getInt("partitions", 4),
+    seed = options.getLong("seed", 0L),
+    required = required)
+}
+
+case class StatesV2RangePartition(start: Long, end: Long, seed: Long)
+  extends InputPartition
+
+case class StatesV2Scan(
+    rows: Long, partitions: Int, seed: Long, required: StructType)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(1, partitions)
+    val per = (rows + n - 1) / n
+    (0 until n).iterator
+      .map(i => StatesV2RangePartition(
+        i * per, math.min(rows, (i + 1) * per), seed))
+      .filter(p => p.end > p.start)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StatesV2ReaderFactory(required)
+}
+
+class StatesV2ReaderFactory(required: StructType)
+  extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StatesV2RangePartition]
+    // bind the projection once per partition, not per row
+    val getters: Array[Long => Any] = required.fields.map { f =>
+      f.name match {
+        case "icao24" => (h: Long) =>
+          UTF8String.fromString("%06x".format(h & 0xffffffL))
+        case "last_contact" => (h: Long) =>
+          1700000000L + ((h >>> 24) & 0xfffffL)
+        case "velocity" => (h: Long) =>
+          if (((h >>> 8) % 13) == 0) null
+          else ((h >>> 16) % 2000L).toDouble / 10.0
+        case "vertical_rate" => (h: Long) =>
+          if (((h >>> 12) % 17) == 0) null
+          else ((h >>> 20) % 600L).toDouble / 10.0 - 30.0
+        case other =>
+          throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var i = p.start - 1
+      override def next(): Boolean = { i += 1; i < p.end }
+      override def get(): InternalRow = {
+        val h = StatesV2Source.splitmix64(p.seed + i)
+        InternalRow.fromSeq(getters.map(_(h)).toIndexedSeq)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

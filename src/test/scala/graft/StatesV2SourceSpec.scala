@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The DSv2 states connector: deterministic content, real partition
+  * planning (each split generates independently on the executors), and
+  * required-column pushdown reaching the scan.
+  */
+class StatesV2SourceSpec extends SparkSpecBase {
+
+  private def read(rows: Long, partitions: Int, seed: Long = 42L): DataFrame =
+    spark.read.format("graft-states")
+      .option("rows", rows).option("partitions", partitions)
+      .option("seed", seed).load()
+
+  test("row count, split count, and schema are as requested") {
+    val df = read(rows = 10007, partitions = 5)
+    assert(df.count() == 10007)
+    assert(df.rdd.getNumPartitions == 5)
+    assert(df.columns.toSeq ==
+      Seq("icao24", "last_contact", "velocity", "vertical_rate"))
+  }
+
+  test("content is deterministic and independent of the split count") {
+    val a = read(10007, 5).orderBy("icao24", "last_contact").collect().toSeq
+    val b = read(10007, 13).orderBy("icao24", "last_contact").collect().toSeq
+    assert(a == b)
+    assert(a.exists(_.isNullAt(2)), "null velocities must appear")
+  }
+
+  test("a different seed produces different content") {
+    val a = read(1000, 4, seed = 1L).agg(sum("last_contact")).head().getLong(0)
+    val b = read(1000, 4, seed = 2L).agg(sum("last_contact")).head().getLong(0)
+    assert(a != b)
+  }
+
+  test("required-column pushdown prunes the scan to the projected columns") {
+    val df = read(1000, 4).select("icao24", "velocity")
+    val plan = df.queryExecution.executedPlan.toString
+    // DSv2 scans print the pruned output list on the BatchScan node
+    assert("BatchScan graft_states\\[icao24#\\d+, velocity#\\d+\\]".r
+      .findFirstIn(plan).isDefined, s"pruning missing in:\n$plan")
+    assert(!plan.contains("last_contact"), s"unpruned column in:\n$plan")
+  }
+
+  test("the source feeds the reference state-update pipeline end to end") {
+    val states = read(5000, 8)
+      .filter(col("velocity").isNotNull)
+    // the flight-shaped projection the reference applies to /states/all
+    val projected = states.select(
+      col("icao24"), col("last_contact"),
+      col("velocity"), col("vertical_rate"))
+    assert(projected.count() > 4000) // ~1/13 nulls dropped
+    val perIcao = projected.groupBy("icao24").count()
+    assert(perIcao.count() > 0)
+  }
+}
