@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,7 +64,7 @@ class StatesV2Table(options: CaseInsensitiveStringMap)
   override def name(): String = "graft_states"
   override def schema(): StructType = StatesV2Source.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(
       caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
@@ -87,6 +88,8 @@ class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
     rows = options.getLong("rows", 1000L),
     partitions = options.getInt("partitions", 4),
     seed = options.getLong("seed", 0L),
+    rowsPerBatch = options.getLong("rowsPerBatch", 100L),
+    maxRows = options.getLong("maxRows", 1000L),
     required = required)
 }
 
@@ -94,24 +97,76 @@ case class StatesV2RangePartition(start: Long, end: Long, seed: Long)
   extends InputPartition
 
 case class StatesV2Scan(
-    rows: Long, partitions: Int, seed: Long, required: StructType)
+    rows: Long, partitions: Int, seed: Long,
+    rowsPerBatch: Long, maxRows: Long, required: StructType)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(1, partitions)
-    val per = (rows + n - 1) / n
-    (0 until n).iterator
-      .map(i => StatesV2RangePartition(
-        i * per, math.min(rows, (i + 1) * per), seed))
-      .filter(p => p.end > p.start)
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    StatesV2Scan.splitRange(0L, rows, partitions, seed)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new StatesV2ReaderFactory(required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new StatesV2MicroBatchStream(
+      rowsPerBatch, maxRows, partitions, seed, required)
+}
+
+object StatesV2Scan {
+  def splitRange(
+      start: Long, end: Long, partitions: Int, seed: Long)
+      : Array[InputPartition] = {
+    val total = end - start
+    val n = math.max(1, partitions)
+    val per = (total + n - 1) / n
+    (0 until n).iterator
+      .map(i => StatesV2RangePartition(
+        start + i * per, math.min(end, start + (i + 1) * per), seed))
+      .filter(p => p.end > p.start)
+      .toArray
+  }
+}
+
+/** Offset = number of rows emitted so far; rows keep the same pure
+  * (seed, index) derivation as the batch scan, so a streamed prefix
+  * equals the batch read of the same length. `maxRows` bounds the
+  * stream (latestOffset stops advancing), which is what lets tests —
+  * and backfill jobs — drain it to completion.
+  */
+case class StatesV2Offset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+class StatesV2MicroBatchStream(
+    rowsPerBatch: Long, maxRows: Long, partitions: Int, seed: Long,
+    required: StructType) extends MicroBatchStream {
+
+  private var latest = 0L
+
+  override def initialOffset(): Offset = StatesV2Offset(0L)
+
+  override def latestOffset(): Offset = {
+    latest = math.min(maxRows, latest + rowsPerBatch)
+    StatesV2Offset(latest)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    StatesV2Offset(json.toLong)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] =
+    StatesV2Scan.splitRange(
+      start.asInstanceOf[StatesV2Offset].n,
+      end.asInstanceOf[StatesV2Offset].n, partitions, seed)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new StatesV2ReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class StatesV2ReaderFactory(required: StructType)

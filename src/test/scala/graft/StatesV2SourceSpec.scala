@@ -44,6 +44,26 @@ class StatesV2SourceSpec extends SparkSpecBase {
     assert(!plan.contains("last_contact"), s"unpruned column in:\n$plan")
   }
 
+  test("micro-batch streaming drains to maxRows and equals the batch prefix") {
+    val session = spark
+    import session.implicits._
+    val q = spark.readStream.format("graft-states")
+      .option("rowsPerBatch", 300).option("maxRows", 1000)
+      .option("partitions", 4).option("seed", 42L).load()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("states_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("states_stream")
+        .orderBy("icao24", "last_contact").collect().toSeq
+      val batch = read(rows = 1000, partitions = 4, seed = 42L)
+        .orderBy("icao24", "last_contact").collect().toSeq
+      assert(streamed.size == 1000)
+      assert(streamed == batch,
+        "streamed prefix must equal the batch read of the same length")
+    } finally q.stop()
+  }
+
   test("the source feeds the reference state-update pipeline end to end") {
     val states = read(5000, 8)
       .filter(col("velocity").isNotNull)
