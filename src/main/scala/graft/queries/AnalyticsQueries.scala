@@ -505,7 +505,11 @@ object AnalyticsQueries {
           round(percent_rank() OVER w, 6) AS pct_rank,
           round(cume_dist() OVER w, 6) AS cume
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""")
+        -- order on epoch_us, not raw ts: the parquet is TIMESTAMP(NANOS)
+        -- and Spark's side sorts at micros precision; a nanos-refined
+        -- order could break micro-ties differently for these
+        -- order-sensitive per-row functions
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""")
     )),
 
     // Scalar date/string function breadth on orders: truncation, month
