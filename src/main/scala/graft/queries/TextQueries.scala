@@ -308,6 +308,16 @@ object TextQueries {
         FROM documents""")
     )),
 
+    // Heavy hitters: single-pass Misra-Gries frequent-items sketch
+    // over (source, lang) — the guarantee is containment (every value
+    // with support > 1/k appears), proven in FreqItemsSpec; output is
+    // approximate and set-valued, so rows-only at the oracle gate.
+    "t9_freq_items" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d).stat.freqItems(Array("source", "lang"), 0.1),
+      None
+    )),
+
     // Deterministic stratified sampling: per (lang, source) stratum,
     // keep the n docs with the smallest portable hash — a reproducible
     // "random" sample (hash order is uncorrelated with content) that
