@@ -4,6 +4,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -77,12 +78,32 @@ class StatesV2Table(options: CaseInsensitiveStringMap)
 }
 
 class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownAggregates {
 
   private var required: StructType = StatesV2Source.schema
+  private var countStarPushed = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // COUNT(*) with no grouping is answerable from the `rows` option
+  // alone — complete pushdown, zero rows generated. Everything else
+  // stays in Spark.
+  override def supportCompletePushDown(
+      aggregation: aggregate.Aggregation): Boolean =
+    isBareCountStar(aggregation)
+
+  override def pushAggregation(
+      aggregation: aggregate.Aggregation): Boolean = {
+    countStarPushed = isBareCountStar(aggregation)
+    countStarPushed
+  }
+
+  private def isBareCountStar(a: aggregate.Aggregation): Boolean =
+    a.groupByExpressions.isEmpty &&
+      a.aggregateExpressions.length == 1 &&
+      a.aggregateExpressions.head.isInstanceOf[aggregate.CountStar]
 
   override def build(): Scan = StatesV2Scan(
     rows = options.getLong("rows", 1000L),
@@ -90,7 +111,8 @@ class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
     seed = options.getLong("seed", 0L),
     rowsPerBatch = options.getLong("rowsPerBatch", 100L),
     maxRows = options.getLong("maxRows", 1000L),
-    required = required)
+    required = required,
+    countStarPushed = countStarPushed)
 }
 
 case class StatesV2RangePartition(start: Long, end: Long, seed: Long)
@@ -98,17 +120,24 @@ case class StatesV2RangePartition(start: Long, end: Long, seed: Long)
 
 case class StatesV2Scan(
     rows: Long, partitions: Int, seed: Long,
-    rowsPerBatch: Long, maxRows: Long, required: StructType)
+    rowsPerBatch: Long, maxRows: Long, required: StructType,
+    countStarPushed: Boolean = false)
   extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (countStarPushed)
+      StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    else required
+
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    StatesV2Scan.splitRange(0L, rows, partitions, seed)
+    if (countStarPushed) Array(StatesV2RangePartition(0L, 1L, seed))
+    else StatesV2Scan.splitRange(0L, rows, partitions, seed)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new StatesV2ReaderFactory(required)
+    if (countStarPushed) new StatesV2CountFactory(rows)
+    else new StatesV2ReaderFactory(required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new StatesV2MicroBatchStream(
@@ -167,6 +196,18 @@ class StatesV2MicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+/** Complete COUNT(*) pushdown: one partition, one row, no generation. */
+class StatesV2CountFactory(rows: Long) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = InternalRow(rows)
+      override def close(): Unit = ()
+    }
 }
 
 class StatesV2ReaderFactory(required: StructType)

@@ -44,6 +44,19 @@ class StatesV2SourceSpec extends SparkSpecBase {
     assert(!plan.contains("last_contact"), s"unpruned column in:\n$plan")
   }
 
+  test("count(*) is answered by aggregate pushdown without generating rows") {
+    val df = read(rows = 123456789L, partitions = 4)
+    val counted = df.agg(count(lit(1)))
+    val plan = counted.queryExecution.executedPlan.toString
+    // pushed: the scan's output IS the count; no per-row generation.
+    // (123M rows would take minutes if actually generated.)
+    val t0 = System.nanoTime()
+    assert(counted.head().getLong(0) == 123456789L)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "count must not scan")
+    assert(plan.contains("PushedAggregates: [COUNT(*)]") ||
+      plan.contains("count(*)"), s"pushdown missing in:\n$plan")
+  }
+
   test("micro-batch streaming drains to maxRows and equals the batch prefix") {
     val session = spark
     import session.implicits._
