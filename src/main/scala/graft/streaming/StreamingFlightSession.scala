@@ -61,16 +61,28 @@ object StreamingFlightSession {
     else if (verticalRate.exists(_ < 0) || prev == Descend) Descend
     else Other
 
+  val InactivityMillis: Long = 20L * 60 * 1000
+
   /** The per-key state machine, processing one micro-batch's
     * observations for one aircraft. Mirrors the batch plan:
     * first-contact transition (C3) → contact refresh (C4) →
     * classification (E1–E3) → takeoff stamp (C5) / landing emission →
     * trajectory update (E4).
+    *
+    * Timeout arming is injected: the processing-time variant arms a
+    * wall-clock duration (reference fidelity — its Airflow loop runs
+    * on wall clock), the event-time variant arms
+    * `last_contact + horizon` against the watermark, which is the
+    * reprocessing-safe choice at scale: replaying yesterday's feed
+    * evicts by the data's own clock, not by how fast the replay runs.
     */
   def updateFlight(
       icao24: String,
       observations: Iterator[Observation],
-      state: GroupState[ActiveFlight]): Iterator[CompletedFlight] = {
+      state: GroupState[ActiveFlight],
+      armTimeout: (GroupState[ActiveFlight], Observation) => Unit =
+        (st, _) => st.setTimeoutDuration(InactivityTimeout))
+      : Iterator[CompletedFlight] = {
     if (state.hasTimedOut) {
       // F1 twin: unseen past the horizon — evict silently.
       state.remove()
@@ -107,7 +119,7 @@ object StreamingFlightSession {
           state.update(ActiveFlight(
             stamped, flc,
             nextTrajectory(obs.vertical_rate, trajectory), firstContact))
-          state.setTimeoutDuration(InactivityTimeout)
+          armTimeout(state, obs)
         }
       }
       completed.result().iterator
@@ -125,7 +137,48 @@ object StreamingFlightSession {
       .groupByKey(_.icao24)
       .flatMapGroupsWithState[ActiveFlight, CompletedFlight](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
-        updateFlight)
+        (k, it, st) => updateFlight(k, it, st))
+  }
+
+  /** Observation carrying its event-time column (required for
+    * watermarking — Spark tracks the watermark on a timestamp column
+    * of the input, not on an arbitrary long).
+    */
+  final case class TimedObservation(
+      icao24: String,
+      last_contact: Long,
+      velocity: Option[Double],
+      vertical_rate: Option[Double],
+      ts: java.sql.Timestamp)
+
+  /** Event-time variant: state evicts when the WATERMARK (not the wall
+    * clock) passes `last_contact + 20 min`. Re-running yesterday's
+    * feed at full speed produces identical evictions — the property a
+    * 100 TB backfill needs and a processing-time timeout cannot give.
+    */
+  def completedFlightsEventTime(
+      spark: SparkSession,
+      observations: Dataset[Observation],
+      watermarkDelay: String = "10 minutes"): Dataset[CompletedFlight] = {
+    import spark.implicits._
+    observations
+      .map(o => TimedObservation(o.icao24, o.last_contact, o.velocity,
+        o.vertical_rate, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(o.last_contact))))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.icao24)
+      .flatMapGroupsWithState[ActiveFlight, CompletedFlight](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: String, it: Iterator[TimedObservation],
+            st: GroupState[ActiveFlight]) =>
+          updateFlight(
+            k,
+            it.map(t => Observation(
+              t.icao24, t.last_contact, t.velocity, t.vertical_rate)),
+            st,
+            (state, obs) => state.setTimeoutTimestamp(
+              obs.last_contact * 1000L + InactivityMillis))
+      }
   }
 
   /** Full streaming pipeline: session close events enriched with the
