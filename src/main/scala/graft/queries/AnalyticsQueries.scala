@@ -578,6 +578,81 @@ object AnalyticsQueries {
         FROM changes""")
     )),
 
+    // SCD2 MERGE (apply-changes): close open history rows whose key
+    // has a differing change after the cutoff, append the new open
+    // version, pass everything else through — MERGE INTO semantics
+    // from plain joins (left join on the key + conditional rewrite +
+    // union of the appended versions), no table format required.
+    "q37_scd2_merge" -> ((
+      (s: SparkSession, d: String) => {
+        val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
+        val ev = Derived.events(s, d)
+        // history: SCD2 intervals from pre-cutoff events (q36 logic)
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val hist = ev.filter(col("ts") < cutoff)
+          .withColumn("prev_type", lag("event_type", 1).over(byUser))
+          .filter(col("prev_type").isNull ||
+            col("prev_type") =!= col("event_type"))
+          .withColumn("valid_to", lead("ts", 1).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")))
+          .select(col("user_id"), col("event_type"),
+            col("ts").as("valid_from"), col("valid_to"))
+        // changes: each user's earliest post-cutoff event
+        val chg = ev.filter(col("ts") >= cutoff)
+          .groupBy("user_id")
+          .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+            .as("c"))
+          .select(col("user_id"), col("c.ts").as("chg_ts"),
+            col("c.event_type").as("chg_type"))
+        val merged = hist.join(chg, Seq("user_id"), "left")
+          .withColumn("closes",
+            col("valid_to").isNull && col("chg_type").isNotNull &&
+              col("chg_type") =!= col("event_type"))
+          .select(col("user_id"), col("event_type"), col("valid_from"),
+            when(col("closes"), col("chg_ts")).otherwise(col("valid_to"))
+              .as("valid_to"))
+        val appended = hist.filter(col("valid_to").isNull)
+          .join(chg, Seq("user_id"))
+          .filter(col("chg_type") =!= col("event_type"))
+          .select(col("user_id"), col("chg_type").as("event_type"),
+            col("chg_ts").as("valid_from"),
+            lit(null).cast("timestamp").as("valid_to"))
+        merged.unionByName(appended)
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM events),
+        marked AS (
+          SELECT user_id, event_id, event_type, ts,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+          FROM e WHERE ts < TIMESTAMP '2024-01-16 00:00:00'),
+        hist AS (
+          SELECT user_id, event_type, ts AS valid_from,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+          FROM marked
+          WHERE prev_type IS NULL OR prev_type <> event_type),
+        chg AS (
+          SELECT user_id,
+                 min({'ts': ts, 'event_id': event_id, 'event_type': event_type}).ts AS chg_ts,
+                 min({'ts': ts, 'event_id': event_id, 'event_type': event_type}).event_type AS chg_type
+          FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+          GROUP BY user_id),
+        merged AS (
+          SELECT h.user_id, h.event_type, h.valid_from,
+                 CASE WHEN h.valid_to IS NULL AND c.chg_type IS NOT NULL
+                           AND c.chg_type <> h.event_type
+                      THEN c.chg_ts ELSE h.valid_to END AS valid_to
+          FROM hist h LEFT JOIN chg c ON h.user_id = c.user_id),
+        appended AS (
+          SELECT h.user_id, c.chg_type AS event_type,
+                 c.chg_ts AS valid_from, NULL::TIMESTAMP AS valid_to
+          FROM hist h JOIN chg c ON h.user_id = c.user_id
+          WHERE h.valid_to IS NULL AND c.chg_type <> h.event_type)
+        SELECT * FROM merged UNION ALL SELECT * FROM appended""")
+    )),
+
     // Explicit grouping sets through the engine's SQL surface.
     "q21_grouping_sets" -> ((
       (s: SparkSession, d: String) => {
