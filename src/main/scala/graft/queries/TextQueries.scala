@@ -308,6 +308,43 @@ object TextQueries {
         FROM documents""")
     )),
 
+    // Weighted corpus mixing: down-sample each pool to its target rate
+    // (75% of the "head" sources, 25% of the tail) by portable hash
+    // bucket — the deterministic twin of weighted dataset interleaving:
+    // membership is reproducible and the realized rate converges to the
+    // target at any scale, with zero coordination between rows.
+    "t10_weighted_mix" -> ((
+      (s: SparkSession, d: String) => {
+        val pool = when(
+          regexp_extract(col("source"), "^src(\\d+)$", 1).cast("int") < 10,
+          "head").otherwise("tail")
+        val rate = when(col("pool") === "head", 75).otherwise(25)
+        val bucket = pmod(saltedHash(4, col("doc_id").cast("string")), lit(100L))
+        docs(s, d)
+          .withColumn("pool", pool)
+          .withColumn("selected", (bucket < rate).cast("int"))
+          .groupBy("pool")
+          .agg(count(lit(1)).as("n_total"),
+            sum("selected").as("n_selected"),
+            round(sum("selected") / count(lit(1)).cast("double"), 4)
+              .as("realized_rate"))
+      },
+      Some(s"""SELECT pool, count(*) AS n_total,
+          sum(selected) AS n_selected,
+          round(CAST(sum(selected) AS DOUBLE) / count(*), 4) AS realized_rate
+        FROM (
+          SELECT pool,
+                 CASE WHEN ${saltedHashSql(4, "doc_id::VARCHAR")} % 100 <
+                           CASE WHEN pool = 'head' THEN 75 ELSE 25 END
+                      THEN 1 ELSE 0 END AS selected
+          FROM (SELECT doc_id,
+                  CASE WHEN CAST(regexp_extract(source, '^src(\\d+)$$', 1)
+                            AS INTEGER) < 10
+                       THEN 'head' ELSE 'tail' END AS pool
+                FROM documents))
+        GROUP BY pool""")
+    )),
+
     // Heavy hitters: single-pass Misra-Gries frequent-items sketch
     // over (source, lang) — the guarantee is containment (every value
     // with support > 1/k appears), proven in FreqItemsSpec; output is
@@ -535,36 +572,53 @@ object TextQueries {
 
     // SimHash: 16-bit sign-aggregated fingerprint over word hashes.
     "d5_simhash" -> ((
+      (s: SparkSession, d: String) => simhashFingerprints(s, d),
+      Some(simhashSql)
+    )),
+
+    // SimHash near-dup retrieval: split the 16-bit fingerprint into 2
+    // bands of 8 bits — by pigeonhole, any pair within Hamming
+    // distance 1 agrees on at least one whole band — bucket-join on
+    // (band, value), then verify bit_count(xor) <= 1. No O(n^2) pair
+    // scan; same LSH-banding shape as d4, over bit-space. (This corpus
+    // shares vocabulary heavily, so narrower bands would flood the
+    // buckets; band width is the recall/candidate-volume dial.)
+    "d9_simhash_neardup" -> ((
       (s: SparkSession, d: String) => {
-        val tokens = docs(s, d)
-          .select(col("doc_id"),
-            explode(array_distinct(split(col("text"), " "))).as("tok"))
-          .withColumn("h", saltedHash(9, col("tok")))
-        val bitSums = (0 until SimhashBits).map { b =>
-          sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)).as(s"s$b")
-        }
-        val fingerprint = (0 until SimhashBits).map { b =>
-          when(col(s"s$b") > 0, 1L << b).otherwise(0L)
-        }.reduce(_ + _)
-        tokens.groupBy("doc_id")
-          .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), fingerprint.as("simhash"))
+        val fp = simhashFingerprints(s, d).localCheckpoint(true)
+        val bands = (0 until 2).map { b =>
+          fp.select(col("doc_id"), lit(b).as("band"),
+            shiftright(col("simhash"), b * 8).bitwiseAND(0xff).as("bv"))
+        }.reduce(_.unionByName(_))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        cand
+          .join(fp.select(col("doc_id").as("doc_a"), col("simhash").as("fa")),
+            Seq("doc_a"))
+          .join(fp.select(col("doc_id").as("doc_b"), col("simhash").as("fb")),
+            Seq("doc_b"))
+          .withColumn("hamming",
+            bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+          .filter(col("hamming") <= 1)
+          .select("doc_a", "doc_b", "hamming")
       },
-      Some {
-        val bitSums = (0 until SimhashBits).map { b =>
-          s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
-        }.mkString(", ")
-        val fp = (0 until SimhashBits).map { b =>
-          s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
-        }.mkString(" + ")
-        s"""SELECT doc_id, $fp AS simhash FROM (
-             SELECT doc_id, $bitSums FROM (
-               SELECT doc_id, ${saltedHashSql(9, "tok")} AS h FROM (
-                 SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
-                 FROM documents))
-             GROUP BY doc_id)"""
-      }
+      Some(s"""WITH fp AS ($simhashSql),
+          bands AS (
+            SELECT doc_id, b AS band, (simhash >> (b * 8)) & 255 AS bv
+            FROM fp, range(2) t(b)),
+          cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        SELECT doc_a, doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM cand
+        JOIN fp a ON doc_a = a.doc_id
+        JOIN fp b ON doc_b = b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 1""")
     )),
 
     // Document fingerprinting: weakened polynomial rolling hash —
@@ -623,4 +677,40 @@ object TextQueries {
         FROM documents""")
     )),
   )
+
+  /** d5's fingerprints: 16-bit sign-aggregated SimHash per doc —
+    * shared by d5 (fingerprinting) and d9 (banded near-dup retrieval).
+    */
+  private def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
+    val tokens = docs(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", saltedHash(9, col("tok")))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    val fingerprint = (0 until SimhashBits).map { b =>
+      when(col(s"s$b") > 0, 1L << b).otherwise(0L)
+    }.reduce(_ + _)
+    tokens.groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
+
+  private lazy val simhashSql: String = {
+    val bitSums = (0 until SimhashBits).map { b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val fp = (0 until SimhashBits).map { b =>
+      s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, $fp AS simhash FROM (
+         SELECT doc_id, $bitSums FROM (
+           SELECT doc_id, ${saltedHashSql(9, "tok")} AS h FROM (
+             SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+             FROM documents))
+         GROUP BY doc_id)"""
+  }
+
 }
