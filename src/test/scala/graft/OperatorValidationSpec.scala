@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{AsOfJoin, IvfIndex, RangeJoin, SaltedJoin}
+
+/** Misuse of the operator APIs fails fast with a clear message, not
+  * deep inside a Spark job.
+  */
+class OperatorValidationSpec extends SparkSpecBase {
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq((1L, 2L, 3.0)).toDF("a", "b", "v")
+  }
+
+  test("salted join rejects a single bucket") {
+    intercept[IllegalArgumentException] {
+      SaltedJoin.inner(df, df, "a", "b", Seq("v"), buckets = 1)
+    }
+  }
+
+  test("range join rejects non-positive bin widths") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.pointInInterval(df, df, "v", "a", "b", binWidth = 0.0)
+    }
+  }
+
+  test("IVF training rejects k larger than the corpus and bad probes") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      IvfIndex.train(emb, "id", "vec", k = 5, iters = 1)
+    }
+    val m = IvfIndex.train(emb, "id", "vec", k = 2, iters = 1)
+    intercept[IllegalArgumentException] {
+      IvfIndex.probe(emb, "vec", m, nprobe = 3)
+    }
+  }
+
+  test("as-of joins reject value collisions and missing/mismatched columns") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoin(df, df, "a", "b", Seq("v")) // v exists on left
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoinNative(df, df, "a", "b", Seq("v"))
+    }
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asofJoinNative(
+        df, df.selectExpr("a", "b", "v AS w"), "a", "nope", Seq("w"))
+    }
+  }
+}
