@@ -477,6 +477,25 @@ object TextQueries {
       Some(verifiedJaccardSql)
     )),
 
+    // Containment dedup: |A∩B| / min(|A|,|B|) over the verified
+    // candidate pairs — catches the quote-expansion family (a short
+    // doc embedded in a longer one) that symmetric Jaccard
+    // under-scores: a 40-shingle doc fully contained in a 400-shingle
+    // doc has Jaccard 0.1 but containment 1.0.
+    "d10_containment" -> ((
+      (s: SparkSession, d: String) =>
+        verifiedJaccard(s, d)
+          .withColumn("containment",
+            round(col("n_inter") / least(col("n_a"), col("n_b"))
+              .cast("double"), 6))
+          .filter(col("containment") >= 0.5)
+          .select("doc_a", "doc_b", "n_inter", "containment"),
+      Some(s"""SELECT doc_a, doc_b, n_inter,
+          round(CAST(n_inter AS DOUBLE) / least(n_a, n_b), 6) AS containment
+        FROM ($verifiedJaccardSql)
+        WHERE round(CAST(n_inter AS DOUBLE) / least(n_a, n_b), 6) >= 0.5""")
+    )),
+
     // Pairs → clusters: connected components over the verified
     // near-dup edges (iterative min-label propagation, one shuffle per
     // round, diameter-bounded). Completes the dedup story: each
