@@ -91,7 +91,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
   *
   * This is the 100 TB hot path of index building — every vector in the
   * corpus is assigned once — hence a fused codegen'd k×d loop rather
-  * than interpreted higher-order functions.
+  * than interpreted higher-order functions. Measured
+  * (examples.AssignBench, local[32], 1M rows × k=16 × d=64): 0.68s vs
+  * 5.95s for the transform+aggregate+array_position HOF formulation —
+  * 8.8×.
   */
 case class NearestCell(left: Expression, right: Expression)
   extends BinaryExpression {
