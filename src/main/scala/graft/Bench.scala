@@ -33,7 +33,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      try {
+      val r = try {
         run()
         val t0 = System.nanoTime()
         run()
@@ -43,11 +43,27 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> -1.0
       }
+      // incremental per-query line on stderr: survives any stdout-tail
+      // truncation of the final (long) JSON line
+      System.err.println(f"[bench] ${r._1}%-28s ${r._2}%.3f s")
+      r
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full JSON also lands in a file the driver/judge can read whole —
+    // r2's 72-query stdout line was tail-truncated in capture, losing
+    // the d*/m* timings and the total.
+    try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full results: ${p.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_FULL.json: ${e.getMessage}")
+    }
+    println(json)
     spark.stop()
   }
 }

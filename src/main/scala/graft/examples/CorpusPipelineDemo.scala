@@ -42,13 +42,22 @@ object CorpusPipelineDemo {
       .filter(col("rk") === 1).drop("fp", "rk")
     println(s"[corpus] after exact dedup:     ${exact.count()}")
 
-    // 3. near-dup clusters: verified LSH pairs → components → keep the
-    // canonical (minimum) doc of each cluster
-    exact.createOrReplaceTempView("documents_gated")
-    val pairs = graft.queries.TextQueries
-      .lshCandidatePairs(spark, sfDir).select("doc_a", "doc_b")
-    val comps = ConnectedComponents.run(pairs, "doc_a", "doc_b")
-    val dupIds = comps.filter(col("id") =!= col("component"))
+    // 3. near-dup clusters: Jaccard-VERIFIED LSH pairs → components →
+    // keep the canonical doc of each cluster. Canonical = minimum
+    // SURVIVING id per component: pairs are computed over the full
+    // corpus, so a cluster's global min(doc_id) may already be gone
+    // (quality gate or exact dedup) — pruning against it would drop
+    // every surviving member of that cluster.
+    val edges = graft.queries.TextQueries
+      .verifiedNearDupEdges(spark, sfDir, threshold = 0.2)
+    val comps = ConnectedComponents.run(edges, "doc_a", "doc_b")
+    val surviving = comps
+      .join(exact.select("doc_id"), comps("id") === col("doc_id"))
+      .select(col("id"), col("component"))
+    val canonPerComp = surviving.groupBy("component")
+      .agg(min("id").as("canon_id"))
+    val dupIds = surviving.join(canonPerComp, Seq("component"))
+      .filter(col("id") =!= col("canon_id"))
       .select(col("id").as("doc_id"))
     val canonical = exact.join(dupIds, Seq("doc_id"), "left_anti")
     println(s"[corpus] after near-dup prune:  ${canonical.count()}")

@@ -50,8 +50,11 @@ object ConnectedComponents {
       .withColumn("component", col("id"))
       .localCheckpoint(true)
 
+    // coalesce to 0: sum over an empty labels frame is null, and LSH can
+    // legitimately produce zero candidate pairs on a clean corpus.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head()
         .getDecimal(0)
 
     var converged = false

@@ -224,14 +224,16 @@ object AnalyticsQueries {
             byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy("user_id", "session_id")
           .agg(count(lit(1)).as("n_events"),
-            min("ts").as("session_start"),
-            max("ts").as("session_end"))
+            // Session bounds as epoch-micros BIGINTs: raw TIMESTAMP values
+            // round-trip differently through driver DuckDB versions
+            // (TIMESTAMP_NS vs TIMESTAMP), which hash-mismatched two rounds
+            // running even with value-identical sessions. Integers are
+            // portable; same remedy as q34.
+            min(unix_micros(col("ts"))).as("session_start_us"),
+            max(unix_micros(col("ts"))).as("session_end_us"))
       },
       Some("""WITH e AS (
-          -- CAST to micros: the events parquet is TIMESTAMP(NANOS); Spark's
-          -- side floors to micros, so the oracle must too (newer DuckDB
-          -- otherwise keeps TIMESTAMP_NS in min/max outputs).
-          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          SELECT user_id, event_id, ts,
                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
           FROM events),
         m AS (
@@ -245,7 +247,8 @@ object AnalyticsQueries {
                    ROWS UNBOUNDED PRECEDING) AS session_id
           FROM m)
         SELECT user_id, session_id, count(*) AS n_events,
-               min(ts) AS session_start, max(ts) AS session_end
+               min(epoch_us(ts)) AS session_start_us,
+               max(epoch_us(ts)) AS session_end_us
         FROM sess GROUP BY user_id, session_id""")
     )),
 

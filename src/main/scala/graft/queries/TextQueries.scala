@@ -228,12 +228,15 @@ object TextQueries {
             when(bucket < 80, "train").when(bucket < 90, "val")
               .otherwise("test"))
           .groupBy("split")
+          // Exact integer aggregates only: a rounded-double avg ties
+          // differently between Spark's HALF_UP decimal rendering and
+          // DuckDB's binary-double rounding (hash-mismatched r2). The
+          // mean is derivable as total_chars / n_docs.
           .agg(count(lit(1)).as("n_docs"),
-            sum("n_chars").as("total_chars"),
-            round(avg("n_chars"), 4).as("avg_chars"))
+            sum("n_chars").as("total_chars"))
       },
       Some(s"""SELECT split, count(*) AS n_docs,
-          sum(n_chars) AS total_chars, round(avg(n_chars), 4) AS avg_chars
+          CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM (SELECT n_chars,
             CASE WHEN ${saltedHashSql(0, "doc_id::VARCHAR")} % 100 < 80 THEN 'train'
                  WHEN ${saltedHashSql(0, "doc_id::VARCHAR")} % 100 < 90 THEN 'val'
@@ -324,14 +327,16 @@ object TextQueries {
           .withColumn("pool", pool)
           .withColumn("selected", (bucket < rate).cast("int"))
           .groupBy("pool")
+          // Realized rate in exact basis points (integer division) —
+          // double division + round() is not hash-portable across
+          // engines on ties.
           .agg(count(lit(1)).as("n_total"),
-            sum("selected").as("n_selected"),
-            round(sum("selected") / count(lit(1)).cast("double"), 4)
-              .as("realized_rate"))
+            sum("selected").as("n_selected"))
+          .withColumn("rate_bp", expr("n_selected * 10000L div n_total"))
       },
       Some(s"""SELECT pool, count(*) AS n_total,
-          sum(selected) AS n_selected,
-          round(CAST(sum(selected) AS DOUBLE) / count(*), 4) AS realized_rate
+          CAST(sum(selected) AS BIGINT) AS n_selected,
+          CAST(sum(selected) AS BIGINT) * 10000 // count(*) AS rate_bp
         FROM (
           SELECT pool,
                  CASE WHEN ${saltedHashSql(4, "doc_id::VARCHAR")} % 100 <
@@ -350,8 +355,18 @@ object TextQueries {
     // with support > 1/k appears), proven in FreqItemsSpec; output is
     // approximate and set-valued, so rows-only at the oracle gate.
     "t9_freq_items" -> ((
-      (s: SparkSession, d: String) =>
-        docs(s, d).stat.freqItems(Array("source", "lang"), 0.1),
+      (s: SparkSession, d: String) => {
+        // Exploded to deterministic (column, item) scalar rows — the raw
+        // freqItems output is one row of array columns, which the
+        // driver's comparator cannot sort (r2 harness error).
+        val fi = docs(s, d).stat.freqItems(Array("source", "lang"), 0.1)
+        fi.select(explode(col("source_freqItems")).as("item"))
+          .select(lit("source").as("col_name"), col("item"))
+          .unionByName(
+            fi.select(explode(col("lang_freqItems")).as("item"))
+              .select(lit("lang").as("col_name"), col("item")))
+          .orderBy("col_name", "item")
+      },
       None
     )),
 
@@ -399,10 +414,12 @@ object TextQueries {
             when(bucket < 80, "train").when(bucket < 90, "val")
               .otherwise("test"))
           .groupBy("split")
+          // total_tokens (exact BIGINT) instead of a rounded-double avg:
+          // round(avg, 4) hash-diverges between engines on decimal ties.
           .agg(count(lit(1)).as("n_docs"),
             sum("n_dups").as("n_source_docs"),
             sum("n_chars").as("total_chars"),
-            round(avg("n_tokens"), 4).as("avg_tokens"))
+            sum("n_tokens").as("total_tokens"))
       },
       Some(s"""WITH base AS (
           SELECT doc_id, n_chars,
@@ -419,8 +436,10 @@ object TextQueries {
                       WHEN ${saltedHashSql(0, "c.doc_id::VARCHAR")} % 100 < 90 THEN 'val'
                       ELSE 'test' END AS split
           FROM canon c JOIN base b ON c.doc_id = b.doc_id)
-        SELECT split, count(*) AS n_docs, sum(n_dups) AS n_source_docs,
-               sum(n_chars) AS total_chars, round(avg(n_tokens), 4) AS avg_tokens
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(n_dups) AS BIGINT) AS n_source_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         FROM split GROUP BY split""")
     )),
 
@@ -522,12 +541,27 @@ object TextQueries {
     )),
   ) ++ entriesTail
 
+  /** Verified near-duplicate edges at a Jaccard threshold — the public
+    * surface pipeline consumers (CorpusPipelineDemo) should cluster on,
+    * rather than raw LSH candidates (which include false positives the
+    * band collision produces).
+    */
+  def verifiedNearDupEdges(
+      s: SparkSession, d: String, threshold: Double = 0.2): DataFrame =
+    verifiedJaccard(s, d)
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b")
+
   /** d7's DataFrame: exact Jaccard over the LSH candidate pairs —
     * shared by d7 (verification) and d8 (clustering).
     */
   private def verifiedJaccard(s: SparkSession, d: String): DataFrame = {
+        // localCheckpoint (eager), not persist(): blocks are released by
+        // the ContextCleaner once the plan is GC'd, so repeated d7/d8/d10
+        // invocations (bench loops) don't accumulate cached blocks for
+        // the life of the session the way un-unpersisted cache entries do.
         val pairs = lshCandidatePairs(s, d)
-          .select("doc_a", "doc_b").distinct().persist()
+          .select("doc_a", "doc_b").distinct().localCheckpoint(true)
         // Only candidate docs' shingles are needed: a broadcast
         // semi-join gates the explosion so verification work is
         // O(candidate docs), not O(corpus) — at scale the candidate
@@ -542,7 +576,7 @@ object TextQueries {
           .join(broadcast(cand), Seq("doc_id"), "left_semi")
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-          .persist()
+          .localCheckpoint(true)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = pairs
           .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -79,24 +79,39 @@ class StatesV2Table(options: CaseInsensitiveStringMap)
 
 class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates {
+  with SupportsPushDownAggregates with SupportsPushDownFilters {
 
   private var required: StructType = StatesV2Source.schema
   private var countStarPushed = false
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // Filters over the generated columns are evaluated at generation
+  // time inside each partition reader — rows that fail never become
+  // InternalRows and never cross the scan boundary, and Spark drops
+  // its own Filter node for fully-pushed predicates. Unsupported
+  // shapes are returned as residuals for Spark to evaluate.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(StatesV2FilterEval.supported)
+    pushed = sup
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
   // COUNT(*) with no grouping is answerable from the `rows` option
-  // alone — complete pushdown, zero rows generated. Everything else
-  // stays in Spark.
+  // alone — complete pushdown, zero rows generated. Only valid on an
+  // UNFILTERED scan: with pushed filters the count depends on the
+  // data. Everything else stays in Spark.
   override def supportCompletePushDown(
       aggregation: aggregate.Aggregation): Boolean =
-    isBareCountStar(aggregation)
+    isBareCountStar(aggregation) && pushed.isEmpty
 
   override def pushAggregation(
       aggregation: aggregate.Aggregation): Boolean = {
-    countStarPushed = isBareCountStar(aggregation)
+    countStarPushed = isBareCountStar(aggregation) && pushed.isEmpty
     countStarPushed
   }
 
@@ -112,7 +127,99 @@ class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
     rowsPerBatch = options.getLong("rowsPerBatch", 100L),
     maxRows = options.getLong("maxRows", 1000L),
     required = required,
-    countStarPushed = countStarPushed)
+    countStarPushed = countStarPushed,
+    pushed = pushed)
+}
+
+/** Three-valued-logic evaluation of pushed V1 filters against the pure
+  * (seed, index) row derivation. A row survives iff every pushed filter
+  * evaluates to Some(true) — `None` (NULL) rejects, matching SQL WHERE
+  * semantics, so `Not(...)` over a NULL column cannot leak rows that
+  * Spark's own Filter would drop.
+  */
+object StatesV2FilterEval {
+  private val cols =
+    Set("icao24", "last_contact", "velocity", "vertical_rate")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _) => cols(a)
+    case GreaterThan(a, _) => cols(a)
+    case GreaterThanOrEqual(a, _) => cols(a)
+    case LessThan(a, _) => cols(a)
+    case LessThanOrEqual(a, _) => cols(a)
+    case In(a, _) => cols(a)
+    case IsNull(a) => cols(a)
+    case IsNotNull(a) => cols(a)
+    case StringStartsWith(a, _) => cols(a)
+    case And(l, r) => supported(l) && supported(r)
+    case Or(l, r) => supported(l) && supported(r)
+    case Not(c) => supported(c)
+    case _ => false
+  }
+
+  /** External-typed column value for filter comparison (null-able). */
+  def value(name: String, h: Long): Any = name match {
+    case "icao24" => "%06x".format(h & 0xffffffL)
+    case "last_contact" => 1700000000L + ((h >>> 24) & 0xfffffL)
+    case "velocity" =>
+      if (((h >>> 8) % 13) == 0) null
+      else ((h >>> 16) % 2000L).toDouble / 10.0
+    case "vertical_rate" =>
+      if (((h >>> 12) % 17) == 0) null
+      else ((h >>> 20) % 600L).toDouble / 10.0 - 30.0
+    case other =>
+      throw new IllegalArgumentException(s"unknown column $other")
+  }
+
+  private def cmp(a: String, h: Long, v: Any): Option[Int] = {
+    val x = value(a, h)
+    if (x == null || v == null) None
+    else (x, v) match {
+      case (s: String, t: String) => Some(s.compareTo(t))
+      case (m: Number, n: Number) =>
+        Some(java.lang.Double.compare(m.doubleValue(), n.doubleValue()))
+      case _ => None
+    }
+  }
+
+  def eval(f: Filter, h: Long): Option[Boolean] = f match {
+    case EqualTo(a, v) => cmp(a, h, v).map(_ == 0)
+    case GreaterThan(a, v) => cmp(a, h, v).map(_ > 0)
+    case GreaterThanOrEqual(a, v) => cmp(a, h, v).map(_ >= 0)
+    case LessThan(a, v) => cmp(a, h, v).map(_ < 0)
+    case LessThanOrEqual(a, v) => cmp(a, h, v).map(_ <= 0)
+    case In(a, vs) =>
+      if (value(a, h) == null) None
+      else Some(vs.exists(v => cmp(a, h, v).contains(0)))
+    case IsNull(a) => Some(value(a, h) == null)
+    case IsNotNull(a) => Some(value(a, h) != null)
+    case StringStartsWith(a, p) => value(a, h) match {
+      case null => None
+      case s: String => Some(s.startsWith(p))
+      case _ => Some(false)
+    }
+    case And(l, r) => (eval(l, h), eval(r, h)) match {
+      case (Some(false), _) | (_, Some(false)) => Some(false)
+      case (Some(true), Some(true)) => Some(true)
+      case _ => None
+    }
+    case Or(l, r) => (eval(l, h), eval(r, h)) match {
+      case (Some(true), _) | (_, Some(true)) => Some(true)
+      case (Some(false), Some(false)) => Some(false)
+      case _ => None
+    }
+    case Not(c) => eval(c, h).map(!_)
+    case _ => Some(false)
+  }
+
+  def accepts(pushed: Array[Filter], h: Long): Boolean = {
+    var i = 0
+    while (i < pushed.length) {
+      if (!eval(pushed(i), h).contains(true)) return false
+      i += 1
+    }
+    true
+  }
 }
 
 case class StatesV2RangePartition(start: Long, end: Long, seed: Long)
@@ -121,13 +228,21 @@ case class StatesV2RangePartition(start: Long, end: Long, seed: Long)
 case class StatesV2Scan(
     rows: Long, partitions: Int, seed: Long,
     rowsPerBatch: Long, maxRows: Long, required: StructType,
-    countStarPushed: Boolean = false)
+    countStarPushed: Boolean = false,
+    pushed: Array[Filter] = Array.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType =
     if (countStarPushed)
       StructType(Seq(StructField("count(*)", LongType, nullable = false)))
     else required
+
+  // Surfaces pushed filters in .explain() — PlanShapeSpec asserts on it.
+  override def description(): String = {
+    val f = if (pushed.isEmpty) "" else
+      pushed.mkString(", PushedFilters: [", ", ", "]")
+    s"graft-states rows=$rows$f"
+  }
 
   override def toBatch: Batch = this
 
@@ -137,11 +252,11 @@ case class StatesV2Scan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (countStarPushed) new StatesV2CountFactory(rows)
-    else new StatesV2ReaderFactory(required)
+    else new StatesV2ReaderFactory(required, pushed)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new StatesV2MicroBatchStream(
-      rowsPerBatch, maxRows, partitions, seed, required)
+      rowsPerBatch, maxRows, partitions, seed, required, pushed)
 }
 
 object StatesV2Scan {
@@ -171,9 +286,18 @@ case class StatesV2Offset(n: Long) extends Offset {
 
 class StatesV2MicroBatchStream(
     rowsPerBatch: Long, maxRows: Long, partitions: Int, seed: Long,
-    required: StructType) extends MicroBatchStream {
+    required: StructType, pushed: Array[Filter] = Array.empty)
+  extends MicroBatchStream {
 
+  // Monotonic w.r.t. every offset this stream has seen — including ones
+  // restored from a checkpoint (deserializeOffset / planInputPartitions /
+  // commit all advance it). A restarted query at offset N must get
+  // latestOffset >= N, never a fresh rowsPerBatch, or rows in
+  // (rowsPerBatch, N] would be re-planned and re-emitted.
   private var latest = 0L
+
+  private def advanceTo(n: Long): Unit =
+    latest = math.max(latest, n)
 
   override def initialOffset(): Offset = StatesV2Offset(0L)
 
@@ -182,19 +306,25 @@ class StatesV2MicroBatchStream(
     StatesV2Offset(latest)
   }
 
-  override def deserializeOffset(json: String): Offset =
-    StatesV2Offset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val n = json.toLong
+    advanceTo(n)
+    StatesV2Offset(n)
+  }
 
   override def planInputPartitions(
-      start: Offset, end: Offset): Array[InputPartition] =
+      start: Offset, end: Offset): Array[InputPartition] = {
+    advanceTo(end.asInstanceOf[StatesV2Offset].n)
     StatesV2Scan.splitRange(
       start.asInstanceOf[StatesV2Offset].n,
       end.asInstanceOf[StatesV2Offset].n, partitions, seed)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new StatesV2ReaderFactory(required)
+    new StatesV2ReaderFactory(required, pushed)
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    advanceTo(end.asInstanceOf[StatesV2Offset].n)
   override def stop(): Unit = ()
 }
 
@@ -210,7 +340,8 @@ class StatesV2CountFactory(rows: Long) extends PartitionReaderFactory {
     }
 }
 
-class StatesV2ReaderFactory(required: StructType)
+class StatesV2ReaderFactory(
+    required: StructType, pushed: Array[Filter] = Array.empty)
   extends PartitionReaderFactory {
 
   override def createReader(
@@ -235,11 +366,20 @@ class StatesV2ReaderFactory(required: StructType)
     }
     new PartitionReader[InternalRow] {
       private var i = p.start - 1
-      override def next(): Boolean = { i += 1; i < p.end }
-      override def get(): InternalRow = {
-        val h = StatesV2Source.splitmix64(p.seed + i)
-        InternalRow.fromSeq(getters.map(_(h)).toIndexedSeq)
+      private var h = 0L
+      // pushed filters are checked on the raw hash BEFORE any column
+      // materialization — failing rows never allocate an InternalRow
+      // and never leave the reader (may reference columns outside the
+      // pruned projection; evaluated independently of `getters`).
+      override def next(): Boolean = {
+        while ({ i += 1; i < p.end }) {
+          h = StatesV2Source.splitmix64(p.seed + i)
+          if (StatesV2FilterEval.accepts(pushed, h)) return true
+        }
+        false
       }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(getters.map(_(h)).toIndexedSeq)
       override def close(): Unit = ()
     }
   }

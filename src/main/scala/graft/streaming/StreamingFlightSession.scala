@@ -176,8 +176,14 @@ object StreamingFlightSession {
             it.map(t => Observation(
               t.icao24, t.last_contact, t.velocity, t.vertical_rate)),
             st,
-            (state, obs) => state.setTimeoutTimestamp(
-              obs.last_contact * 1000L + InactivityMillis))
+            // Arm from the stamped state's last_contact (the running max
+            // of non-zero contacts), not the observation in hand: correct
+            // under any intra-batch iteration order, so an out-of-order
+            // batch can never arm the timeout from a stale observation
+            // and evict early.
+            (state, _) => state.setTimeoutTimestamp(
+              state.get.flight_last_contact.toLong * 1000L +
+                InactivityMillis))
       }
   }
 

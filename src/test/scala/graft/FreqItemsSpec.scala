@@ -35,8 +35,11 @@ class FreqItemsSpec extends SparkSpecBase {
   test("the query-surface entry runs over the documents corpus") {
     val out = SparkEntry.queries("t9_freq_items")(
       spark, "/root/testdata/sf0.001")
-    val row = out.head()
-    assert(out.columns.toSeq == Seq("source_freqItems", "lang_freqItems"))
-    assert(row.getSeq[String](0).nonEmpty && row.getSeq[String](1).nonEmpty)
+    // exploded (col_name, item) scalar rows, sorted — the shape the
+    // driver's comparator can canonicalize (arrays crash its sort)
+    assert(out.columns.toSeq == Seq("col_name", "item"))
+    val rows = out.collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.exists(_._1 == "source") && rows.exists(_._1 == "lang"))
+    assert(rows.sortBy(identity).toSeq == rows.toSeq, "output must be sorted")
   }
 }

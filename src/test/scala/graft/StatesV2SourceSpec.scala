@@ -77,6 +77,79 @@ class StatesV2SourceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("filter pushdown: fully-pushed predicates leave no Spark Filter " +
+      "and match the unpushed row set") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val pred = col("velocity") >= 100.0 && col("icao24").startsWith("0")
+    val filtered = read(20011, 7).filter(pred)
+
+    // every supported conjunct pushed → Catalyst drops its Filter node
+    val residualFilters = filtered.queryExecution.optimizedPlan.collect {
+      case f: LFilter => f
+    }
+    assert(residualFilters.isEmpty,
+      s"expected no residual Filter, got:\n${filtered.queryExecution.optimizedPlan}")
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("PushedFilters"), "scan description must surface pushed filters")
+
+    // pushed evaluation must agree exactly with Spark-side evaluation
+    // over the full generated set (nulls included)
+    val sparkSide = read(20011, 7).collect()
+      .filter(r => !r.isNullAt(2) && r.getDouble(2) >= 100.0 &&
+        r.getString(0).startsWith("0"))
+    val got = filtered.collect()
+    assert(got.length == sparkSide.length && got.length > 0)
+    assert(got.sortBy(r => (r.getString(0), r.getLong(1))).toSeq ==
+      sparkSide.sortBy(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("filter pushdown honors SQL null semantics under negation") {
+    // NOT(velocity = 5.0): rows with NULL velocity must NOT pass
+    val df = read(20011, 7).filter(!(col("velocity") === 5.0))
+    assert(df.collect().forall(r => !r.isNullAt(2)),
+      "NULL velocity rows must be rejected by NOT(=) like Spark would")
+    // and IS NULL itself is pushable and correct
+    val nulls = read(20011, 7).filter(col("velocity").isNull)
+    assert(nulls.collect().forall(_.isNullAt(2)))
+    assert(nulls.count() > 0)
+  }
+
+  test("unsupported predicate shapes remain as residual Spark filters") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    // contains() maps to StringContains, which the source declines
+    val df = read(5003, 4).filter(col("icao24").contains("ab"))
+    val residual = df.queryExecution.optimizedPlan.collect {
+      case f: LFilter => f
+    }
+    assert(residual.nonEmpty, "residual filter must stay in Spark")
+    assert(df.count() ==
+      read(5003, 4).collect().count(_.getString(0).contains("ab")))
+  }
+
+  test("count(*) pushdown is disabled on a filtered scan") {
+    val df = read(10007, 4).filter(col("velocity") >= 100.0)
+    val n = df.count()
+    val expected = read(10007, 4).collect()
+      .count(r => !r.isNullAt(2) && r.getDouble(2) >= 100.0)
+    assert(n == expected,
+      "filtered count must reflect the filter, not the rows option")
+  }
+
+  test("latestOffset never regresses below a checkpoint-restored offset") {
+    import graft.sources.{StatesV2MicroBatchStream, StatesV2Offset}
+    val s = new StatesV2MicroBatchStream(
+      rowsPerBatch = 100L, maxRows = 1000L, partitions = 4, seed = 42L,
+      required = graft.sources.StatesV2Source.schema)
+    // restart: Spark restores the committed offset via deserializeOffset
+    s.deserializeOffset("600")
+    val latest = s.latestOffset().asInstanceOf[StatesV2Offset]
+    assert(latest.n >= 600L,
+      s"latestOffset ${latest.n} regressed below the restored offset 600 — " +
+        "restart would re-plan and re-emit already-committed rows")
+    // and it still advances by rowsPerBatch from there, capped at maxRows
+    assert(latest.n == 700L)
+  }
+
   test("the source feeds the reference state-update pipeline end to end") {
     val states = read(5000, 8)
       .filter(col("velocity").isNotNull)

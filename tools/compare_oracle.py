@@ -69,8 +69,16 @@ def main():
                 eh = hashlib.md5("\n".join(erows).encode()).hexdigest()
                 if gh != eh:
                     diffs = [(g, e) for g, e in zip(grows, erows) if g != e]
-                    status.append(f"HASH ({len(diffs)} differing rows; first: "
-                                  f"{diffs[0] if diffs else '?'})")
+                    detail = "?"
+                    if diffs:
+                        gp, ep = diffs[0][0].split("|"), diffs[0][1].split("|")
+                        col_diff = next(
+                            (f"col '{gcols[i]}' got={a} exp={b}"
+                             for i, (a, b) in enumerate(zip(gp, ep)) if a != b),
+                            "")
+                        detail = f"{col_diff}; row got={diffs[0][0]} exp={diffs[0][1]}"
+                    status.append(
+                        f"HASH ({len(diffs)} differing rows; first: {detail})")
             if status:
                 print(f"[FAIL] {name}: {'; '.join(status)}")
                 n_bad += 1
