@@ -80,6 +80,46 @@ object FlightPipelineDemo {
 
     println("=== completed flights sink ===")
     spark.read.parquet(sinkPath).show(false)
+
+    // Connector-shaped alternative sink (reference db.py parity):
+    // driver-side TTL'd collection create, per-partition batched
+    // insertMany through the typed Flight record.
+    import spark.implicits._
+    val completed = spark.read.parquet(sinkPath)
+      .drop("landed_date").as[graft.Flight]
+    val store = new DemoStore
+    graft.sources.TimeSeriesSink.writeFlights(completed, store,
+      batchSize = 100)
+    println(s"=== connector sink: ${DemoStore.inserted.get()} docs in " +
+      s"${DemoStore.batches.get()} batches (TTL " +
+      s"${graft.sources.TimeSeriesSink.FlightsExpirationSeconds}s) ===")
     spark.stop()
   }
+}
+
+/** Minimal in-JVM store double for the demo: counts what a real
+  * Mongo/JDBC client would receive (state is static — executor tasks
+  * share the JVM in local mode).
+  */
+class DemoStore extends graft.sources.TimeSeriesSink.TimeSeriesStore {
+  override def ensureCollection(
+      name: String, timeField: String, metaField: String,
+      expireAfterSeconds: Long): Boolean =
+    DemoStore.created.compareAndSet(false, true)
+
+  override def newWriter(collection: String)
+      : graft.sources.TimeSeriesSink.BatchWriter =
+    new graft.sources.TimeSeriesSink.BatchWriter {
+      override def insertMany(docs: Seq[graft.Flight]): Unit = {
+        DemoStore.inserted.addAndGet(docs.size)
+        DemoStore.batches.incrementAndGet()
+      }
+      override def close(): Unit = ()
+    }
+}
+
+object DemoStore {
+  val created = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val inserted = new java.util.concurrent.atomic.AtomicInteger(0)
+  val batches = new java.util.concurrent.atomic.AtomicInteger(0)
 }
