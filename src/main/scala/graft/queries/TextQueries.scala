@@ -245,6 +245,46 @@ object TextQueries {
         GROUP BY split""")
     )),
 
+    // TF-IDF statistics: per-(doc, token) term frequency joined with
+    // the global document frequency and corpus size — the two-level
+    // aggregation every relevance/quality scorer needs. Shape at scale:
+    // one shuffle on (doc_id, token) for tf, one on token for df; the
+    // df table (vocabulary-sized, orders of magnitude smaller than the
+    // doc-token table) broadcasts back onto tf, and the corpus size
+    // joins as a broadcast scalar — no driver-side collect. Outputs are
+    // integer-only (tf, df, n_docs): the float idf = ln((n+1)/(df+1))
+    // is derivable but engine log() rounding is not hash-portable.
+    // tf >= 3 keeps the output the interesting tail, not the corpus.
+    "t11_tfidf" -> ((
+      (s: SparkSession, d: String) => {
+        val tokens = docs(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val tf = tokens.groupBy("doc_id", "token")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("token")
+          .agg(count(lit(1)).as("df"))
+        val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
+        tf.filter(col("tf") >= 3)
+          .join(broadcast(dfreq), Seq("token"))
+          .crossJoin(broadcast(n))
+          .select("doc_id", "token", "tf", "df", "n_docs")
+      },
+      Some("""WITH tokens AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents),
+        tf AS (
+          SELECT doc_id, token, count(*) AS tf
+          FROM tokens WHERE token <> '' GROUP BY doc_id, token),
+        dfreq AS (
+          SELECT token, count(*) AS df FROM tf GROUP BY token)
+        SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+               (SELECT count(*) FROM documents) AS n_docs
+        FROM tf JOIN dfreq ON tf.token = dfreq.token
+        WHERE tf.tf >= 3""")
+    )),
+
     // Corpus vocabulary: global top-50 tokens — explode + count + top-k,
     // the canonical heavy text aggregation (map-side partial counts,
     // one shuffle on token, bounded TakeOrdered at the end).
