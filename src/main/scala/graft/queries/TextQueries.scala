@@ -285,6 +285,70 @@ object TextQueries {
         WHERE tf.tf >= 3""")
     )),
 
+    // Context-window chunking: split each document into fixed 64-token
+    // chunks — the packing step before sequence training. Pure per-row
+    // explode (zero shuffles, linear at any scale); each chunk carries
+    // its token count and an md5 fingerprint of the actual chunk text
+    // so the oracle verifies real content, not just counts.
+    "t12_chunk_pack" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("chunk_id",
+            explode(expr("sequence(0, (size(w) - 1) div 64)")))
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            size(expr("slice(w, chunk_id * 64 + 1, 64)")).cast("long")
+              .as("chunk_tokens"),
+            md5(expr("concat_ws(' ', slice(w, chunk_id * 64 + 1, 64))"))
+              .as("chunk_fp")),
+      Some("""WITH b AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (
+          SELECT doc_id, w,
+                 unnest(range(0, (len(w) + 63) // 64)) AS chunk_id
+          FROM b)
+        SELECT doc_id, chunk_id,
+               len(w[chunk_id*64+1 : chunk_id*64+64]) AS chunk_tokens,
+               md5(array_to_string(w[chunk_id*64+1 : chunk_id*64+64], ' '))
+                 AS chunk_fp
+        FROM c""")
+    )),
+
+    // Benchmark-contamination check: word-5-gram collision between the
+    // training pool and a held-out eval slice (doc_id % 7 — stands in
+    // for an external benchmark table). Eval grams are tiny relative to
+    // the corpus and BROADCAST; the corpus side is one explode + one
+    // equi-join + one aggregation — never an all-pairs comparison. The
+    // decontamination step every serious pretraining pipeline runs.
+    "t13_contamination" -> ((
+      (s: SparkSession, d: String) => {
+        val grams = docs(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(w) < 5 THEN array(concat_ws(' ', w))
+               ELSE array_distinct(transform(sequence(0, size(w) - 5),
+                      i -> concat_ws(' ', slice(w, i + 1, 5)))) END"""))
+            .as("g"))
+        val evalGrams = grams.filter(col("doc_id") % 7 === 0)
+          .select("g").distinct()
+        grams.filter(col("doc_id") % 7 =!= 0)
+          .join(broadcast(evalGrams), Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared_grams"))
+      },
+      Some("""WITH grams AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                        ELSE list_distinct([array_to_string(w[i:i+4], ' ')
+                               for i in range(1, len(w) - 3)]) END) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
+        SELECT doc_id, count(*) AS n_shared_grams
+        FROM grams JOIN ev USING (g)
+        WHERE doc_id % 7 <> 0
+        GROUP BY doc_id""")
+    )),
+
     // Corpus vocabulary: global top-50 tokens — explode + count + top-k,
     // the canonical heavy text aggregation (map-side partial counts,
     // one shuffle on token, bounded TakeOrdered at the end).
