@@ -314,6 +314,59 @@ object TextQueries {
         FROM c""")
     )),
 
+    // Sequence packing: concatenate chunks into 2048-token training
+    // bins. Packing is SHARD-LOCAL (hash-shard per doc, window within
+    // shard) — a global greedy pack would need a single-partition
+    // window, which is exactly the operator that cannot exist at
+    // 100 TB; per-shard packing is what a distributed pipeline actually
+    // runs (each worker packs its own slice; fill efficiency is
+    // unchanged for i.i.d. chunk sizes). Outputs per (shard, bin):
+    // chunk count and exact token total.
+    "t14_sequence_pack" -> ((
+      (s: SparkSession, d: String) => {
+        val chunks = docs(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .withColumn("chunk_id",
+            explode(expr("sequence(0, (size(w) - 1) div 64)")))
+          .select(col("doc_id"),
+            col("chunk_id").cast("long").as("chunk_id"),
+            size(expr("slice(w, chunk_id * 64 + 1, 64)")).cast("long")
+              .as("chunk_tokens"))
+          .withColumn("shard",
+            pmod(saltedHash(5, col("doc_id").cast("string")), lit(8L)))
+        val w = Window.partitionBy("shard")
+          .orderBy(col("doc_id"), col("chunk_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        chunks
+          .withColumn("cum", sum("chunk_tokens").over(w))
+          .withColumn("bin", expr("(cum - chunk_tokens) div 2048"))
+          .groupBy("shard", "bin")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum("chunk_tokens").as("bin_tokens"))
+      },
+      Some(s"""WITH b AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (
+          SELECT doc_id, w,
+                 unnest(range(0, (len(w) + 63) // 64)) AS chunk_id
+          FROM b),
+        chunks AS (
+          SELECT doc_id, chunk_id,
+                 len(w[chunk_id*64+1 : chunk_id*64+64]) AS chunk_tokens,
+                 ${saltedHashSql(5, "doc_id::VARCHAR")} % 8 AS shard
+          FROM c),
+        packed AS (
+          SELECT shard, chunk_tokens,
+                 sum(chunk_tokens) OVER (PARTITION BY shard
+                   ORDER BY doc_id, chunk_id
+                   ROWS UNBOUNDED PRECEDING) AS cum
+          FROM chunks)
+        SELECT shard, (cum - chunk_tokens) // 2048 AS bin,
+               count(*) AS n_chunks,
+               CAST(sum(chunk_tokens) AS BIGINT) AS bin_tokens
+        FROM packed GROUP BY shard, (cum - chunk_tokens) // 2048""")
+    )),
+
     // Benchmark-contamination check: word-5-gram collision between the
     // training pool and a held-out eval slice (doc_id % 7 — stands in
     // for an external benchmark table). Eval grams are tiny relative to
