@@ -200,5 +200,43 @@ object SimilarityQueries {
                round(sim, 6) AS sim_r
         FROM ranked WHERE rank <= 3""")
     )),
+
+    // Embedding-cosine near-dup CLUSTERS: the s3 verified pairs fed
+    // through connected components — semantic dedup's final step (keep
+    // one canonical per cluster), mirroring d8's shape on the vector
+    // side. Pairs are bucketed by label before the cosine check, so no
+    // all-pairs work; clustering is the same O(log diameter) pointer-
+    // jumping loop. Oracle is an independent recursive-CTE closure.
+    "s6_embedding_clusters" -> ((
+      (s: SparkSession, d: String) => {
+        val a = emb(s, d).select(col("vec_id").as("id_a"),
+          col("embedding").as("qv"), col("label"))
+        val b = emb(s, d).select(col("vec_id").as("id_b"),
+          col("embedding").as("nv"), col("label"))
+        val pairs = a.join(b, Seq("label"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("sim", cosineExpr)
+          .filter(col("sim") > 0.35)
+          .select("id_a", "id_b")
+        graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
+          .select(col("id").as("vec_id"), col("component"))
+      },
+      Some(s"""WITH RECURSIVE pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.embedding AS qv, b.embedding AS nv
+            FROM embeddings a JOIN embeddings b ON a.label = b.label
+            WHERE a.vec_id < b.vec_id)
+          WHERE $cosineSql > 0.35),
+        e AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs),
+        reach(v, comp) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.b, r.comp FROM reach r JOIN e ON r.v = e.a)
+        SELECT v AS vec_id, min(comp) AS component
+        FROM reach GROUP BY v""")
+    )),
   )
 }

@@ -65,6 +65,32 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!s.contains("Window"), s)
   }
 
+  test("tf-idf broadcasts the document-frequency table and corpus size") {
+    val plan = finalPlan(planOf("t11_tfidf"))
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.nonEmpty, s"df table must broadcast:\n$plan")
+    assert(!plan.toString.contains("SortMergeJoin"),
+      "no shuffled join belongs in the tf-idf plan")
+  }
+
+  test("chunking is a zero-shuffle narrow map") {
+    val s = planOf("t12_chunk_pack").toString
+    assert(!s.contains("Exchange"),
+      s"chunk packing must not shuffle:\n$s")
+  }
+
+  test("contamination check broadcasts the eval-gram side") {
+    val plan = finalPlan(planOf("t13_contamination"))
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"eval grams must broadcast:\n$plan")
+  }
+
+  test("sequence packing never uses a single-partition global window") {
+    val s = planOf("t14_sequence_pack").toString
+    assert(!s.contains("SinglePartition"),
+      s"packing must stay shard-partitioned:\n$s")
+  }
+
   test("no cartesian products outside the brute-force similarity baselines") {
     val allowed = Set("s1_cosine_topk", "s4_topk_aggregated")
     SparkEntry.queries.keys.toSeq.sorted
