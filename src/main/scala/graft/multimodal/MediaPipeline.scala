@@ -109,6 +109,57 @@ object MediaPipeline {
     }
   }
 
+  /** One batched-inference output row. */
+  final case class InferenceResult(media_id: Long, embedding_fp: String)
+
+  /** Batch-scoring model SPI — loaded once per partition (a GPU-bound
+    * encoder IRL) and always called with a WHOLE batch, never
+    * row-at-a-time: the batching contract that keeps an accelerator
+    * fed is enforced by the plumbing, not left to the model.
+    */
+  trait BatchModel extends Serializable {
+    def embedBatch(payloads: Seq[Array[Byte]]): Seq[String]
+  }
+
+  /** Deterministic stand-in for a real encoder (md5-derived
+    * fingerprint of the payload) — swap for an ONNX/JNI model and the
+    * batching plumbing is unchanged.
+    */
+  final class StubModel extends BatchModel {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def embedBatch(payloads: Seq[Array[Byte]]): Seq[String] =
+      payloads.map { p =>
+        md.reset()
+        md.digest(p).map("%02x".format(_)).mkString.take(16)
+      }
+  }
+
+  /** Model-inference batching: rows are grouped into `batchSize`
+    * batches inside each partition — the `mapInPandas`-batch shape in
+    * Scala. Model init once per non-empty partition; embarrassingly
+    * parallel, no shuffle; batch boundaries never cross partitions.
+    */
+  def batchInference(
+      media: Dataset[MediaFile],
+      batchSize: Int = 32,
+      modelFactory: () => BatchModel = () => new StubModel)
+      : Dataset[InferenceResult] = {
+    require(batchSize > 0, "batchSize must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val model = modelFactory() // per-partition init (expensive IRL)
+        rows.grouped(batchSize).flatMap { batch =>
+          val fps = model.embedBatch(batch.map(_.payload))
+          batch.zip(fps).map { case (m, fp) =>
+            InferenceResult(m.media_id, fp)
+          }
+        }
+      }
+    }
+  }
+
   /** Build a MediaFile dataset from the documents corpus (text bytes
     * standing in for media payloads; kind alternates by id).
     */
@@ -131,4 +182,7 @@ object MediaPipeline {
 
   def resizedDf(spark: SparkSession, dir: String): DataFrame =
     resize(fromDocuments(spark, dir)).toDF()
+
+  def batchInferenceDf(spark: SparkSession, dir: String): DataFrame =
+    batchInference(fromDocuments(spark, dir)).toDF()
 }

@@ -46,6 +46,17 @@ object MultimodalQueries {
         FROM documents""")
     )),
 
+    // Batched model inference: per-partition model init + whole-batch
+    // scoring (the GPU-feeding shape); the stub model's fingerprint is
+    // md5-derived, so the oracle verifies the exact per-row output the
+    // batching plumbing delivered.
+    "m5_batch_inference" -> ((
+      (s: SparkSession, d: String) => MediaPipeline.batchInferenceDf(s, d),
+      Some("""SELECT doc_id AS media_id,
+          substr(md5(text), 1, 16) AS embedding_fp
+        FROM documents""")
+    )),
+
     // flatMap frame sampling: every 4th 256-byte frame of "video" rows.
     "m3_frame_samples" -> ((
       (s: SparkSession, d: String) =>

@@ -64,4 +64,60 @@ class MediaPipelineSpec extends SparkSpecBase {
     assert(got.head.mean_byte == 0.0)
     assert(got.head.width == 1 && got.head.height == 1)
   }
+
+  test("batch inference groups rows to batchSize, initializes the model " +
+      "once per non-empty partition, and matches the stub fingerprint") {
+    val session = spark
+    import session.implicits._
+    InstrumentedModel.reset()
+    val rows = (1 to 100).map(i =>
+      media(i.toLong, "image", s"payload-$i".getBytes("UTF-8")))
+    val ds = spark.createDataset(rows).repartition(4)
+    val got = MediaPipeline.batchInference(ds, batchSize = 16,
+        modelFactory = () => new InstrumentedModel)
+      .collect().sortBy(_.media_id)
+
+    assert(got.length == 100)
+    // per-row output identical to the stub (batching must not reorder
+    // or cross-wire payloads within a batch)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { r =>
+      md.reset()
+      val exp = md.digest(s"payload-${r.media_id}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(16)
+      assert(r.embedding_fp == exp, s"row ${r.media_id} fingerprint")
+    }
+    // model loaded once per non-empty partition, not once per batch/row
+    assert(InstrumentedModel.inits.get() == 4,
+      s"expected 4 model inits, got ${InstrumentedModel.inits.get()}")
+    // every batch bounded by batchSize; one full batch + one tail per
+    // partition (~25 rows each, batchSize 16), nothing lost
+    val sizes = InstrumentedModel.batchSizes
+    assert(sizes.forall(_ <= 16), s"oversized batch: $sizes")
+    assert(sizes.sum == 100 && sizes.length == 8 &&
+      sizes.count(_ == 16) == 4, s"unexpected batch shape: $sizes")
+  }
+}
+
+/** StubModel wrapper counting inits and batch sizes via static state
+  * (local-mode tasks share the JVM).
+  */
+class InstrumentedModel extends MediaPipeline.BatchModel {
+  InstrumentedModel.inits.incrementAndGet()
+  private val inner = new MediaPipeline.StubModel
+  override def embedBatch(payloads: Seq[Array[Byte]]): Seq[String] = {
+    InstrumentedModel.sizes.add(payloads.size)
+    inner.embedBatch(payloads)
+  }
+}
+
+object InstrumentedModel {
+  val inits = new java.util.concurrent.atomic.AtomicInteger(0)
+  val sizes = java.util.Collections.synchronizedList(
+    new java.util.ArrayList[Int]())
+  def reset(): Unit = { inits.set(0); sizes.clear() }
+  def batchSizes: Seq[Int] = {
+    import scala.jdk.CollectionConverters._
+    sizes.asScala.toSeq
+  }
 }
