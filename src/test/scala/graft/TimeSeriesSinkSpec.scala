@@ -72,6 +72,52 @@ class TimeSeriesSinkSpec extends SparkSpecBase {
     assert(InMemoryStore.batches(run).flatten.size == 5)
   }
 
+  test("the streaming session feeds the connector sink through " +
+      "foreachBatch — the reference's per-cycle insert shape") {
+    import graft.streaming.StreamingFlightSession
+    import graft.streaming.StreamingFlightSession.Observation
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val run = freshRun()
+    val store = new InMemoryStore(run)
+    val t0 = 1712338000L
+    val input = MemoryStream[Observation]
+    val metadata = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(
+        "ab0001", "AB-CDE", "B737", "BOEING", "Own Co", "Demo Air",
+        "2000-02-01"))),
+      Schemas.metadata)
+    val query = StreamingFlightSession
+      .enrichedFlights(spark, input.toDS(), metadata)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TimeSeriesSink.writeFlights(
+          batch.as[Flight], store, batchSize = 100)
+      }
+      .start()
+    try {
+      // takeoff → cruise → landed-and-stopped: exactly one completion
+      input.addData(Observation("ab0001", t0, Some(80.0), Some(12.0)))
+      input.addData(Observation("ab0001", t0 + 300, Some(230.0), Some(-2.0)))
+      input.addData(Observation("ab0001", t0 + 600, Some(0.0), Some(0.0)))
+      val deadline = System.currentTimeMillis + 60000
+      while (InMemoryStore.batches(run).flatten.size < 1 &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+    } finally query.stop()
+
+    val docs = InMemoryStore.batches(run).flatten
+    assert(docs.size == 1, s"expected 1 completed flight, got $docs")
+    assert(docs.head.icao24 == "ab0001")
+    assert(docs.head.flight_duration_minutes == 10)
+    assert(docs.head.model.contains("B737"),
+      "metadata enrichment must reach the sink")
+    assert(InMemoryStore.ttl(run).get("flights") ==
+      TimeSeriesSink.FlightsExpirationSeconds)
+  }
+
   test("every writer that was opened is closed, even with empty batches") {
     val run = freshRun()
     TimeSeriesSink.writeFlights(ds(200, 4), new InMemoryStore(run),
