@@ -46,7 +46,12 @@ object SimilarityQueries {
           .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
         val w = Window.partitionBy("q_id")
           .orderBy(col("sim").desc, col("n_id"))
-        q.crossJoin(c)
+        // broadcast(q): the exact scan is ONE pass over the corpus with
+        // the (tiny) query set broadcast — BroadcastNestedLoopJoin, no
+        // corpus shuffle or replication. This is the correct exact
+        // algorithm at any corpus size; its cost is O(n·q) compute, not
+        // a cartesian shuffle.
+        broadcast(q).crossJoin(c)
           .filter(col("q_id") =!= col("n_id"))
           .withColumn("sim", cosineExpr)
           .withColumn("rank", row_number().over(w).cast("long"))
@@ -80,7 +85,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val c = emb(s, d)
           .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-        val scored = q.crossJoin(c)
+        val scored = broadcast(q).crossJoin(c)
           .filter(col("q_id") =!= col("n_id"))
           .select(col("q_id"),
             col("n_id").as("id"), cosineExpr.as("score"))

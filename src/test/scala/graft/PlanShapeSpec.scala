@@ -91,14 +91,20 @@ class PlanShapeSpec extends SparkSpecBase {
       s"packing must stay shard-partitioned:\n$s")
   }
 
-  test("no cartesian products outside the brute-force similarity baselines") {
-    val allowed = Set("s1_cosine_topk", "s4_topk_aggregated")
+  test("no cartesian products anywhere — even the brute-force exact " +
+      "scans broadcast their query side") {
     SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(allowed)
       .foreach { name =>
         val plan = finalPlan(planOf(name))
         val cartesian = plan.collect { case c: CartesianProductExec => c }
         assert(cartesian.isEmpty, s"unexpected cartesian product in $name")
       }
+  }
+
+  test("the exact cosine scan is a broadcast nested loop, not a " +
+      "cartesian shuffle") {
+    val s = planOf("s1_cosine_topk").toString
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast:\n$s")
   }
 }
