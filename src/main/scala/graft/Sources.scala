@@ -75,11 +75,10 @@ object Sources {
       .option("mode", "FAILFAST")
       .json(path)
 
-  /** S3: aircraft-database CSV scan (header, inferred types) —
-    * the only inferred-schema read in the engine
-    * (reference: opensky/client.py:37-41).
+  /** The S3 CSV gate's reader, shared by the local-path and
+    * HTTP-fetched variants so inference rules can never diverge.
     */
-  def readMetadataCsv(spark: SparkSession, path: String): DataFrame =
+  private def metadataCsvReader(spark: SparkSession) =
     spark.read.option("header", "true").option("inferSchema", "true")
       // pandas read_csv infers only numeric types — date-like strings
       // stay strings. Spark's date/timestamp inference would silently
@@ -88,7 +87,23 @@ object Sources {
       .option("preferDate", "false")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss")
       .option("inferTimestampNTZType", "false")
-      .csv(path)
+
+  /** S3: aircraft-database CSV scan (header, inferred types) —
+    * the only inferred-schema read in the engine
+    * (reference: opensky/client.py:37-41).
+    */
+  def readMetadataCsv(spark: SparkSession, path: String): DataFrame =
+    metadataCsvReader(spark).csv(path)
+
+  /** Same gate over already-fetched CSV content (the HTTP dimension
+    * path): parsed from a distributed Dataset[String] — a driver-local
+    * temp file would be unreadable from executors on a real cluster.
+    */
+  def readMetadataCsvContent(spark: SparkSession, content: String): DataFrame = {
+    import spark.implicits._
+    metadataCsvReader(spark)
+      .csv(spark.createDataset(content.linesIterator.toSeq))
+  }
 
   /** S5: full-overwrite state write — idempotent per input
     * (reference: common/s3.py:108-117).

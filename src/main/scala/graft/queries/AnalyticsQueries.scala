@@ -264,10 +264,12 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n_events"),
             round(sum("value"), 2).as("v_sum"))
           .select(col("user_id"),
-            col("session_window.start").as("session_start"),
+            // epoch-micros BIGINT like q13/q34: raw TIMESTAMP outputs
+            // are hash-fragile across driver DuckDB versions
+            unix_micros(col("session_window.start")).as("session_start_us"),
             col("n_events"), col("v_sum")),
       Some("""WITH e AS (
-          SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts,
+          SELECT user_id, event_id, value, ts,
                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
           FROM events),
         m AS (
@@ -280,7 +282,7 @@ object AnalyticsQueries {
                  sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
                    ROWS UNBOUNDED PRECEDING) AS session_id
           FROM m)
-        SELECT user_id, min(ts) AS session_start,
+        SELECT user_id, min(epoch_us(ts)) AS session_start_us,
                count(*) AS n_events, round(sum(value), 2) AS v_sum
         FROM sess GROUP BY user_id, session_id""")
     )),

@@ -679,9 +679,7 @@ object TextQueries {
     // an independent recursive-CTE transitive closure in DuckDB.
     "d8_dedup_clusters" -> ((
       (s: SparkSession, d: String) => {
-        val edges = verifiedJaccard(s, d)
-          .filter(col("jaccard") >= 0.2)
-          .select("doc_a", "doc_b")
+        val edges = verifiedNearDupEdges(s, d, threshold = 0.2)
         graft.operators.ConnectedComponents.run(edges, "doc_a", "doc_b")
           .select(col("id").as("doc_id"), col("component"))
       },

@@ -56,17 +56,15 @@ final class HttpStatesClient(
     HttpStatesClient.decodeStatesPayload(spark, get(s"$baseUrl/api/states/all"))
 
   /** Dimension CSV over HTTP (reference: opensky/client.py:37-41):
-    * fetched once on the driver (a bounded dimension), then read through
-    * the standard S3 CSV gate so inference rules stay identical to the
-    * local-file path.
+    * fetched once on the driver (a bounded dimension), then parsed as a
+    * distributed Dataset[String] through the standard S3 CSV gate —
+    * same inference rules as the local-file path, and no driver-local
+    * temp file that cluster executors could not read.
     */
-  def fetchMetadataCsv(spark: SparkSession, path: String = "/datasets/metadata/aircraftDatabase.csv"): DataFrame = {
-    val body = get(s"$baseUrl$path")
-    val tmp = java.nio.file.Files.createTempFile("graft-metadata", ".csv")
-    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    tmp.toFile.deleteOnExit()
-    Sources.readMetadataCsv(spark, tmp.toString)
-  }
+  def fetchMetadataCsv(
+      spark: SparkSession,
+      path: String = "/datasets/metadata/aircraftDatabase.csv"): DataFrame =
+    Sources.readMetadataCsvContent(spark, get(s"$baseUrl$path"))
 }
 
 object HttpStatesClient {

@@ -128,7 +128,10 @@ class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
     maxRows = options.getLong("maxRows", 1000L),
     required = required,
     countStarPushed = countStarPushed,
-    pushed = pushed)
+    // Seq, not Array: the scan is a case class, and array fields
+    // compare by reference — identical filtered scans would never be
+    // equal, defeating plan canonicalization and scan reuse.
+    pushed = pushed.toSeq)
 }
 
 /** Three-valued-logic evaluation of pushed V1 filters against the pure
@@ -157,19 +160,26 @@ object StatesV2FilterEval {
     case _ => false
   }
 
-  /** External-typed column value for filter comparison (null-able). */
-  def value(name: String, h: Long): Any = name match {
-    case "icao24" => "%06x".format(h & 0xffffffL)
-    case "last_contact" => 1700000000L + ((h >>> 24) & 0xfffffL)
-    case "velocity" =>
+  /** THE per-column derivation — the reader's getters wrap these same
+    * lambdas, so filter evaluation and row materialization share one
+    * source of truth and can never silently diverge. Dispatch happens
+    * once per binding, not per row.
+    */
+  def getter(name: String): Long => Any = name match {
+    case "icao24" => h => "%06x".format(h & 0xffffffL)
+    case "last_contact" => h => 1700000000L + ((h >>> 24) & 0xfffffL)
+    case "velocity" => h =>
       if (((h >>> 8) % 13) == 0) null
       else ((h >>> 16) % 2000L).toDouble / 10.0
-    case "vertical_rate" =>
+    case "vertical_rate" => h =>
       if (((h >>> 12) % 17) == 0) null
       else ((h >>> 20) % 600L).toDouble / 10.0 - 30.0
     case other =>
       throw new IllegalArgumentException(s"unknown column $other")
   }
+
+  /** External-typed column value for filter comparison (null-able). */
+  def value(name: String, h: Long): Any = getter(name)(h)
 
   private def cmp(a: String, h: Long, v: Any): Option[Int] = {
     val x = value(a, h)
@@ -189,8 +199,12 @@ object StatesV2FilterEval {
     case LessThan(a, v) => cmp(a, h, v).map(_ < 0)
     case LessThanOrEqual(a, v) => cmp(a, h, v).map(_ <= 0)
     case In(a, vs) =>
-      if (value(a, h) == null) None
-      else Some(vs.exists(v => cmp(a, h, v).contains(0)))
+      // SQL 3VL: x IN (..) is TRUE on a match, UNKNOWN (not FALSE) when
+      // there is no match but x or any list element is NULL — else a
+      // pushed Not(In(...)) would emit rows Spark's own Filter drops.
+      if (vs.exists(v => cmp(a, h, v).contains(0))) Some(true)
+      else if (value(a, h) == null || vs.contains(null)) None
+      else Some(false)
     case IsNull(a) => Some(value(a, h) == null)
     case IsNotNull(a) => Some(value(a, h) != null)
     case StringStartsWith(a, p) => value(a, h) match {
@@ -212,14 +226,8 @@ object StatesV2FilterEval {
     case _ => Some(false)
   }
 
-  def accepts(pushed: Array[Filter], h: Long): Boolean = {
-    var i = 0
-    while (i < pushed.length) {
-      if (!eval(pushed(i), h).contains(true)) return false
-      i += 1
-    }
-    true
-  }
+  def accepts(pushed: Seq[Filter], h: Long): Boolean =
+    pushed.forall(f => eval(f, h).contains(true))
 }
 
 case class StatesV2RangePartition(start: Long, end: Long, seed: Long)
@@ -229,7 +237,7 @@ case class StatesV2Scan(
     rows: Long, partitions: Int, seed: Long,
     rowsPerBatch: Long, maxRows: Long, required: StructType,
     countStarPushed: Boolean = false,
-    pushed: Array[Filter] = Array.empty)
+    pushed: Seq[Filter] = Nil)
   extends Scan with Batch {
 
   override def readSchema(): StructType =
@@ -286,7 +294,7 @@ case class StatesV2Offset(n: Long) extends Offset {
 
 class StatesV2MicroBatchStream(
     rowsPerBatch: Long, maxRows: Long, partitions: Int, seed: Long,
-    required: StructType, pushed: Array[Filter] = Array.empty)
+    required: StructType, pushed: Seq[Filter] = Nil)
   extends MicroBatchStream {
 
   // Monotonic w.r.t. every offset this stream has seen — including ones
@@ -341,28 +349,21 @@ class StatesV2CountFactory(rows: Long) extends PartitionReaderFactory {
 }
 
 class StatesV2ReaderFactory(
-    required: StructType, pushed: Array[Filter] = Array.empty)
+    required: StructType, pushed: Seq[Filter] = Nil)
   extends PartitionReaderFactory {
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatesV2RangePartition]
-    // bind the projection once per partition, not per row
+    // bind the projection once per partition, not per row — each getter
+    // wraps the SINGLE per-column derivation in StatesV2FilterEval
+    // (strings converted to UTF8String for InternalRow), so filter
+    // evaluation and row materialization can never diverge
     val getters: Array[Long => Any] = required.fields.map { f =>
-      f.name match {
-        case "icao24" => (h: Long) =>
-          UTF8String.fromString("%06x".format(h & 0xffffffL))
-        case "last_contact" => (h: Long) =>
-          1700000000L + ((h >>> 24) & 0xfffffL)
-        case "velocity" => (h: Long) =>
-          if (((h >>> 8) % 13) == 0) null
-          else ((h >>> 16) % 2000L).toDouble / 10.0
-        case "vertical_rate" => (h: Long) =>
-          if (((h >>> 12) % 17) == 0) null
-          else ((h >>> 20) % 600L).toDouble / 10.0 - 30.0
-        case other =>
-          throw new IllegalArgumentException(s"unknown column $other")
-      }
+      val g = StatesV2FilterEval.getter(f.name)
+      if (f.dataType == StringType)
+        (h: Long) => UTF8String.fromString(g(h).asInstanceOf[String])
+      else g
     }
     new PartitionReader[InternalRow] {
       private var i = p.start - 1

@@ -114,6 +114,19 @@ class StatesV2SourceSpec extends SparkSpecBase {
     assert(nulls.count() > 0)
   }
 
+  test("pushed In / Not(In) with a NULL literal follow SQL three-valued " +
+      "logic") {
+    val base = read(20011, 7)
+    // IN (100.0, NULL): TRUE only on a match — matches Spark exactly
+    val in = base.filter(col("velocity").isin(100.0, null)).collect()
+    val expected = base.collect()
+      .filter(r => !r.isNullAt(2) && r.getDouble(2) == 100.0)
+    assert(in.length == expected.length && in.nonEmpty)
+    // NOT IN with a NULL literal is never TRUE (match → FALSE,
+    // no match → UNKNOWN): must return zero rows, like Spark
+    assert(base.filter(!col("velocity").isin(100.0, null)).count() == 0)
+  }
+
   test("unsupported predicate shapes remain as residual Spark filters") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     // contains() maps to StringContains, which the source declines
