@@ -37,6 +37,21 @@ class OperatorValidationSpec extends SparkSpecBase {
     }
   }
 
+  test("the connector sink and batch inference reject non-positive batch sizes") {
+    val session = spark
+    import session.implicits._
+    val flights = spark.createDataset(Seq.empty[Flight])
+    intercept[IllegalArgumentException] {
+      graft.sources.TimeSeriesSink.writeFlights(
+        flights, new InMemoryStore("no-run"), batchSize = 0)
+    }
+    val media = spark.createDataset(
+      Seq.empty[graft.multimodal.MediaPipeline.MediaFile])
+    intercept[IllegalArgumentException] {
+      graft.multimodal.MediaPipeline.batchInference(media, batchSize = -1)
+    }
+  }
+
   test("as-of joins reject value collisions and missing/mismatched columns") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asofJoin(df, df, "a", "b", Seq("v")) // v exists on left
