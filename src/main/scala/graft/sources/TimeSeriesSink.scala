@@ -22,6 +22,13 @@ import graft.Flight
   *   - empty partitions open no connection at all (the reference's
   *     "Empty document. Nothing to write" guard, per partition).
   *
+  * Delivery semantics: AT-LEAST-ONCE, like the reference's
+  * `insert_many` — a task retry re-sends its partition's batches. A
+  * real store makes this effectively-once by writing through a natural
+  * key (`_id` = (icao24, landed_at) upsert); the `BatchWriter`
+  * implementation owns that choice, the Spark side deliberately does
+  * not buffer or coordinate.
+  *
   * The parquet path (`Sources.writeFlights` + `RetentionJob`) remains
   * the engine-native sink; this is the connector-parity alternative.
   */
