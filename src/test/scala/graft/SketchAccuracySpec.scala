@@ -46,4 +46,30 @@ class SketchAccuracySpec extends SparkSpecBase {
         s"$key p50: approx $a vs exact $ex")
     }
   }
+
+  test("HLL sketches are mergeable: union of shard sketches equals the " +
+      "whole-corpus sketch") {
+    // THE property that makes sketch aggregation distribute: partial
+    // per-shard sketches map-side combine into exactly the result the
+    // single-pass sketch gives. Datasketches HLL with fixed lgK is
+    // deterministic, so equality is exact, not approximate.
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id"), pmod(col("user_id"), lit(4)).as("shard"))
+    val whole = events
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .as("n"))
+      .head().getLong(0)
+    val merged = events
+      .groupBy("shard")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("n"))
+      .head().getLong(0)
+    assert(merged == whole,
+      s"shard-merged estimate $merged != whole-corpus estimate $whole")
+    val exact = events.select("user_id").distinct().count()
+    assert(math.abs(merged - exact).toDouble / exact < 0.05,
+      s"estimate $merged vs exact $exact")
+  }
 }
