@@ -314,6 +314,31 @@ object TextQueries {
         FROM c""")
     )),
 
+    // Deterministic weighted priority sampling: rank by hash/weight and
+    // keep the k smallest — selection probability grows with weight
+    // (longer docs here), membership is reproducible across runs,
+    // engines, and cluster sizes (the weighted analog of t4's hash
+    // split; rand()-based weighted sampling changes membership every
+    // run). Plans as one bounded TakeOrdered — no global sort of the
+    // corpus materializes. hash/weight is a single IEEE division,
+    // correctly rounded in both engines, so the boundary is portable.
+    "t15_weighted_sample" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .withColumn("priority",
+            saltedHash(6, col("doc_id").cast("string")).cast("double") /
+              col("n_chars"))
+          .orderBy(col("priority"), col("doc_id"))
+          .limit(20)
+          .select("doc_id", "n_chars", "lang"),
+      Some(s"""SELECT doc_id, n_chars, lang
+        FROM (SELECT doc_id, n_chars, lang,
+                CAST(${saltedHashSql(6, "doc_id::VARCHAR")} AS DOUBLE)
+                  / n_chars AS priority
+              FROM documents)
+        ORDER BY priority, doc_id LIMIT 20""")
+    )),
+
     // Sequence packing: concatenate chunks into 2048-token training
     // bins. Packing is SHARD-LOCAL (hash-shard per doc, window within
     // shard) — a global greedy pack would need a single-partition
