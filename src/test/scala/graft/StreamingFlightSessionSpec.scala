@@ -46,6 +46,36 @@ class StreamingFlightSessionSpec extends SparkSpecBase {
 
   private val t0 = 1712338000L
 
+  test("state-store metrics surface per-batch state size — the signal " +
+      "an operator watches at scale") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Observation]
+    val query = StreamingFlightSession
+      .completedFlights(spark, input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_metrics_out")
+      .start()
+    try {
+      // two live aircraft, no landings → both must be held in state
+      input.addData(
+        Observation("aa0001", t0, Some(80.0), Some(12.0)),
+        Observation("aa0002", t0, Some(90.0), Some(10.0)))
+      awaitProcessed(query, 2)
+      val deadline = System.currentTimeMillis + 30000
+      def stateRows: Long = query.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(0L)
+      while (stateRows < 2 && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(stateRows == 2,
+        s"expected 2 keyed-state rows in the progress metrics, got $stateRows")
+      assert(query.recentProgress.exists(
+        _.stateOperators.exists(_.numRowsUpdated > 0)),
+        "state updates must be reported")
+    } finally query.stop()
+  }
+
   test("streaming session: takeoff, cruise, landing emits one flight") {
     val got = runScenario("flights_out", Seq(
       Seq(Observation("ab0001", t0, Some(80.0), Some(12.0))),
