@@ -314,6 +314,41 @@ object TextQueries {
         FROM c""")
     )),
 
+    // n-gram novelty: per document, how many of its distinct 5-grams
+    // appear in NO other document — the inverse of contamination and a
+    // strong generated/boilerplate discriminator (novel ≈ original
+    // prose; low novelty ≈ template or near-dup). Two shuffles: gram →
+    // document-frequency, then a rejoin onto the doc's grams. Integer
+    // outputs only.
+    "t16_ngram_novelty" -> ((
+      (s: SparkSession, d: String) => {
+        val grams = docs(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), explode(expr(
+            """CASE WHEN size(w) < 5 THEN array(concat_ws(' ', w))
+               ELSE array_distinct(transform(sequence(0, size(w) - 5),
+                      i -> concat_ws(' ', slice(w, i + 1, 5)))) END"""))
+            .as("g"))
+        val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
+        grams.join(gdf, Seq("g"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      },
+      Some("""WITH grams AS (
+          SELECT doc_id,
+                 unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                        ELSE list_distinct([array_to_string(w[i:i+4], ' ')
+                               for i in range(1, len(w) - 3)]) END) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+        gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
+        SELECT doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN gdf.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel
+        FROM grams JOIN gdf USING (g)
+        GROUP BY doc_id""")
+    )),
+
     // Deterministic weighted priority sampling: rank by hash/weight and
     // keep the k smallest — selection probability grows with weight
     // (longer docs here), membership is reproducible across runs,
