@@ -588,6 +588,42 @@ object AnalyticsQueries {
     // version, pass everything else through — MERGE INTO semantics
     // from plain joins (left join on the key + conditional rewrite +
     // union of the appended versions), no table format required.
+    // Ordered funnel: view → click → purchase, each stage's timestamp
+    // strictly after the previous stage's first occurrence. Three
+    // same-key conditional aggregations chained by joins — Catalyst
+    // reuses the user_id hash partitioning across the chain, so the
+    // funnel costs one logical shuffle of the events, not three.
+    // Internal comparisons on epoch micros; integer outputs.
+    "q38_funnel" -> ((
+      (s: SparkSession, d: String) => {
+        val e = Derived.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("us").as("t1"))
+        val c = e.join(v, Seq("user_id"))
+          .filter(col("event_type") === "click" && col("us") > col("t1"))
+          .groupBy("user_id").agg(min("us").as("t2"))
+        val p = e.join(c, Seq("user_id"))
+          .filter(col("event_type") === "purchase" && col("us") > col("t2"))
+          .groupBy("user_id").agg(min("us").as("t3"))
+        v.agg(count(lit(1)).as("n_view"))
+          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        v AS (SELECT user_id, min(us) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+        SELECT (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_view_click,
+               (SELECT count(*) FROM p) AS n_full_funnel""")
+    )),
+
     "q37_scd2_merge" -> ((
       (s: SparkSession, d: String) => {
         val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
