@@ -624,6 +624,36 @@ object AnalyticsQueries {
                (SELECT count(*) FROM p) AS n_full_funnel""")
     )),
 
+    // Cohort retention: users grouped by first-activity week, counted
+    // distinct in each subsequent week offset — the retention-matrix
+    // aggregation. Weeks are integer epoch-day divisions (no calendar
+    // ambiguity across engines); one aggregation for cohorts, one
+    // same-key join back, one distinct count.
+    "q39_retention_cohorts" -> ((
+      (s: SparkSession, d: String) => {
+        val e = Derived.events(s, d)
+          // `div`, not `/`: Spark's / on longs is DOUBLE division
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000 div 7").as("week"))
+        val cohorts = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+        e.join(cohorts, Seq("user_id"))
+          .withColumn("offset", col("week") - col("cohort_week"))
+          .filter(col("offset") <= 3)
+          .groupBy("cohort_week", "offset")
+          .agg(countDistinct("user_id").as("active_users"))
+      },
+      Some("""WITH e AS (
+          SELECT user_id, epoch_us(ts) // 86400000000 // 7 AS week
+          FROM events),
+        cohorts AS (
+          SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id)
+        SELECT cohort_week, week - cohort_week AS offset,
+               count(DISTINCT e.user_id) AS active_users
+        FROM e JOIN cohorts USING (user_id)
+        WHERE week - cohort_week <= 3
+        GROUP BY cohort_week, week - cohort_week""")
+    )),
+
     "q37_scd2_merge" -> ((
       (s: SparkSession, d: String) => {
         val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
