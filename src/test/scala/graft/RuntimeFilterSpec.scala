@@ -14,44 +14,39 @@ class RuntimeFilterSpec extends SparkSpecBase {
 
   private val dir = "/root/testdata/sf0.01"
 
-  private def withRuntimeFilter[T](body: => T): T = {
-    val overrides = Seq(
+  // Isolated session: suites run in parallel threads against the shared
+  // SparkContext, so the runtime-filter confs must live in this spec's
+  // OWN SQLConf — mutating the shared session's conf races with plan
+  // assertions in concurrently running suites.
+  private lazy val rfSession = {
+    val s = spark.newSession()
+    Seq(
       "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
       "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10MB",
       "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = overrides.map { case (k, _) => k -> spark.conf.getOption(k) }
-    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    ).foreach { case (k, v) => s.conf.set(k, v) }
+    s
+  }
+
+  private def joined(s: org.apache.spark.sql.SparkSession) = {
+    val lineitem = s.read.parquet(s"$dir/lineitem.parquet")
+    val orders = s.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") === "1-URGENT")
+    lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
   }
 
   test("a selective dimension filter injects a bloom filter into the " +
       "fact scan side") {
-    withRuntimeFilter {
-      val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
-      val orders = spark.read.parquet(s"$dir/orders.parquet")
-        .filter(col("o_orderpriority") === "1-URGENT")
-      val joined = lineitem.join(orders,
-        col("l_orderkey") === col("o_orderkey"))
-      val plan = joined.queryExecution.optimizedPlan.toString
-      assert(plan.contains("might_contain") &&
-        plan.contains("bloom_filter_agg"),
-        s"no runtime bloom filter injected:\n$plan")
-    }
+    val plan = joined(rfSession).queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain") &&
+      plan.contains("bloom_filter_agg"),
+      s"no runtime bloom filter injected:\n$plan")
   }
 
   test("the filtered plan returns exactly the unfiltered join's rows") {
-    val lineitem = spark.read.parquet(s"$dir/lineitem.parquet")
-    val orders = spark.read.parquet(s"$dir/orders.parquet")
-      .filter(col("o_orderpriority") === "1-URGENT")
-    def run(): Long = lineitem.join(orders,
-      col("l_orderkey") === col("o_orderkey")).count()
-    val withFilter = withRuntimeFilter(run())
-    val without = run()
+    val withFilter = joined(rfSession).count()
+    val without = joined(spark).count()
     assert(withFilter == without && withFilter > 0,
       s"bloom pruning changed the result: $withFilter vs $without")
   }

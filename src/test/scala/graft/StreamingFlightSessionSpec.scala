@@ -26,14 +26,15 @@ class StreamingFlightSessionSpec extends SparkSpecBase {
       s"stream did not absorb $n input rows within ${timeoutMs}ms")
   }
 
-  private def runScenario(name: String, batches: Seq[Seq[Observation]])
+  private def runScenario(
+      name: String, batches: Seq[Seq[Observation]],
+      session: org.apache.spark.sql.SparkSession = spark)
       : Seq[CompletedFlight] = {
-    val session = spark
     import session.implicits._
-    implicit val sqlCtx = spark.sqlContext
+    implicit val sqlCtx = session.sqlContext
     val input = MemoryStream[Observation]
     val query = StreamingFlightSession
-      .completedFlights(spark, input.toDS())
+      .completedFlights(session, input.toDS())
       .writeStream.outputMode("append")
       .format("memory").queryName(name)
       .start()
@@ -41,7 +42,7 @@ class StreamingFlightSessionSpec extends SparkSpecBase {
       batches.foreach(b => input.addData(b: _*))
       awaitProcessed(query, batches.map(_.size).sum)
     } finally query.stop()
-    spark.table(name).as[CompletedFlight].collect().toSeq.sortBy(_.icao24)
+    session.table(name).as[CompletedFlight].collect().toSeq.sortBy(_.icao24)
   }
 
   private val t0 = 1712338000L
@@ -194,20 +195,17 @@ class StreamingFlightSessionSpec extends SparkSpecBase {
   }
 
   test("runs on the RocksDB state store (production backend for large state)") {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
+    // isolated session: the provider conf must not leak into streaming
+    // tests running concurrently in other suites
+    val rocks = spark.newSession()
+    rocks.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val got = runScenario("flights_rocks", Seq(
-        Seq(Observation("ee", t0, Some(80.0), Some(12.0))),
-        Seq(Observation("ee", t0 + 600, Some(0.0), Some(0.0)))))
-      assert(got == Seq(CompletedFlight("ee", 10,
-        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + 600)))))
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    val got = runScenario("flights_rocks", Seq(
+      Seq(Observation("ee", t0, Some(80.0), Some(12.0))),
+      Seq(Observation("ee", t0 + 600, Some(0.0), Some(0.0)))),
+      session = rocks)
+    assert(got == Seq(CompletedFlight("ee", 10,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + 600)))))
   }
 
   test("streaming matches batch twin on a multi-aircraft scenario") {
