@@ -654,6 +654,34 @@ object AnalyticsQueries {
         GROUP BY cohort_week, week - cohort_week""")
     )),
 
+    // Pairwise co-purchase (frequent itemsets at k=2): parts appearing
+    // together in an order, counted across orders, top-20. The pair
+    // generation is a SELF-JOIN ON THE ORDER KEY (bounded: ~4 lines per
+    // order → ~6 pairs), never an unkeyed cross join; one further
+    // shuffle aggregates pair counts. The shape Apriori's candidate
+    // counting takes on an engine.
+    "q40_copurchase_pairs" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val a = li.select(col("ok"), col("pk").as("part_a"))
+        val b = li.select(col("ok").as("ok_b"), col("pk").as("part_b"))
+        a.join(b, col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+          .groupBy("part_a", "part_b")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+          .limit(20)
+      },
+      Some("""WITH li AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY a.pk, b.pk
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 20""")
+    )),
+
     "q37_scd2_merge" -> ((
       (s: SparkSession, d: String) => {
         val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
