@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -295,13 +295,17 @@ case class StatesV2Offset(n: Long) extends Offset {
 class StatesV2MicroBatchStream(
     rowsPerBatch: Long, maxRows: Long, partitions: Int, seed: Long,
     required: StructType, pushed: Seq[Filter] = Nil)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl {
 
   // Monotonic w.r.t. every offset this stream has seen — including ones
-  // restored from a checkpoint (deserializeOffset / planInputPartitions /
-  // commit all advance it). A restarted query at offset N must get
-  // latestOffset >= N, never a fresh rowsPerBatch, or rows in
-  // (rowsPerBatch, N] would be re-planned and re-emitted.
+  // restored from a checkpoint. The no-arg latestOffset() alone CANNOT
+  // be restart-safe: on restart the engine calls it BEFORE it ever
+  // deserializes the restored offset, so a fresh instance would plan
+  // end=rowsPerBatch and the following batch's start would regress,
+  // re-emitting committed rows. SupportsAdmissionControl fixes this
+  // structurally — the engine passes the restored start INTO
+  // latestOffset(start, limit). deserializeOffset / planInputPartitions
+  // / commit still advance as belt-and-braces.
   private var latest = 0L
 
   private def advanceTo(n: Long): Unit =
@@ -309,10 +313,20 @@ class StatesV2MicroBatchStream(
 
   override def initialOffset(): Offset = StatesV2Offset(0L)
 
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    advanceTo(start.asInstanceOf[StatesV2Offset].n)
+    latest = math.min(maxRows, latest + rowsPerBatch)
+    StatesV2Offset(latest)
+  }
+
   override def latestOffset(): Offset = {
     latest = math.min(maxRows, latest + rowsPerBatch)
     StatesV2Offset(latest)
   }
+
+  override def reportLatestOffset(): Offset = StatesV2Offset(latest)
 
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong

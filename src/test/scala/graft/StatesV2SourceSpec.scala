@@ -154,8 +154,8 @@ class StatesV2SourceSpec extends SparkSpecBase {
       "without re-emitting rows") {
     val ckpt = java.nio.file.Files.createTempDirectory("sv2-ckpt").toString
     val out = java.nio.file.Files.createTempDirectory("sv2-out").toString
-    def start() = spark.readStream.format("graft-states")
-      .option("rowsPerBatch", 150).option("maxRows", 900)
+    def start(maxRows: Long) = spark.readStream.format("graft-states")
+      .option("rowsPerBatch", 150).option("maxRows", maxRows)
       .option("partitions", 4).option("seed", 42L).load()
       .writeStream.option("checkpointLocation", ckpt)
       .format("parquet").option("path", out)
@@ -164,22 +164,22 @@ class StatesV2SourceSpec extends SparkSpecBase {
     def sunk(): Long =
       try spark.read.parquet(out).count() catch { case _: Exception => 0L }
 
-    // phase 1: absorb a few batches, then stop mid-stream
-    val q1 = start()
-    try {
-      val deadline = System.currentTimeMillis + 60000
-      while (sunk() < 300 && System.currentTimeMillis < deadline)
-        Thread.sleep(100)
-      assert(sunk() >= 300, "stream never made progress")
-    } finally q1.stop()
+    def drainTo(n: Long, q: org.apache.spark.sql.streaming.StreamingQuery)
+        : Unit =
+      try {
+        val deadline = System.currentTimeMillis + 120000
+        while (sunk() < n && System.currentTimeMillis < deadline)
+          Thread.sleep(100)
+        assert(sunk() == n, s"expected $n sunk rows, got ${sunk()}")
+      } finally q.stop()
 
-    // phase 2: restart from the checkpoint and drain to maxRows
-    val q2 = start()
-    try {
-      val deadline = System.currentTimeMillis + 60000
-      while (sunk() < 900 && System.currentTimeMillis < deadline)
-        Thread.sleep(100)
-    } finally q2.stop()
+    // phase 1: drain to the CONFIGURED bound (a batch boundary — a
+    // mid-batch stop() races the sink commit and makes row counts
+    // nondeterministic), then stop
+    drainTo(450, start(maxRows = 450))
+    // phase 2: restart from the checkpoint with a higher bound — must
+    // resume at 450, not regress to offset 0
+    drainTo(900, start(maxRows = 900))
 
     val rows = spark.read.parquet(out)
     assert(rows.count() == 900,
