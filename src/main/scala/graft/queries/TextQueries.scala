@@ -59,6 +59,20 @@ object TextQueries {
        ELSE [array_to_string(w[i:i+2], ' ')
               for i in range(1, len(w) - 1)] END"""
 
+  /** Distinct word-5-gram derivation shared by contamination (t13) and
+    * novelty (t16) — one definition per engine so the two queries can
+    * never disagree on what a 5-gram is.
+    */
+  private val fiveGramsExpr =
+    """CASE WHEN size(w) < 5 THEN array(concat_ws(' ', w))
+       ELSE array_distinct(transform(sequence(0, size(w) - 5),
+              i -> concat_ws(' ', slice(w, i + 1, 5)))) END"""
+
+  private val fiveGramsSql =
+    """CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+       ELSE list_distinct([array_to_string(w[i:i+4], ' ')
+              for i in range(1, len(w) - 3)]) END"""
+
   /** MinHash prime modulus (< 2^30 so the affine step stays exact in
     * int64 in both engines).
     */
@@ -324,22 +338,16 @@ object TextQueries {
       (s: SparkSession, d: String) => {
         val grams = docs(s, d)
           .withColumn("w", split(col("text"), " "))
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(w) < 5 THEN array(concat_ws(' ', w))
-               ELSE array_distinct(transform(sequence(0, size(w) - 5),
-                      i -> concat_ws(' ', slice(w, i + 1, 5)))) END"""))
-            .as("g"))
+          .select(col("doc_id"), explode(expr(fiveGramsExpr)).as("g"))
         val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
         grams.join(gdf, Seq("g"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"),
             sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
       },
-      Some("""WITH grams AS (
+      Some(s"""WITH grams AS (
           SELECT doc_id,
-                 unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-                        ELSE list_distinct([array_to_string(w[i:i+4], ' ')
-                               for i in range(1, len(w) - 3)]) END) AS g
+                 unnest($fiveGramsSql) AS g
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
         gdf AS (SELECT g, count(*) AS df FROM grams GROUP BY g)
         SELECT doc_id, count(*) AS n_grams,
@@ -437,11 +445,7 @@ object TextQueries {
       (s: SparkSession, d: String) => {
         val grams = docs(s, d)
           .withColumn("w", split(col("text"), " "))
-          .select(col("doc_id"), explode(expr(
-            """CASE WHEN size(w) < 5 THEN array(concat_ws(' ', w))
-               ELSE array_distinct(transform(sequence(0, size(w) - 5),
-                      i -> concat_ws(' ', slice(w, i + 1, 5)))) END"""))
-            .as("g"))
+          .select(col("doc_id"), explode(expr(fiveGramsExpr)).as("g"))
         val evalGrams = grams.filter(col("doc_id") % 7 === 0)
           .select("g").distinct()
         grams.filter(col("doc_id") % 7 =!= 0)
@@ -449,11 +453,9 @@ object TextQueries {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shared_grams"))
       },
-      Some("""WITH grams AS (
+      Some(s"""WITH grams AS (
           SELECT doc_id,
-                 unnest(CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
-                        ELSE list_distinct([array_to_string(w[i:i+4], ' ')
-                               for i in range(1, len(w) - 3)]) END) AS g
+                 unnest($fiveGramsSql) AS g
           FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
         ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 7 = 0)
         SELECT doc_id, count(*) AS n_shared_grams

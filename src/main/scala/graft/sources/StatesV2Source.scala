@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -226,8 +226,16 @@ object StatesV2FilterEval {
     case _ => Some(false)
   }
 
-  def accepts(pushed: Seq[Filter], h: Long): Boolean =
-    pushed.forall(f => eval(f, h).contains(true))
+  // index loop, not forall: this runs once per generated row in the
+  // reader's next() — Seq.forall would allocate an iterator per row
+  def accepts(pushed: Seq[Filter], h: Long): Boolean = {
+    var i = 0
+    while (i < pushed.length) {
+      if (!eval(pushed(i), h).contains(true)) return false
+      i += 1
+    }
+    true
+  }
 }
 
 case class StatesV2RangePartition(start: Long, end: Long, seed: Long)
@@ -295,7 +303,7 @@ case class StatesV2Offset(n: Long) extends Offset {
 class StatesV2MicroBatchStream(
     rowsPerBatch: Long, maxRows: Long, partitions: Int, seed: Long,
     required: StructType, pushed: Seq[Filter] = Nil)
-  extends MicroBatchStream with SupportsAdmissionControl {
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   // Monotonic w.r.t. every offset this stream has seen — including ones
   // restored from a checkpoint. The no-arg latestOffset() alone CANNOT
@@ -313,11 +321,17 @@ class StatesV2MicroBatchStream(
 
   override def initialOffset(): Offset = StatesV2Offset(0L)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(rowsPerBatch)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     advanceTo(start.asInstanceOf[StatesV2Offset].n)
-    latest = math.min(maxRows, latest + rowsPerBatch)
+    val step = limit match {
+      case _: ReadAllAvailable => maxRows // drain in one batch
+      case m: ReadMaxRows => latest + m.maxRows()
+      case _ => latest + rowsPerBatch
+    }
+    latest = math.min(maxRows, step)
     StatesV2Offset(latest)
   }
 
@@ -327,6 +341,11 @@ class StatesV2MicroBatchStream(
   }
 
   override def reportLatestOffset(): Offset = StatesV2Offset(latest)
+
+  // Trigger.AvailableNow: "all currently available" is maxRows by
+  // construction, already what latestOffset converges to — the engine
+  // then drains rowsPerBatch-limited batches until it reaches it.
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def deserializeOffset(json: String): Offset = {
     val n = json.toLong

@@ -191,6 +191,22 @@ class StatesV2SourceSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("Trigger.AvailableNow drains to maxRows across batches, then " +
+      "terminates") {
+    val out = java.nio.file.Files.createTempDirectory("sv2-an-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sv2-an-ck").toString
+    val q = spark.readStream.format("graft-states")
+      .option("rowsPerBatch", 150).option("maxRows", 600)
+      .option("partitions", 4).option("seed", 42L).load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    assert(q.awaitTermination(120000), "AvailableNow query must terminate")
+    assert(spark.read.parquet(out).count() == 600,
+      "AvailableNow must drain to maxRows, not stop after one batch")
+  }
+
   test("latestOffset never regresses below a checkpoint-restored offset") {
     import graft.sources.{StatesV2MicroBatchStream, StatesV2Offset}
     val s = new StatesV2MicroBatchStream(
