@@ -126,12 +126,17 @@ object MediaPipeline {
     * batching plumbing is unchanged.
     */
   final class StubModel extends BatchModel {
-    private val md = java.security.MessageDigest.getInstance("MD5")
-    def embedBatch(payloads: Seq[Array[Byte]]): Seq[String] =
+    // MessageDigest is neither serializable nor thread-safe — create it
+    // per call, so a pre-built StubModel captured in a closure (instead
+    // of constructed inside modelFactory) still serializes and shares
+    // safely across tasks.
+    def embedBatch(payloads: Seq[Array[Byte]]): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
       payloads.map { p =>
         md.reset()
         md.digest(p).map("%02x".format(_)).mkString.take(16)
       }
+    }
   }
 
   /** Model-inference batching: rows are grouped into `batchSize`

@@ -232,9 +232,16 @@ object AnalyticsQueries {
             min(unix_micros(col("ts"))).as("session_start_us"),
             max(unix_micros(col("ts"))).as("session_end_us"))
       },
+      // Two portability rules bind here: (1) windows ORDER BY
+      // epoch_us(ts), event_id — the same micros-floored key Spark
+      // orders by — so sub-microsecond TIMESTAMP_NS payloads can never
+      // produce a divergent tie-break; (2) the emitted session_id is a
+      // window sum, which DuckDB types HUGEINT — it decays to float64
+      // through the driver's pandas fetch and hash-mismatches int64
+      // unless cast back to BIGINT.
       Some("""WITH e AS (
           SELECT user_id, event_id, ts,
-                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
           FROM events),
         m AS (
           SELECT user_id, event_id, ts,
@@ -243,8 +250,8 @@ object AnalyticsQueries {
           FROM e),
         sess AS (
           SELECT user_id, ts,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
           FROM m)
         SELECT user_id, session_id, count(*) AS n_events,
                min(epoch_us(ts)) AS session_start_us,
@@ -270,7 +277,7 @@ object AnalyticsQueries {
             col("n_events"), col("v_sum")),
       Some("""WITH e AS (
           SELECT user_id, event_id, value, ts,
-                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
           FROM events),
         m AS (
           SELECT user_id, ts, value,
@@ -279,7 +286,7 @@ object AnalyticsQueries {
           FROM e),
         sess AS (
           SELECT user_id, ts, value,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
                    ROWS UNBOUNDED PRECEDING) AS session_id
           FROM m)
         SELECT user_id, min(epoch_us(ts)) AS session_start_us,

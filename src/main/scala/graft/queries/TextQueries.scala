@@ -425,9 +425,12 @@ object TextQueries {
           FROM c),
         packed AS (
           SELECT shard, chunk_tokens,
-                 sum(chunk_tokens) OVER (PARTITION BY shard
+                 -- window sum is HUGEINT in DuckDB; cast back or the
+                 -- derived bin decays to float64 through pandas and
+                 -- hash-mismatches Spark's int64
+                 CAST(sum(chunk_tokens) OVER (PARTITION BY shard
                    ORDER BY doc_id, chunk_id
-                   ROWS UNBOUNDED PRECEDING) AS cum
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
           FROM chunks)
         SELECT shard, (cum - chunk_tokens) // 2048 AS bin,
                count(*) AS n_chunks,

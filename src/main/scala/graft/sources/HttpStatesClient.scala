@@ -90,10 +90,13 @@ object HttpStatesClient {
     val fields = Schemas.states17.fields
     val rows = (0 until states.size()).map { i =>
       val arr = states.get(i)
-      (0 until arr.size()).map { j =>
-        val dt = if (j < fields.length) fields(j).dataType else StringType
-        coerce(arr.get(j), dt)
-      }
+      // Reject wrong-arity rows here, not downstream: coercing
+      // out-of-range cells as strings only to have statesFromRows
+      // reject the row is wasted work with a less precise error.
+      if (arr.size() != fields.length)
+        throw new Sources.InvalidResponseError(
+          s"states row $i has ${arr.size()} fields, expected ${fields.length}")
+      (0 until arr.size()).map(j => coerce(arr.get(j), fields(j).dataType))
     }
     Sources.statesFromRows(spark, rows)
   }

@@ -223,7 +223,12 @@ object StatesV2FilterEval {
       case _ => None
     }
     case Not(c) => eval(c, h).map(!_)
-    case _ => Some(false)
+    // Fail fast, never filter silently: this branch is reachable only
+    // if `supported` accepts a filter shape eval does not handle —
+    // returning Some(false) there would silently DROP pushed rows (a
+    // wrong-results bug); an exception surfaces the drift immediately.
+    case other => throw new IllegalStateException(
+      s"pushed filter $other has no eval branch — supported/eval drift")
   }
 
   // index loop, not forall: this runs once per generated row in the

@@ -18,11 +18,32 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_family(t):
+    """Collapse a DuckDB type name into a comparison family. HUGEINT is
+    deliberately its OWN family, not int: the driver fetches through
+    pandas, where HUGEINT decays to float64 and hashes as `3.0` vs the
+    Spark side's int64 `3` — a silent hash mismatch that survives the
+    name/row checks (bit q13 and t14 for three rounds)."""
+    t = str(t).upper()
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return {
+        "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int",
+        "BIGINT": "int", "UTINYINT": "int", "USMALLINT": "int",
+        "UINTEGER": "int", "UBIGINT": "int",
+        "FLOAT": "float", "DOUBLE": "float",
+        "HUGEINT": "hugeint", "UHUGEINT": "hugeint",
+    }.get(t, t)
+
+
 def canon(con, rel_sql):
     """Fetch a relation deterministically: columns sorted by name, rows
-    sorted by all columns, floats rounded."""
+    sorted by all columns, floats rounded. Also returns per-column type
+    families (sorted by column name) for the pandas-decay check."""
     rel = con.sql(rel_sql)
+    by_name = dict(zip(rel.columns, rel.types))
     cols = sorted(rel.columns)
+    fams = [type_family(by_name[c]) for c in cols]
     sel = ", ".join(f'"{c}"' for c in cols)
     rows = con.sql(
         f"SELECT {sel} FROM ({rel_sql}) ORDER BY ALL NULLS FIRST").fetchall()
@@ -35,7 +56,7 @@ def canon(con, rel_sql):
             else:
                 vals.append(repr(v))
         out.append("|".join(vals))
-    return cols, out
+    return cols, out, fams
 
 
 def main():
@@ -57,11 +78,15 @@ def main():
             print(f"[rows-only] {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
             continue
         try:
-            gcols, grows = canon(con, got_sql)
-            ecols, erows = canon(con, f"SELECT * FROM ({oracle[name]})")
+            gcols, grows, gfams = canon(con, got_sql)
+            ecols, erows, efams = canon(con, f"SELECT * FROM ({oracle[name]})")
             status = []
             if gcols != ecols:
                 status.append(f"COLS got={gcols} exp={ecols}")
+            elif gfams != efams:
+                bad = [f"'{c}' spark={g} oracle={e}"
+                       for c, g, e in zip(gcols, gfams, efams) if g != e]
+                status.append(f"TYPES {'; '.join(bad)}")
             if len(grows) != len(erows):
                 status.append(f"NROWS got={len(grows)} exp={len(erows)}")
             if not status:
