@@ -26,6 +26,20 @@ object Bench {
     // Warmup: JIT/codegen + file-listing caches, not counted.
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Global HEAVY warmup: the alphabetically-first measured query
+    // (d10) otherwise runs while C2 is still compiling Spark's
+    // shuffle/codegen machinery — its single per-query warmup run is
+    // not enough in a cold JVM and it benched 8 s where its warm
+    // steady state is 1.2 s. Two unmeasured runs of the shared
+    // MinHash-verification plan (explode + joins + shuffles — the
+    // widest machinery any query touches) put the first measured
+    // query in the same warm regime as the rest.
+    SparkEntry.queries.get("d7_lsh_verified_jaccard").foreach { fn =>
+      (1 to 2).foreach { _ =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
 
     // Per-query: one unmeasured warmup run (whole-stage-codegen +
     // JIT compile of the plan, 2-4s per distinct plan shape, a fixed
