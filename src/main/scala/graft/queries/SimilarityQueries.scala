@@ -243,5 +243,102 @@ object SimilarityQueries {
         SELECT v AS vec_id, min(comp) AS component
         FROM reach GROUP BY v""")
     )),
+
+    // Signed-random-projection LSH (SimHash for embeddings): 32
+    // deterministic ±1 hyperplanes give each vector a 32-bit sign
+    // signature whose Hamming distance estimates angular distance —
+    // the geometry-free complement to s2/s5 (no grid, no trained
+    // centroids, no corpus statistics: any node can sign any vector
+    // independently, so the signature step is a stateless narrow map
+    // at any scale). Retrieval is d9's banding shape in bit-space:
+    // 4 bands x 8 bits, candidates bucket-join on a whole band, then
+    // exact bit_count verification — never an all-pairs scan. All
+    // arithmetic is integer (inputs quantized by floor(x*1000), signs
+    // are ±1), so Spark and DuckDB agree bit-for-bit with no float
+    // summation-order hazard.
+    "s7_srp_lsh" -> ((
+      (s: SparkSession, d: String) => {
+        val sig = srpSignatures(s, d).localCheckpoint(true)
+        val bands = (0 until 4).map { b =>
+          sig.select(col("vec_id"), lit(b).as("band"),
+            shiftright(col("srp"), b * 8).bitwiseAND(0xff).as("bv"))
+        }.reduce(_.unionByName(_))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+          .distinct()
+        cand
+          .join(sig.select(col("vec_id").as("vec_a"), col("srp").as("fa")),
+            Seq("vec_a"))
+          .join(sig.select(col("vec_id").as("vec_b"), col("srp").as("fb")),
+            Seq("vec_b"))
+          .withColumn("hamming",
+            bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+          .filter(col("hamming") <= 10)
+          .select("vec_a", "vec_b", "hamming")
+      },
+      Some(s"""WITH signs AS (
+          SELECT i, j,
+                 CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 1))::INT % 2 = 0
+                      THEN 1 ELSE -1 END AS s
+          FROM range(32) p(i), range(64) d(j)),
+        q AS (
+          SELECT vec_id, j,
+                 CAST(floor(embedding[(j + 1)::INT]::DOUBLE * 1000) AS BIGINT) AS qv
+          FROM embeddings, range(64) d(j)),
+        dots AS (
+          SELECT vec_id, i, sum(s * qv) AS dot
+          FROM q JOIN signs USING (j)
+          GROUP BY vec_id, i),
+        sig AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN dot > 0 THEN 1::BIGINT << i ELSE 0 END)
+                   AS BIGINT) AS srp
+          FROM dots GROUP BY vec_id),
+        bands AS (
+          SELECT vec_id, b AS band, (srp >> (b * 8)) & 255 AS bv
+          FROM sig, range(4) t(b)),
+        cand AS (
+          SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+          FROM bands x JOIN bands y
+            ON x.band = y.band AND x.bv = y.bv AND x.vec_id < y.vec_id)
+        SELECT vec_a, vec_b,
+               CAST(bit_count(xor(a.srp, b.srp)) AS BIGINT) AS hamming
+        FROM cand
+        JOIN sig a ON vec_a = a.vec_id
+        JOIN sig b ON vec_b = b.vec_id
+        WHERE bit_count(xor(a.srp, b.srp)) <= 10""")
+    )),
   )
+
+  /** Deterministic ±1 hyperplane component for plane `i`, dimension
+    * `j`: parity of the first hex digit of md5("i:j") — reproducible
+    * by any engine with an MD5 function, which is what makes the
+    * signature oracle-checkable.
+    */
+  private def srpSign(i: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 0) 1L else -1L
+  }
+
+  /** 32-bit SRP signatures: quantize each component to
+    * floor(x*1000) (exact in both engines; integer sums have no
+    * float association hazard), dot against each ±1 plane, take sign
+    * bits. One narrow map over the corpus — no shuffle, no state.
+    */
+  private[graft] def srpSignatures(s: SparkSession, d: String): DataFrame = {
+    val qv = expr(
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    val srp = (0 until 32).map { i =>
+      val signs = array((0 until 64).map(j => lit(srpSign(i, j))): _*)
+      val dot = aggregate(
+        zip_with(col("qv"), signs, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb(s, d).withColumn("qv", qv)
+      .select(col("vec_id"), srp.as("srp"))
+  }
 }

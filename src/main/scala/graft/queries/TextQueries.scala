@@ -25,6 +25,12 @@ object TextQueries {
   private def docs(s: SparkSession, d: String) =
     Derived.table(s, d, "documents")
 
+  /** BPE-ish pre-tokenizer: letter runs, digit chunks of at most 3,
+    * single non-alphanumeric marks. No lookarounds — Java regex and
+    * RE2 segment identically (t17 + its spec).
+    */
+  private[graft] val bpePattern = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]"
+
   /** k-salted portable 60-bit hash of a string column (Spark side). */
   private def saltedHash(k: Int, c: org.apache.spark.sql.Column) =
     conv(substring(md5(concat(lit(s"$k:"), c)), 1, 15), 16, 10).cast("long")
@@ -925,6 +931,34 @@ object TextQueries {
              FROM documents)
            GROUP BY doc_id"""
       }
+    )),
+
+    // BPE-ish tokenization: the GPT-family pre-tokenizer shape —
+    // letter runs, digit chunks of at most 3 (how modern BPE vocabs
+    // chunk numbers), single non-alphanumeric marks — as one
+    // regexp_extract_all pass. Complements t1's whitespace count with
+    // the statistics a tokenizer-budget planner actually needs: BPE
+    // token count, unique-token count, and summed token chars (all
+    // exact integers; the pattern uses no lookarounds so Java regex
+    // and RE2 segment identically). Per-row narrow map — no shuffle.
+    "t17_bpe_tokens" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d)
+          .withColumn("toks",
+            regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_bpe"),
+            size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+            aggregate(transform(col("toks"), t => length(t).cast("long")),
+              lit(0L), (acc, x) => acc + x).as("n_tok_chars")),
+      Some("""SELECT doc_id,
+          len(toks) AS n_bpe,
+          len(list_distinct(toks)) AS n_uniq,
+          CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+            AS BIGINT) AS n_tok_chars
+        FROM (SELECT doc_id,
+                regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]') AS toks
+              FROM documents)""")
     )),
 
     // Multimodal plumbing: text treated as an opaque binary payload
