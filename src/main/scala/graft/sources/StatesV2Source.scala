@@ -83,6 +83,7 @@ class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
 
   private var required: StructType = StatesV2Source.schema
   private var countStarPushed = false
+  private var pushedAgg: Option[(Seq[StatesV2Agg], Seq[String])] = None
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -109,10 +110,21 @@ class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
       aggregation: aggregate.Aggregation): Boolean =
     isBareCountStar(aggregation) && pushed.isEmpty
 
+  // Beyond the complete COUNT(*) case, PARTIAL aggregate pushdown:
+  // each partition reader pre-aggregates its own range and emits one
+  // row per (partition, group) — Spark plans the final merge (sum of
+  // counts, min of mins, ...) on top. At scale this is the difference
+  // between shuffling every generated row to the aggregation and
+  // shuffling one row per group per partition.
   override def pushAggregation(
       aggregation: aggregate.Aggregation): Boolean = {
-    countStarPushed = isBareCountStar(aggregation) && pushed.isEmpty
-    countStarPushed
+    if (isBareCountStar(aggregation) && pushed.isEmpty) {
+      countStarPushed = true
+      true
+    } else {
+      pushedAgg = StatesV2Agg.convert(aggregation)
+      pushedAgg.isDefined
+    }
   }
 
   private def isBareCountStar(a: aggregate.Aggregation): Boolean =
@@ -131,7 +143,71 @@ class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
     // Seq, not Array: the scan is a case class, and array fields
     // compare by reference — identical filtered scans would never be
     // equal, defeating plan canonicalization and scan reuse.
-    pushed = pushed.toSeq)
+    pushed = pushed.toSeq,
+    agg = pushedAgg)
+}
+
+/** A pushed aggregate call, reduced to a serializable shape the
+  * partition readers can evaluate (the connector Aggregation classes
+  * are not meant to travel to executors).
+  */
+sealed trait StatesV2Agg extends Serializable {
+  /** Partial-buffer type this aggregate emits per (partition, group). */
+  def bufferType: StructField
+}
+
+object StatesV2Agg {
+  import aggregate._
+
+  private def colType(name: String): DataType =
+    StatesV2Source.schema(name).dataType
+
+  final case class PCountStar() extends StatesV2Agg {
+    val bufferType = StructField("count_star", LongType, nullable = false)
+  }
+  final case class PCount(col: String) extends StatesV2Agg {
+    val bufferType = StructField(s"count_$col", LongType, nullable = false)
+  }
+  final case class PMin(col: String) extends StatesV2Agg {
+    val bufferType = StructField(s"min_$col", colType(col), nullable = true)
+  }
+  final case class PMax(col: String) extends StatesV2Agg {
+    val bufferType = StructField(s"max_$col", colType(col), nullable = true)
+  }
+  final case class PSum(col: String) extends StatesV2Agg {
+    val bufferType = StructField(s"sum_$col", colType(col), nullable = true)
+  }
+
+  private def refName(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case f: org.apache.spark.sql.connector.expressions.NamedReference
+        if f.fieldNames.length == 1 &&
+          StatesV2Source.schema.fieldNames.contains(f.fieldNames()(0)) =>
+      Some(f.fieldNames()(0))
+    case _ => None
+  }
+
+  /** Accepts min/max/count/count(*)/sum over source columns (no
+    * DISTINCT — a distinct partial cannot be merged) with plain-column
+    * grouping; anything else declines the push and runs in Spark.
+    */
+  def convert(a: Aggregation): Option[(Seq[StatesV2Agg], Seq[String])] = {
+    val groups = a.groupByExpressions.toSeq.map(refName)
+    val aggs = a.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PCountStar())
+      case c: Count if !c.isDistinct => refName(c.column).map(PCount)
+      case m: Min => refName(m.column).map(PMin)
+      case m: Max => refName(m.column).map(PMax)
+      case s: Sum if !s.isDistinct &&
+          refName(s.column).exists(n => colType(n) != StringType) =>
+        refName(s.column).map(PSum)
+      case _ => None
+    }
+    if (aggs.nonEmpty && aggs.forall(_.isDefined) && groups.forall(_.isDefined))
+      Some((aggs.flatten, groups.flatten))
+    else None
+  }
 }
 
 /** Three-valued-logic evaluation of pushed V1 filters against the pure
@@ -250,19 +326,34 @@ case class StatesV2Scan(
     rows: Long, partitions: Int, seed: Long,
     rowsPerBatch: Long, maxRows: Long, required: StructType,
     countStarPushed: Boolean = false,
-    pushed: Seq[Filter] = Nil)
+    pushed: Seq[Filter] = Nil,
+    agg: Option[(Seq[StatesV2Agg], Seq[String])] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType =
     if (countStarPushed)
       StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-    else required
+    else agg match {
+      case Some((aggs, groups)) =>
+        // Partial-aggregation contract: one row per (partition, group),
+        // GROUP columns first, then the aggregate buffer columns —
+        // Spark's rewrite maps them positionally and plans the final
+        // merge aggregation on top.
+        StructType(groups.map(g => StatesV2Source.schema(g)) ++
+          aggs.map(_.bufferType))
+      case None => required
+    }
 
-  // Surfaces pushed filters in .explain() — PlanShapeSpec asserts on it.
+  // Surfaces pushed filters/aggregates in .explain() — PlanShapeSpec
+  // and StatesV2AggPushdownSpec assert on it.
   override def description(): String = {
     val f = if (pushed.isEmpty) "" else
       pushed.mkString(", PushedFilters: [", ", ", "]")
-    s"graft-states rows=$rows$f"
+    val a = agg.map { case (aggs, groups) =>
+      aggs.map(_.bufferType.name).mkString(", PushedAggregation: [", ", ", "]") +
+        (if (groups.isEmpty) "" else groups.mkString(" GroupBy: [", ", ", "]"))
+    }.getOrElse("")
+    s"graft-states rows=$rows$f$a"
   }
 
   override def toBatch: Batch = this
@@ -273,7 +364,11 @@ case class StatesV2Scan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (countStarPushed) new StatesV2CountFactory(rows)
-    else new StatesV2ReaderFactory(required, pushed)
+    else agg match {
+      case Some((aggs, groups)) =>
+        new StatesV2AggReaderFactory(aggs, groups, pushed)
+      case None => new StatesV2ReaderFactory(required, pushed)
+    }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new StatesV2MicroBatchStream(
@@ -384,6 +479,102 @@ class StatesV2CountFactory(rows: Long) extends PartitionReaderFactory {
       override def get(): InternalRow = InternalRow(rows)
       override def close(): Unit = ()
     }
+}
+
+/** Partial aggregate pushdown: the reader walks its range once,
+  * folding every surviving row into per-group buffers, and emits one
+  * row per group — [agg buffers..., group values...]. Pushed filters
+  * still gate rows BEFORE they reach a buffer, so filter + aggregate
+  * pushdown compose. Memory is O(groups in this partition), the same
+  * bound a map-side partial aggregation has.
+  */
+class StatesV2AggReaderFactory(
+    aggs: Seq[StatesV2Agg], groups: Seq[String], pushed: Seq[Filter])
+  extends PartitionReaderFactory {
+  import StatesV2Agg._
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[StatesV2RangePartition]
+    val groupGetters = groups.map(StatesV2FilterEval.getter).toArray
+    // buffer slots: one Any per agg (counts are java.lang.Long;
+    // min/max/sum hold null until the first non-null input)
+    val buffers =
+      new java.util.LinkedHashMap[IndexedSeq[Any], Array[Any]]()
+
+    def fold(slot: Array[Any], h: Long): Unit = {
+      var k = 0
+      while (k < aggs.length) {
+        aggs(k) match {
+          case PCountStar() =>
+            slot(k) = slot(k).asInstanceOf[java.lang.Long] + 1L
+          case PCount(c) =>
+            if (StatesV2FilterEval.value(c, h) != null)
+              slot(k) = slot(k).asInstanceOf[java.lang.Long] + 1L
+          case PMin(c) =>
+            val v = StatesV2FilterEval.value(c, h)
+            if (v != null && (slot(k) == null || ordLt(v, slot(k))))
+              slot(k) = v
+          case PMax(c) =>
+            val v = StatesV2FilterEval.value(c, h)
+            if (v != null && (slot(k) == null || ordLt(slot(k), v)))
+              slot(k) = v
+          case PSum(c) =>
+            val v = StatesV2FilterEval.value(c, h)
+            if (v != null) slot(k) = (slot(k), v) match {
+              case (null, x) => x
+              case (a: java.lang.Long, x: java.lang.Long) =>
+                java.lang.Long.valueOf(a + x)
+              case (a: java.lang.Double, x: java.lang.Double) =>
+                java.lang.Double.valueOf(a + x)
+              case (a, _) => a
+            }
+        }
+        k += 1
+      }
+    }
+
+    def ordLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: String, y: String) => x.compareTo(y) < 0
+      case (x: Number, y: Number) =>
+        java.lang.Double.compare(x.doubleValue(), y.doubleValue()) < 0
+      case _ => false
+    }
+
+    def emptySlot(): Array[Any] = aggs.map {
+      case PCountStar() | PCount(_) => java.lang.Long.valueOf(0L): Any
+      case _ => null: Any
+    }.toArray
+
+    var i = p.start
+    while (i < p.end) {
+      val h = StatesV2Source.splitmix64(p.seed + i)
+      if (StatesV2FilterEval.accepts(pushed, h)) {
+        val key: IndexedSeq[Any] = groupGetters.map(_(h)).toIndexedSeq
+        var slot = buffers.get(key)
+        if (slot == null) { slot = emptySlot(); buffers.put(key, slot) }
+        fold(slot, h)
+      }
+      i += 1
+    }
+
+    val it = buffers.entrySet().iterator()
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        val e = it.next()
+        val vals = e.getKey ++ e.getValue.toIndexedSeq
+        current = InternalRow.fromSeq(vals.map {
+          case s: String => UTF8String.fromString(s)
+          case v => v
+        })
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class StatesV2ReaderFactory(
