@@ -79,12 +79,30 @@ class StatesV2Table(options: CaseInsensitiveStringMap)
 
 class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownAggregates with SupportsPushDownFilters {
+  with SupportsPushDownAggregates with SupportsPushDownFilters
+  with SupportsPushDownLimit {
 
   private var required: StructType = StatesV2Source.schema
   private var countStarPushed = false
   private var pushedAgg: Option[(Seq[StatesV2Agg], Seq[String])] = None
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  // LIMIT n with no pushed filters is FULLY answerable by generating
+  // only the first n indices (deterministic source — the prefix IS a
+  // valid limit result), so Spark drops its own Limit. With filters
+  // the cap is per-partition best-effort (partial push): each reader
+  // stops after n surviving rows and Spark keeps the global Limit.
+  override def pushLimit(l: Int): Boolean = {
+    // defensive: never compose with an aggregate push (a limit above
+    // an aggregate is not supposed to reach the scan, but a contract
+    // drift here would silently truncate aggregation input)
+    if (countStarPushed || pushedAgg.nonEmpty) return false
+    limit = Some(l)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = pushed.nonEmpty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -144,7 +162,8 @@ class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
     // compare by reference — identical filtered scans would never be
     // equal, defeating plan canonicalization and scan reuse.
     pushed = pushed.toSeq,
-    agg = pushedAgg)
+    agg = pushedAgg,
+    limit = limit)
 }
 
 /** A pushed aggregate call, reduced to a serializable shape the
@@ -327,7 +346,8 @@ case class StatesV2Scan(
     rowsPerBatch: Long, maxRows: Long, required: StructType,
     countStarPushed: Boolean = false,
     pushed: Seq[Filter] = Nil,
-    agg: Option[(Seq[StatesV2Agg], Seq[String])] = None)
+    agg: Option[(Seq[StatesV2Agg], Seq[String])] = None,
+    limit: Option[Int] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType =
@@ -353,21 +373,31 @@ case class StatesV2Scan(
       aggs.map(_.bufferType.name).mkString(", PushedAggregation: [", ", ", "]") +
         (if (groups.isEmpty) "" else groups.mkString(" GroupBy: [", ", ", "]"))
     }.getOrElse("")
-    s"graft-states rows=$rows$f$a"
+    val l = limit.map(n => s", PushedLimit: $n").getOrElse("")
+    s"graft-states rows=$rows$f$a$l"
   }
 
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
     if (countStarPushed) Array(StatesV2RangePartition(0L, 1L, seed))
-    else StatesV2Scan.splitRange(0L, rows, partitions, seed)
+    else limit match {
+      // no filters: the limit is exact — only the first n indices are
+      // ever generated (still split for parallelism)
+      case Some(n) if pushed.isEmpty =>
+        StatesV2Scan.splitRange(0L, math.min(rows, n.toLong), partitions, seed)
+      case _ => StatesV2Scan.splitRange(0L, rows, partitions, seed)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     if (countStarPushed) new StatesV2CountFactory(rows)
     else agg match {
       case Some((aggs, groups)) =>
         new StatesV2AggReaderFactory(aggs, groups, pushed)
-      case None => new StatesV2ReaderFactory(required, pushed)
+      case None =>
+        // per-partition cap only matters on the filtered (partial) path
+        new StatesV2ReaderFactory(required, pushed,
+          limitPerPartition = if (pushed.isEmpty) None else limit)
     }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -578,7 +608,8 @@ class StatesV2AggReaderFactory(
 }
 
 class StatesV2ReaderFactory(
-    required: StructType, pushed: Seq[Filter] = Nil)
+    required: StructType, pushed: Seq[Filter] = Nil,
+    limitPerPartition: Option[Int] = None)
   extends PartitionReaderFactory {
 
   override def createReader(
@@ -597,14 +628,22 @@ class StatesV2ReaderFactory(
     new PartitionReader[InternalRow] {
       private var i = p.start - 1
       private var h = 0L
+      private var emitted = 0
+      private val cap = limitPerPartition.getOrElse(Int.MaxValue)
       // pushed filters are checked on the raw hash BEFORE any column
       // materialization — failing rows never allocate an InternalRow
       // and never leave the reader (may reference columns outside the
       // pruned projection; evaluated independently of `getters`).
+      // A partially-pushed limit stops the walk after `cap` surviving
+      // rows — Spark's own Limit still applies globally.
       override def next(): Boolean = {
+        if (emitted >= cap) return false
         while ({ i += 1; i < p.end }) {
           h = StatesV2Source.splitmix64(p.seed + i)
-          if (StatesV2FilterEval.accepts(pushed, h)) return true
+          if (StatesV2FilterEval.accepts(pushed, h)) {
+            emitted += 1
+            return true
+          }
         }
         false
       }

@@ -150,6 +150,29 @@ class StatesV2SourceSpec extends SparkSpecBase {
       "filtered count must reflect the filter, not the rows option")
   }
 
+  test("limit pushdown: unfiltered limit generates only the prefix") {
+    val df = read(100000, 8).limit(7)
+    val got = df.collect()
+    assert(got.length == 7)
+    // deterministic source: the pushed prefix equals the full read's
+    // first 7 rows in partition-index order
+    assert(got.toSeq == read(100000, 8).collect().take(7).toSeq)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(df.queryExecution.optimizedPlan.toString.contains("PushedLimit") ||
+      plan.contains("PushedLimit"), s"limit was not pushed:\n$plan")
+  }
+
+  test("limit pushdown composes with filters as a per-partition cap") {
+    val base = read(20011, 4).filter(col("velocity") > 150.0)
+    val df = base.limit(9)
+    val got = df.collect()
+    assert(got.length == 9)
+    assert(got.forall(r => r.getDouble(2) > 150.0))
+    // partial push: Spark keeps its own global Limit on top
+    assert(df.queryExecution.optimizedPlan.toString.contains("GlobalLimit") ||
+      df.queryExecution.executedPlan.toString.contains("Limit"))
+  }
+
   test("a stopped-and-restarted stream resumes from the checkpoint " +
       "without re-emitting rows") {
     val ckpt = java.nio.file.Files.createTempDirectory("sv2-ckpt").toString
