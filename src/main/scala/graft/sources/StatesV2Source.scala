@@ -348,7 +348,40 @@ case class StatesV2Scan(
     pushed: Seq[Filter] = Nil,
     agg: Option[(Seq[StatesV2Agg], Seq[String])] = None,
     limit: Option[Int] = None)
-  extends Scan with Batch {
+  extends Scan with Batch
+  with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // Runtime (join-driven) filters arrive DURING execution — after
+  // planning, before readers are created. They prune generation the
+  // same way planning-time pushed filters do; correctness never
+  // depends on them (the join re-checks), so the unsupported subset
+  // is simply ignored. var, not constructor state: excluded from
+  // case-class equality so canonicalization/scan-reuse is unaffected.
+  @transient private var runtime: Seq[Filter] = Nil
+
+  // Honest size estimates let Catalyst make the broadcast decision
+  // for this source and give DPP's cost check a real denominator.
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = limit.map(l => math.min(rows, l.toLong)).getOrElse(rows)
+    // 6-char icao24 + long + 2 nullable doubles + row overhead
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * 48L)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
+
+  // Only columns that survived pruning: Spark resolves these against
+  // the scan OUTPUT, so naming a pruned-away column is an analysis
+  // error inside the DPP rule.
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    readSchema().fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtime = filters.toSeq.filter(StatesV2FilterEval.supported)
+
+  private def effectiveFilters: Seq[Filter] = pushed ++ runtime
 
   override def readSchema(): StructType =
     if (countStarPushed)
@@ -393,10 +426,13 @@ case class StatesV2Scan(
     if (countStarPushed) new StatesV2CountFactory(rows)
     else agg match {
       case Some((aggs, groups)) =>
-        new StatesV2AggReaderFactory(aggs, groups, pushed)
+        new StatesV2AggReaderFactory(aggs, groups, effectiveFilters)
       case None =>
-        // per-partition cap only matters on the filtered (partial) path
-        new StatesV2ReaderFactory(required, pushed,
+        // per-partition cap only matters on the filtered (partial)
+        // path; a fully-pushed limit already truncated the range, and
+        // runtime filters pruning within that prefix is still correct
+        // (the join that produced them re-checks membership anyway)
+        new StatesV2ReaderFactory(required, effectiveFilters,
           limitPerPartition = if (pushed.isEmpty) None else limit)
     }
 
