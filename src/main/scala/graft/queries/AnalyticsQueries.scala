@@ -667,6 +667,49 @@ object AnalyticsQueries {
     // order → ~6 pairs), never an unkeyed cross join; one further
     // shuffle aggregates pair counts. The shape Apriori's candidate
     // counting takes on an engine.
+    // Iterative graph centrality: 5 damped PageRank rounds over the
+    // co-purchase graph, in exact integer fixed-point (micro-units,
+    // integer division everywhere) — bit-identical across engines, so
+    // an ITERATIVE operator gets a real value oracle (DuckDB unrolls
+    // the same five rounds as CTEs). Each Spark round is one edge⋈rank
+    // equi-join + one aggregation with checkpointed lineage — the
+    // shape that survives a billion-edge graph.
+    "p2_pagerank" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        graft.operators.PageRank.run(e, "src", "dst", iterations = 5)
+          .select(col("node").as("part"), col("rank"))
+      },
+      Some {
+        val round = (i: Int, prev: String) =>
+          s"""c$i AS (
+            SELECT e.dst AS node, CAST(sum(r.rank // deg.d) AS BIGINT) AS s
+            FROM e JOIN $prev r ON e.src = r.node
+                   JOIN deg ON e.src = deg.src
+            GROUP BY e.dst),
+          r$i AS (
+            SELECT n.node,
+                   CAST(150000 + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT)
+                     AS rank
+            FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)"""
+        s"""WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          e AS (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+          deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+          ${(1 to 5).map(i => round(i, s"r${i - 1}")).mkString(",\n          ")}
+        SELECT node AS part, rank FROM r5"""
+      }
+    )),
+
     "q40_copurchase_pairs" -> ((
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
