@@ -33,24 +33,39 @@ object PageRank {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5,
+      broadcastNodeLimit: Long = 5000000L): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .withColumnRenamed("src", "node")
+      .localCheckpoint(true)
     // node set = sources (with symmetric input this is all nodes);
     // re-materialized once, reused every round on both sides
-    val nodes = e.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+    val nodes = deg.select("node").localCheckpoint(true)
+
+    // The rank/degree table is |nodes| rows; the edge table is |E| —
+    // usually orders of magnitude bigger. When the node table fits a
+    // broadcast, each round joins the (tiny) per-node contribution
+    // rate INTO the stationary checkpointed edges — no edge shuffle,
+    // ever; the only shuffle left is the map-side-combined contrib
+    // aggregation. Past the limit it degrades to a plain shuffled
+    // equi-join (checkpointed DataFrames report no size stats, so
+    // Spark would never choose the broadcast on its own).
+    val nNodes = nodes.count()
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast _ else identity _
 
     var rank = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to iterations) {
+      val rate = rank.join(deg, "node")
+        .select(col("node").as("src"), expr("rank div deg").as("c"))
       val contrib = e
-        .join(deg, "src")
-        .join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), expr("rank div deg").as("c"))
+        .join(maybeBroadcast(rate), "src")
+        .select(col("dst").as("node"), col("c"))
         .groupBy("node")
         .agg(sum("c").as("s"))
       rank = nodes
