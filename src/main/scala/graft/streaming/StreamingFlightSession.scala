@@ -90,39 +90,60 @@ object StreamingFlightSession {
     } else {
       val completed = Seq.newBuilder[CompletedFlight]
       observations.toSeq.sortBy(_.last_contact).foreach { obs =>
-        val prior = state.getOption
-        val firstContact = prior match {
-          case None => Some(true)
-          case Some(f) => f.is_first_contact match {
-            case None => Some(true)
-            case Some(true) => Some(false)
-            case other => other
-          }
-        }
-        val flc =
-          if (obs.last_contact != 0) obs.last_contact.toInt
-          else prior.map(_.flight_last_contact).getOrElse(0)
-        val trajectory = prior.map(_.flight_trajectory).orNull
-        val takeoffAt = prior.map(_.takeoff_at).getOrElse(0)
-        val isTakeoff =
-          firstContact.contains(true) && obs.vertical_rate.exists(_ > 0)
-        if (!isTakeoff && isLanding(obs, trajectory)) {
-          if (takeoffAt != 0)
-            completed += CompletedFlight(
-              icao24,
-              math.ceil((obs.last_contact - takeoffAt) / 60.0).toInt,
-              java.sql.Timestamp.from(
-                java.time.Instant.ofEpochSecond(obs.last_contact)))
-          state.remove()
-        } else {
-          val stamped = if (isTakeoff) flc else takeoffAt
-          state.update(ActiveFlight(
-            stamped, flc,
-            nextTrajectory(obs.vertical_rate, trajectory), firstContact))
-          armTimeout(state, obs)
+        val (next, emitted) = step(icao24, state.getOption, obs)
+        emitted.foreach(completed += _)
+        next match {
+          case Some(s) =>
+            state.update(s)
+            armTimeout(state, obs)
+          case None => state.remove()
         }
       }
       completed.result().iterator
+    }
+  }
+
+  /** Pure per-observation transition — the single source of truth for
+    * the session state machine, shared by the `flatMapGroupsWithState`
+    * path and the `transformWithState` processor so the two APIs can
+    * never drift: (prior, obs) → (next state — None closes the
+    * session — and an optional completed-flight emission).
+    */
+  def step(
+      icao24: String,
+      prior: Option[ActiveFlight],
+      obs: Observation): (Option[ActiveFlight], Option[CompletedFlight]) = {
+    val firstContact = prior match {
+      case None => Some(true)
+      case Some(f) => f.is_first_contact match {
+        case None => Some(true)
+        case Some(true) => Some(false)
+        case other => other
+      }
+    }
+    val flc =
+      if (obs.last_contact != 0) obs.last_contact.toInt
+      else prior.map(_.flight_last_contact).getOrElse(0)
+    val trajectory = prior.map(_.flight_trajectory).orNull
+    val takeoffAt = prior.map(_.takeoff_at).getOrElse(0)
+    val isTakeoff =
+      firstContact.contains(true) && obs.vertical_rate.exists(_ > 0)
+    if (!isTakeoff && isLanding(obs, trajectory)) {
+      val emitted =
+        if (takeoffAt != 0)
+          Some(CompletedFlight(
+            icao24,
+            math.ceil((obs.last_contact - takeoffAt) / 60.0).toInt,
+            java.sql.Timestamp.from(
+              java.time.Instant.ofEpochSecond(obs.last_contact))))
+        else None
+      (None, emitted)
+    } else {
+      val stamped = if (isTakeoff) flc else takeoffAt
+      (Some(ActiveFlight(
+        stamped, flc,
+        nextTrajectory(obs.vertical_rate, trajectory), firstContact)),
+        None)
     }
   }
 
@@ -138,6 +159,24 @@ object StreamingFlightSession {
       .flatMapGroupsWithState[ActiveFlight, CompletedFlight](
         OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
         (k, it, st) => updateFlight(k, it, st))
+  }
+
+  /** The same session on the `transformWithState` arbitrary-state API
+    * (Spark 4's successor to `flatMapGroupsWithState`): typed
+    * `ValueState` + explicit per-key timers replace the fused
+    * GroupState/timeout object. Requires the RocksDB state store.
+    * Parity with the fMGWS path is structural — both drive `step`.
+    */
+  def completedFlightsTws(
+      spark: SparkSession,
+      observations: Dataset[Observation]): Dataset[CompletedFlight] = {
+    import spark.implicits._
+    observations
+      .groupByKey(_.icao24)
+      .transformWithState(
+        new FlightSessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append())
   }
 
   /** Observation carrying its event-time column (required for
@@ -200,4 +239,60 @@ object StreamingFlightSession {
         Seq("icao24"), "left")
       .withColumn("built", org.apache.spark.sql.functions.to_timestamp(
         org.apache.spark.sql.functions.col("built"), "yyyy-MM-dd"))
+}
+
+/** `transformWithState` processor for the flight session: one typed
+  * `ValueState[ActiveFlight]` per aircraft plus one explicit
+  * processing-time inactivity timer per key (re-armed every batch the
+  * key appears in; firing clears the state — the F1 eviction twin).
+  * All transition logic delegates to `StreamingFlightSession.step`.
+  */
+class FlightSessionProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String,
+    StreamingFlightSession.Observation,
+    StreamingFlightSession.CompletedFlight] {
+
+  import StreamingFlightSession._
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var state: ValueState[ActiveFlight] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[ActiveFlight](
+      "flight", org.apache.spark.sql.Encoders.product[ActiveFlight],
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[Observation],
+      timerValues: TimerValues): Iterator[CompletedFlight] = {
+    val out = Seq.newBuilder[CompletedFlight]
+    rows.toSeq.sortBy(_.last_contact).foreach { obs =>
+      val prior = if (state.exists()) Some(state.get()) else None
+      val (next, emitted) = step(key, prior, obs)
+      emitted.foreach(out += _)
+      next match {
+        case Some(s) => state.update(s)
+        case None => state.clear()
+      }
+    }
+    // exactly one live inactivity timer per key: drop stale arms from
+    // earlier batches, then re-arm iff the session is still open
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (state.exists())
+      getHandle.registerTimer(
+        timerValues.getCurrentProcessingTimeInMs + InactivityMillis)
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: String,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[CompletedFlight] = {
+    // F1 twin: unseen past the horizon — evict silently.
+    state.clear()
+    Iterator.empty
+  }
 }
