@@ -667,6 +667,39 @@ object AnalyticsQueries {
     // order → ~6 pairs), never an unkeyed cross join; one further
     // shuffle aggregates pair counts. The shape Apriori's candidate
     // counting takes on an engine.
+    // Correlated LATERAL join: per-customer top-2 orders expressed as
+    // a lateral subquery (the SQL-standard correlated form) rather
+    // than q4's window+filter — exercises Spark's lateral-join
+    // planning (DomainJoin decorrelation). Customers without orders
+    // drop out (inner lateral), ties broken by order key.
+    "q41_lateral_topk" -> ((
+      (s: SparkSession, d: String) => {
+        Derived.table(s, d, "customer").createOrReplaceTempView("q41_customer")
+        Derived.table(s, d, "orders").createOrReplaceTempView("q41_orders")
+        s.sql("""
+          SELECT c.c_custkey, o.o_orderkey,
+                 round(o.o_totalprice, 2) AS price_r
+          FROM q41_customer c,
+          LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM q41_orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+          ) o""")
+      },
+      Some("""SELECT c.c_custkey, o.o_orderkey,
+            round(o.o_totalprice, 2) AS price_r
+          FROM customer c,
+          LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+          ) o""")
+    )),
+
     // Iterative graph centrality: 5 damped PageRank rounds over the
     // co-purchase graph, in exact integer fixed-point (micro-units,
     // integer division everywhere) — bit-identical across engines, so

@@ -933,6 +933,40 @@ object TextQueries {
       }
     )),
 
+    // Edit-distance near-dup: the dedup family's third verification
+    // geometry (set overlap = Jaccard d7, bit space = SimHash d9,
+    // SEQUENCE space = Levenshtein here). Candidate generation is
+    // blocking on (8-char prefix, length bucket) of the 40-char title
+    // slice — an equi-join, never all-pairs — then exact Levenshtein
+    // verification on the pairs (classic DP, integer-identical in any
+    // engine). ~30k candidate pairs at sf0.1 vs 12.5M all-pairs.
+    "d11_editdist_neardup" -> ((
+      (s: SparkSession, d: String) => {
+        val t = docs(s, d).select(col("doc_id"),
+          substring(col("text"), 1, 40).as("title"))
+        val blocked = t.withColumn("blk",
+          concat(substring(col("title"), 1, 8), lit(":"),
+            expr("length(title) div 8").cast("string")))
+        blocked.as("x").join(blocked.as("y"),
+            col("x.blk") === col("y.blk") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .withColumn("dist",
+            levenshtein(col("x.title"), col("y.title")).cast("long"))
+          .filter(col("dist") <= 8)
+          .select(col("x.doc_id").as("doc_a"),
+            col("y.doc_id").as("doc_b"), col("dist"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, substr(text, 1, 40) AS title,
+                 substr(text, 1, 8) || ':' ||
+                   (length(substr(text, 1, 40)) // 8) AS blk
+          FROM documents)
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(levenshtein(x.title, y.title) AS BIGINT) AS dist
+        FROM t x JOIN t y ON x.blk = y.blk AND x.doc_id < y.doc_id
+        WHERE levenshtein(x.title, y.title) <= 8""")
+    )),
+
     // BPE-ish tokenization: the GPT-family pre-tokenizer shape —
     // letter runs, digit chunks of at most 3 (how modern BPE vocabs
     // chunk numbers), single non-alphanumeric marks — as one
