@@ -667,6 +667,36 @@ object AnalyticsQueries {
     // order → ~6 pairs), never an unkeyed cross join; one further
     // shuffle aggregates pair counts. The shape Apriori's candidate
     // counting takes on an engine.
+    // Multiset set operations: EXCEPT ALL / INTERSECT ALL keep
+    // per-row multiplicity (a different physical operator family from
+    // q7/q8's distinct set ops — Spark plans these as aggregated
+    // count-difference generators, not hash-distinct). Output rolls
+    // multiplicities up per key so values (not just membership) are
+    // hash-checked.
+    "q42_multiset_setops" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+        val a = li.filter(col("l_quantity") > 30).select("l_partkey")
+        val b = li.filter(col("l_discount") > 0.05).select("l_partkey")
+        val ex = a.exceptAll(b).groupBy("l_partkey")
+          .agg(count(lit(1)).as("multiplicity"))
+          .withColumn("op", lit("except_all"))
+        val in = a.intersectAll(b).groupBy("l_partkey")
+          .agg(count(lit(1)).as("multiplicity"))
+          .withColumn("op", lit("intersect_all"))
+        ex.unionByName(in).select("op", "l_partkey", "multiplicity")
+      },
+      Some("""WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity > 30),
+          b AS (SELECT l_partkey FROM lineitem WHERE l_discount > 0.05)
+        SELECT 'except_all' AS op, l_partkey, count(*) AS multiplicity
+        FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+        GROUP BY l_partkey
+        UNION ALL
+        SELECT 'intersect_all' AS op, l_partkey, count(*) AS multiplicity
+        FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+        GROUP BY l_partkey""")
+    )),
+
     // Correlated LATERAL join: per-customer top-2 orders expressed as
     // a lateral subquery (the SQL-standard correlated form) rather
     // than q4's window+filter — exercises Spark's lateral-join

@@ -226,6 +226,29 @@ object StreamingFlightSession {
       }
   }
 
+  /** Event-time `transformWithState` variant: the inactivity timer is
+    * an explicit event-time timer armed at `last_contact + horizon`,
+    * fired by the WATERMARK — the backfill-safe eviction (identical
+    * results replaying yesterday's feed at any speed), now on the
+    * arbitrary-state API.
+    */
+  def completedFlightsTwsEventTime(
+      spark: SparkSession,
+      observations: Dataset[Observation],
+      watermarkDelay: String = "10 minutes"): Dataset[CompletedFlight] = {
+    import spark.implicits._
+    observations
+      .map(o => TimedObservation(o.icao24, o.last_contact, o.velocity,
+        o.vertical_rate, java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(o.last_contact))))
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.icao24)
+      .transformWithState(
+        new FlightSessionEventTimeProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Full streaming pipeline: session close events enriched with the
     * static metadata dimension (stream–static broadcast left join —
     * the streaming twin of phase B's J2).
@@ -292,6 +315,61 @@ class FlightSessionProcessor
       timerValues: TimerValues,
       expiredTimerInfo: ExpiredTimerInfo): Iterator[CompletedFlight] = {
     // F1 twin: unseen past the horizon — evict silently.
+    state.clear()
+    Iterator.empty
+  }
+}
+
+/** Event-time sibling of [[FlightSessionProcessor]]: the inactivity
+  * timer is armed at the session's own `last_contact + horizon` (the
+  * running max of non-zero contacts, never a stale observation) and
+  * fires when the WATERMARK passes it — replay-deterministic eviction.
+  */
+class FlightSessionEventTimeProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessor[
+    String,
+    StreamingFlightSession.TimedObservation,
+    StreamingFlightSession.CompletedFlight] {
+
+  import StreamingFlightSession._
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var state: ValueState[ActiveFlight] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[ActiveFlight](
+      "flight", org.apache.spark.sql.Encoders.product[ActiveFlight],
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[TimedObservation],
+      timerValues: TimerValues): Iterator[CompletedFlight] = {
+    val out = Seq.newBuilder[CompletedFlight]
+    rows.toSeq.sortBy(_.last_contact).foreach { t =>
+      val obs = Observation(t.icao24, t.last_contact, t.velocity,
+        t.vertical_rate)
+      val prior = if (state.exists()) Some(state.get()) else None
+      val (next, emitted) = step(key, prior, obs)
+      emitted.foreach(out += _)
+      next match {
+        case Some(s) => state.update(s)
+        case None => state.clear()
+      }
+    }
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (state.exists())
+      getHandle.registerTimer(
+        state.get().flight_last_contact.toLong * 1000L +
+          InactivityMillis)
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: String,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[CompletedFlight] = {
     state.clear()
     Iterator.empty
   }

@@ -105,6 +105,42 @@ class TransformWithStateSpec extends SparkSpecBase {
     }
   }
 
+  test("event-time timers evict by watermark: lost takeoff emits nothing") {
+    val session = rocks
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val input = MemoryStream[Observation]
+    val query = StreamingFlightSession
+      .completedFlightsTwsEventTime(session, input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tws_et_out").start()
+    try {
+      // ab0001 takes off; ab0002 will land inside the horizon.
+      input.addData(
+        Observation("ab0001", t0, Some(80.0), Some(12.0)),
+        Observation("ab0002", t0, Some(80.0), Some(12.0)))
+      query.processAllAvailable()
+
+      input.addData(Observation("ab0002", t0 + 600, Some(0.0), Some(0.0)))
+      query.processAllAvailable()
+      assert(session.table("tws_et_out").collect().map(r =>
+        (r.getString(0), r.getInt(1))).toSeq == Seq(("ab0002", 10)))
+
+      // an unrelated key 2 h ahead pushes the watermark past ab0001's
+      // last_contact + 20 min → its event-time timer fires, state gone
+      input.addData(Observation("zz9999", t0 + 7200, Some(100.0), Some(5.0)))
+      query.processAllAvailable()
+
+      // ab0001 "lands" — takeoff state evicted, so nothing is emitted
+      input.addData(Observation("ab0001", t0 + 7260, Some(0.0), Some(0.0)))
+      query.processAllAvailable()
+      val flights = session.table("tws_et_out").collect()
+        .map(_.getString(0)).toSeq
+      assert(!flights.contains("ab0001"), flights.toString)
+      assert(flights.count(_ == "ab0002") == 1)
+    } finally query.stop()
+  }
+
   test("state survives across batches and an inactivity timer is armed") {
     val session = rocks
     import session.implicits._
