@@ -648,6 +648,62 @@ class StatesV2ReaderFactory(
     limitPerPartition: Option[Int] = None)
   extends PartitionReaderFactory {
 
+  // Vectorized path: unfiltered scans emit ColumnarBatches (4096-row
+  // on-heap vectors) instead of one InternalRow at a time — the shape
+  // that keeps a generated source inside whole-stage codegen's
+  // columnar pipeline. Filtered scans keep the row reader: the
+  // generation-time filter produces irregular survivors, and the
+  // selective-fill bookkeeping would cost what it saves.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    pushed.isEmpty
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    val p = partition.asInstanceOf[StatesV2RangePartition]
+    val batchSize = 4096
+    val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
+    val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+      vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+    val fills: Array[(Int, Long) => Unit] = required.fields.zipWithIndex.map {
+      case (f, ci) =>
+        val g = StatesV2FilterEval.getter(f.name)
+        f.dataType match {
+          case StringType => (row: Int, h: Long) =>
+            vectors(ci).putByteArray(row,
+              g(h).asInstanceOf[String].getBytes("UTF-8"))
+          case LongType => (row: Int, h: Long) =>
+            vectors(ci).putLong(row, g(h).asInstanceOf[Long])
+          case DoubleType => (row: Int, h: Long) => g(h) match {
+            case null => vectors(ci).putNull(row)
+            case d => vectors(ci).putDouble(row, d.asInstanceOf[Double])
+          }
+          case other => throw new IllegalStateException(
+            s"unexpected column type $other")
+        }
+    }
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var i = p.start
+      override def next(): Boolean = {
+        if (i >= p.end) return false
+        vectors.foreach(_.reset())
+        var n = 0
+        while (n < batchSize && i < p.end) {
+          val h = StatesV2Source.splitmix64(p.seed + i)
+          var c = 0
+          while (c < fills.length) { fills(c)(n, h); c += 1 }
+          i += 1
+          n += 1
+        }
+        batch.setNumRows(n)
+        true
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        batch
+      override def close(): Unit = batch.close()
+    }
+  }
+
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatesV2RangePartition]
