@@ -29,12 +29,18 @@ object PageRank {
     * @return (node, rank) for every node with at least one out-edge,
     *         rank in micro-units after `iterations` damped rounds
     */
+  /** @param inspectRound instrumentation hook: called with each
+    *        round's (un-checkpointed) rank plan before it executes —
+    *        checkpointing erases the round's join shape from the final
+    *        plan, so plan-shape tests observe it here
+    */
   def run(
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
       iterations: Int = 5,
-      broadcastNodeLimit: Long = 5000000L): DataFrame = {
+      broadcastNodeLimit: Long = 5000000L,
+      inspectRound: DataFrame => Unit = _ => ()): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -68,12 +74,13 @@ object PageRank {
         .select(col("dst").as("node"), col("c"))
         .groupBy("node")
         .agg(sum("c").as("s"))
-      rank = nodes
+      val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("85 * coalesce(s, 0L) div 100"))
             .as("rank"))
-        .localCheckpoint(true)
+      inspectRound(next)
+      rank = next.localCheckpoint(true)
     }
     rank
   }

@@ -107,4 +107,34 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(s.contains("BroadcastNestedLoopJoin"),
       s"query side must broadcast:\n$s")
   }
+
+  test("PageRank rounds broadcast the rate table into the edges") {
+    // checkpointing erases each round's join from the final plan —
+    // observe the live round plans through the instrumentation hook
+    import SparkTestSession.spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"))
+      .toDF("s", "t")
+    val rounds = scala.collection.mutable.Buffer[
+      org.apache.spark.sql.DataFrame]()
+    graft.operators.PageRank.run(edges, "s", "t", iterations = 2,
+      inspectRound = rounds += _)
+    assert(rounds.size == 2)
+    // string match, not collect(): the join sits inside an AQE
+    // ResultQueryStage whose children a plan collect cannot traverse
+    val plans = rounds.map(_.queryExecution.executedPlan.toString)
+    assert(plans.forall(_.contains("BroadcastHashJoin")),
+      s"expected the per-round rate join to broadcast:\n${plans.mkString}")
+  }
+
+  test("edit-distance blocking is an equi-join, never a nested loop") {
+    val s = finalPlan(planOf("d11_editdist_neardup")).toString
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"blocking must plan as an equi-join:\n$s")
+  }
+
+  test("SRP banding retrieval joins on (band, value) — an equi-join") {
+    val s = finalPlan(planOf("s7_srp_lsh")).toString
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"band retrieval must plan as an equi-join:\n$s")
+  }
 }
