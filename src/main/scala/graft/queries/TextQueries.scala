@@ -933,6 +933,43 @@ object TextQueries {
       }
     )),
 
+    // Temperature-scaled domain mixing: per-source sampling weights
+    // ∝ n^(1/2) (α=0.5 — the standard upsample-the-tail mixture for
+    // pretraining corpora) and the resulting document allocation for
+    // a 100k-doc budget. All integer: sqrt is correctly-rounded IEEE
+    // on both engines, quantized by floor(·*1e6) before any
+    // cross-domain arithmetic, so weights are engine-exact. The
+    // cross-domain total is a window over the DOMAIN table (bounded
+    // cardinality — fine at any corpus scale).
+    "t18_domain_mix" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
+        docs(s, d)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("q",
+            expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
+          .withColumn("total_q", sum("q").over(w))
+          .select(col("source"), col("n_docs"), col("q"),
+            expr("q * 1000000L div total_q").as("weight_ppm"),
+            expr("(q * 1000000L div total_q) * 100000L div 1000000L")
+              .as("alloc_100k"))
+      },
+      Some("""WITH dom AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(floor(sqrt(count(*)::DOUBLE) * 1000000) AS BIGINT) AS q
+          FROM documents GROUP BY source),
+        tot AS (
+          SELECT source, n_docs, q,
+                 CAST(sum(q) OVER () AS BIGINT) AS total_q
+          FROM dom)
+        SELECT source, n_docs, q,
+               q * 1000000 // total_q AS weight_ppm,
+               (q * 1000000 // total_q) * 100000 // 1000000 AS alloc_100k
+        FROM tot""")
+    )),
+
     // Edit-distance near-dup: the dedup family's third verification
     // geometry (set overlap = Jaccard d7, bit space = SimHash d9,
     // SEQUENCE space = Levenshtein here). Candidate generation is
