@@ -141,6 +141,46 @@ class TransformWithStateSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("RocksDB state survives a checkpoint restart: the takeoff from " +
+      "leg 1 closes as a landing in leg 2") {
+    val session = rocks
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("tws-restart")
+    val sink = s"$dir/flights"
+    val checkpoint = s"$dir/checkpoint"
+    val input = MemoryStream[Observation]
+    def start() = StreamingFlightSession
+      .completedFlightsTws(session, input.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[CompletedFlight],
+          _: Long) =>
+        if (!b.isEmpty) b.write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData(Observation("hh", t0, Some(80.0), Some(12.0)))
+      awaitProcessed(q1, 1)
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(Observation("hh", t0 + 600, Some(0.0), Some(0.0)))
+      val deadline = System.currentTimeMillis + 60000
+      def emitted() = scala.util.Try(
+        session.read.parquet(sink).count() >= 1).getOrElse(false)
+      while (!emitted() && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+    } finally q2.stop()
+
+    val got = session.read.parquet(sink).as[CompletedFlight].collect()
+    assert(got.toSeq == Seq(CompletedFlight("hh", 10,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + 600)))))
+  }
+
   test("state survives across batches and an inactivity timer is armed") {
     val session = rocks
     import session.implicits._
