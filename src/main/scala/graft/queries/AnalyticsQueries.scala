@@ -280,13 +280,16 @@ object AnalyticsQueries {
                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
           FROM events),
         m AS (
-          SELECT user_id, ts, value,
+          SELECT user_id, event_id, ts, value,
                  CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
                       THEN 1 ELSE 0 END AS is_new
           FROM e),
         sess AS (
           SELECT user_id, ts, value,
-                 sum(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 -- event_id tie-break: the running-sum frame must order
+                 -- tied timestamps identically to the lag() above, or a
+                 -- tied row could land in the neighboring session
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
                    ROWS UNBOUNDED PRECEDING) AS session_id
           FROM m)
         SELECT user_id, min(epoch_us(ts)) AS session_start_us,

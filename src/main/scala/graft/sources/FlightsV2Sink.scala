@@ -58,12 +58,14 @@ class FlightsV2Table(schema0: StructType, options: CaseInsensitiveStringMap)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
-      // overwrite mode arrives as truncate(); manifest replacement
-      // already gives overwrite semantics, so accept it as a no-op
-      override def truncate(): WriteBuilder = this
+      // overwrite mode arrives as truncate(): replace the manifest;
+      // append (no truncate call) must MERGE with the existing one
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new FlightsV2BatchWrite(options.get("path"), info.schema())
+          new FlightsV2BatchWrite(options.get("path"), info.schema(),
+            replace)
       }
     }
 }
@@ -71,7 +73,8 @@ class FlightsV2Table(schema0: StructType, options: CaseInsensitiveStringMap)
 case class FlightsV2TaskCommit(file: String, rows: Long)
   extends WriterCommitMessage
 
-class FlightsV2BatchWrite(path: String, schema: StructType)
+class FlightsV2BatchWrite(path: String, schema: StructType,
+    replace: Boolean = true)
   extends BatchWrite {
   require(path != null && path.nonEmpty, "graft-flights requires a path")
 
@@ -87,9 +90,16 @@ class FlightsV2BatchWrite(path: String, schema: StructType)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
-    val lines = messages.collect {
+    val fresh = messages.collect {
       case FlightsV2TaskCommit(f, n) => s"$f\t$n"
     }
+    // append semantics: carry the previously committed files forward;
+    // overwrite (truncate) starts the manifest from this job alone
+    val prior = dir.resolve("_manifest")
+    val lines =
+      if (replace || !java.nio.file.Files.exists(prior)) fresh.toSeq
+      else java.nio.file.Files.readAllLines(prior)
+        .asScala.toSeq.filter(_.nonEmpty) ++ fresh
     val tmp = dir.resolve("_manifest.tmp")
     java.nio.file.Files.write(tmp,
       lines.mkString("\n").getBytes("UTF-8"))
@@ -117,6 +127,31 @@ class FlightsV2WriterFactory(path: String, schema: StructType)
   * attempts of the same partition write DIFFERENT files and only the
   * committed one enters the manifest.
   */
+object FlightsV2Writer {
+  /** Full JSON string escaping — backslash, quote, AND control
+    * characters; a raw newline in a value would split one record
+    * across two physical lines and corrupt the JSONL framing.
+    */
+  def escapeJson(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\\' => b.append("\\\\")
+        case '"' => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case x if x < ' ' => b.append(f"\\u${x.toInt}%04x")
+        case x => b.append(x)
+      }
+      i += 1
+    }
+    b.toString
+  }
+}
+
 class FlightsV2Writer(
     path: String, schema: StructType,
     partitionId: Int, taskId: Long)
@@ -143,8 +178,8 @@ class FlightsV2Writer(
           case _: NumericType | BooleanType =>
             record.get(i, f.dataType).toString
           case _ =>
-            "\"" + String.valueOf(record.get(i, f.dataType))
-              .replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            "\"" + FlightsV2Writer.escapeJson(
+              String.valueOf(record.get(i, f.dataType))) + "\""
         }
       "\"" + f.name + "\":" + v
     }

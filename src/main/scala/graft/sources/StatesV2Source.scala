@@ -359,8 +359,11 @@ case class StatesV2Scan(
   // case-class equality so canonicalization/scan-reuse is unaffected.
   @transient private var runtime: Seq[Filter] = Nil
 
-  // Honest size estimates let Catalyst make the broadcast decision
-  // for this source and give DPP's cost check a real denominator.
+  // Size estimates are the PRE-filter, pre-aggregation upper bound
+  // (the convention file sources follow): conservative for broadcast
+  // decisions — a filtered/agg-pushed scan may emit far fewer rows
+  // than reported, which can only make Catalyst less aggressive, and
+  // it gives DPP's cost check a real denominator either way.
   override def estimateStatistics(): Statistics = new Statistics {
     private val n = limit.map(l => math.min(rows, l.toLong)).getOrElse(rows)
     // 6-char icao24 + long + 2 nullable doubles + row overhead
@@ -549,7 +552,8 @@ class StatesV2CountFactory(rows: Long) extends PartitionReaderFactory {
 
 /** Partial aggregate pushdown: the reader walks its range once,
   * folding every surviving row into per-group buffers, and emits one
-  * row per group — [agg buffers..., group values...]. Pushed filters
+  * row per group — [group values..., agg buffers...] (the positional
+  * contract readSchema() declares). Pushed filters
   * still gate rows BEFORE they reach a buffer, so filter + aggregate
   * pushdown compose. Memory is O(groups in this partition), the same
   * bound a map-side partial aggregation has.
@@ -563,6 +567,16 @@ class StatesV2AggReaderFactory(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatesV2RangePartition]
     val groupGetters = groups.map(StatesV2FilterEval.getter).toArray
+    // bind one column getter per aggregate OUTSIDE the row loop —
+    // getter() dispatches on the column name; doing it per row per
+    // aggregate would add O(rows x aggs) string matches to the scan
+    val aggGetters: Array[Long => Any] = aggs.map {
+      case PCountStar() => null: (Long => Any)
+      case PCount(c) => StatesV2FilterEval.getter(c)
+      case PMin(c) => StatesV2FilterEval.getter(c)
+      case PMax(c) => StatesV2FilterEval.getter(c)
+      case PSum(c) => StatesV2FilterEval.getter(c)
+    }.toArray
     // buffer slots: one Any per agg (counts are java.lang.Long;
     // min/max/sum hold null until the first non-null input)
     val buffers =
@@ -574,19 +588,19 @@ class StatesV2AggReaderFactory(
         aggs(k) match {
           case PCountStar() =>
             slot(k) = slot(k).asInstanceOf[java.lang.Long] + 1L
-          case PCount(c) =>
-            if (StatesV2FilterEval.value(c, h) != null)
+          case PCount(_) =>
+            if (aggGetters(k)(h) != null)
               slot(k) = slot(k).asInstanceOf[java.lang.Long] + 1L
-          case PMin(c) =>
-            val v = StatesV2FilterEval.value(c, h)
+          case PMin(_) =>
+            val v = aggGetters(k)(h)
             if (v != null && (slot(k) == null || ordLt(v, slot(k))))
               slot(k) = v
-          case PMax(c) =>
-            val v = StatesV2FilterEval.value(c, h)
+          case PMax(_) =>
+            val v = aggGetters(k)(h)
             if (v != null && (slot(k) == null || ordLt(slot(k), v)))
               slot(k) = v
-          case PSum(c) =>
-            val v = StatesV2FilterEval.value(c, h)
+          case PSum(_) =>
+            val v = aggGetters(k)(h)
             if (v != null) slot(k) = (slot(k), v) match {
               case (null, x) => x
               case (a: java.lang.Long, x: java.lang.Long) =>

@@ -90,6 +90,35 @@ class FlightsV2SinkSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(dir).resolve("_manifest")))
   }
 
+  test("append merges with the previously committed manifest") {
+    import SparkTestSession.spark.implicits._
+    val dir = tmpDir()
+    Seq("a", "b", "c").toDF("icao24")
+      .write.format("graft-flights").option("path", dir)
+      .mode("append").save()
+    Seq("d", "e").toDF("icao24")
+      .write.format("graft-flights").option("path", dir)
+      .mode("append").save()
+    val rows = manifestRows(dir)
+    assert(rows.size == 5,
+      s"append must accumulate, not replace: $rows")
+    assert(manifestFiles(dir).map(_._2).sum == 5L)
+  }
+
+  test("control characters in values are escaped — JSONL framing holds") {
+    import SparkTestSession.spark.implicits._
+    val dir = tmpDir()
+    Seq("AB\nCD", "tab\there", "quote\"slash\\").toDF("icao24")
+      .write.format("graft-flights").option("path", dir)
+      .mode("append").save()
+    val rows = manifestRows(dir)
+    // one physical line per record — a raw newline would split one
+    assert(rows.size == 3, s"framing broken: $rows")
+    assert(rows.exists(_.contains("AB\\nCD")))
+    assert(rows.exists(_.contains("tab\\there")))
+    assert(rows.exists(_.contains("quote\\\"slash\\\\")))
+  }
+
   test("overwrite atomically replaces the manifest") {
     import SparkTestSession.spark.implicits._
     val dir = tmpDir()
