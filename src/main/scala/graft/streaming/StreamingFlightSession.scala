@@ -179,6 +179,28 @@ object StreamingFlightSession {
         OutputMode.Append())
   }
 
+  /** `transformWithState` bootstrapped from a BATCH state table — the
+    * reference's exact startup semantics: its every-5-minutes job
+    * begins by reading the persisted `source.parquet` active-flight
+    * state (reference: opensky/transformers.py:60-66). Here that
+    * state seeds the streaming operator's keyed state on the first
+    * batch, so a batch-mode deployment can hand off to the streaming
+    * twin without losing in-flight sessions.
+    */
+  def completedFlightsTwsFromState(
+      spark: SparkSession,
+      observations: Dataset[Observation],
+      initial: Dataset[(String, ActiveFlight)]): Dataset[CompletedFlight] = {
+    import spark.implicits._
+    observations
+      .groupByKey(_.icao24)
+      .transformWithState(
+        new FlightSessionBootstrapProcessor,
+        org.apache.spark.sql.streaming.TimeMode.ProcessingTime(),
+        OutputMode.Append(),
+        initial.groupByKey(_._1).mapValues(_._2))
+  }
+
   /** Observation carrying its event-time column (required for
     * watermarking — Spark tracks the watermark on a timestamp column
     * of the input, not on an arbitrary long).
@@ -363,6 +385,69 @@ class FlightSessionEventTimeProcessor
       getHandle.registerTimer(
         state.get().flight_last_contact.toLong * 1000L +
           InactivityMillis)
+    out.result().iterator
+  }
+
+  override def handleExpiredTimer(
+      key: String,
+      timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[CompletedFlight] = {
+    state.clear()
+    Iterator.empty
+  }
+}
+
+/** [[FlightSessionProcessor]] plus batch-state bootstrap: the engine
+  * feeds each key's row from the initial-state Dataset exactly once
+  * (first batch) through `handleInitialState`, which seeds the typed
+  * ValueState and arms the inactivity timer — after that the key
+  * behaves exactly like one the stream created itself.
+  */
+class FlightSessionBootstrapProcessor
+  extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+    String,
+    StreamingFlightSession.Observation,
+    StreamingFlightSession.CompletedFlight,
+    StreamingFlightSession.ActiveFlight] {
+
+  import StreamingFlightSession._
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+    TTLConfig, TimeMode, TimerValues, ValueState}
+
+  @transient private var state: ValueState[ActiveFlight] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[ActiveFlight](
+      "flight", org.apache.spark.sql.Encoders.product[ActiveFlight],
+      TTLConfig.NONE)
+
+  override def handleInitialState(
+      key: String,
+      initialState: ActiveFlight,
+      timerValues: TimerValues): Unit = {
+    state.update(initialState)
+    getHandle.registerTimer(
+      timerValues.getCurrentProcessingTimeInMs + InactivityMillis)
+  }
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[Observation],
+      timerValues: TimerValues): Iterator[CompletedFlight] = {
+    val out = Seq.newBuilder[CompletedFlight]
+    rows.toSeq.sortBy(_.last_contact).foreach { obs =>
+      val prior = if (state.exists()) Some(state.get()) else None
+      val (next, emitted) = step(key, prior, obs)
+      emitted.foreach(out += _)
+      next match {
+        case Some(s) => state.update(s)
+        case None => state.clear()
+      }
+    }
+    getHandle.listTimers().foreach(getHandle.deleteTimer)
+    if (state.exists())
+      getHandle.registerTimer(
+        timerValues.getCurrentProcessingTimeInMs + InactivityMillis)
     out.result().iterator
   }
 

@@ -181,6 +181,39 @@ class TransformWithStateSpec extends SparkSpecBase {
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + 600)))))
   }
 
+  test("initial-state bootstrap: a batch-persisted in-flight aircraft " +
+      "lands correctly in the stream") {
+    // the reference's startup semantics: the persisted source.parquet
+    // active-flight state seeds the streaming operator, so a session
+    // opened by the BATCH pipeline closes in the STREAM
+    val session = rocks
+    import session.implicits._
+    implicit val sqlCtx = session.sqlContext
+    val initial = Seq(
+      ("hh0001", ActiveFlight(
+        takeoff_at = t0.toInt, flight_last_contact = t0.toInt,
+        flight_trajectory = "climb", is_first_contact = Some(false))))
+      .toDS()
+    val input = MemoryStream[Observation]
+    val query = StreamingFlightSession
+      .completedFlightsTwsFromState(session, input.toDS(), initial)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tws_bootstrap")
+      .start()
+    try {
+      // only the LANDING arrives on the stream — the takeoff lives in
+      // the bootstrapped state
+      input.addData(Observation("hh0001", t0 + 600, Some(0.0), Some(0.0)))
+      awaitProcessed(query, 1)
+      val deadline = System.currentTimeMillis + 30000
+      while (session.table("tws_bootstrap").isEmpty &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+    } finally query.stop()
+    val got = session.table("tws_bootstrap").as[CompletedFlight].collect()
+    assert(got.toSeq == Seq(CompletedFlight("hh0001", 10,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(t0 + 600)))))
+  }
+
   test("state survives across batches and an inactivity timer is armed") {
     val session = rocks
     import session.implicits._
