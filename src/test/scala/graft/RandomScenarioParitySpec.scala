@@ -80,7 +80,7 @@ class RandomScenarioParitySpec extends SparkSpecBase {
     try {
       batches.foreach(b => if (b.nonEmpty) input.addData(b: _*))
       val n = batches.map(_.size).sum
-      val deadline = System.currentTimeMillis + 60000
+      val deadline = System.currentTimeMillis + 120000
       while (query.recentProgress.map(_.numInputRows).sum < n &&
         System.currentTimeMillis < deadline) Thread.sleep(100)
     } finally query.stop()

@@ -18,7 +18,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
 class StreamingFlightSessionSpec extends SparkSpecBase {
 
   private def awaitProcessed(
-      query: StreamingQuery, n: Long, timeoutMs: Long = 60000): Unit = {
+      query: StreamingQuery, n: Long, timeoutMs: Long = 120000): Unit = {
     val deadline = System.currentTimeMillis + timeoutMs
     while (query.recentProgress.map(_.numInputRows).sum < n &&
       System.currentTimeMillis < deadline) Thread.sleep(100)
@@ -64,7 +64,7 @@ class StreamingFlightSessionSpec extends SparkSpecBase {
         Observation("aa0001", t0, Some(80.0), Some(12.0)),
         Observation("aa0002", t0, Some(90.0), Some(10.0)))
       awaitProcessed(query, 2)
-      val deadline = System.currentTimeMillis + 30000
+      val deadline = System.currentTimeMillis + 90000
       def stateRows: Long = query.recentProgress
         .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(0L)
       while (stateRows < 2 && System.currentTimeMillis < deadline)
@@ -128,7 +128,7 @@ class StreamingFlightSessionSpec extends SparkSpecBase {
     val q2 = start()
     try {
       input.addData(Observation("hh", t0 + 600, Some(0.0), Some(0.0)))
-      val deadline = System.currentTimeMillis + 60000
+      val deadline = System.currentTimeMillis + 120000
       def emitted() = scala.util.Try(
         spark.read.parquet(sink).count() >= 1).getOrElse(false)
       while (!emitted() && System.currentTimeMillis < deadline)

@@ -103,7 +103,7 @@ class TimeSeriesSinkSpec extends SparkSpecBase {
       input.addData(Observation("ab0001", t0, Some(80.0), Some(12.0)))
       input.addData(Observation("ab0001", t0 + 300, Some(230.0), Some(-2.0)))
       input.addData(Observation("ab0001", t0 + 600, Some(0.0), Some(0.0)))
-      val deadline = System.currentTimeMillis + 60000
+      val deadline = System.currentTimeMillis + 120000
       while (InMemoryStore.batches(run).flatten.size < 1 &&
         System.currentTimeMillis < deadline) Thread.sleep(100)
     } finally query.stop()
