@@ -883,6 +883,24 @@ object AnalyticsQueries {
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""")
     )),
 
+    // grouping_id disambiguation: CUBE emits NULL both for rolled-up
+    // cells and for genuinely-NULL group values; grouping_id() is the
+    // bitmask that tells them apart (first listed column = high bit —
+    // the same convention in both engines). Emitted so downstream
+    // consumers can filter exact aggregation levels.
+    "q43_grouping_id" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total")),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+            GROUPING_ID(o_orderstatus, o_orderpriority) AS gid,
+            count(*) AS n, round(sum(o_totalprice), 2) AS total
+          FROM orders
+          GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+    )),
+
     // Unpivot (melt): wide metric columns to long (metric, value) rows.
     "q27_unpivot_lineitem" -> ((
       (s: SparkSession, d: String) =>

@@ -933,6 +933,53 @@ object TextQueries {
       }
     )),
 
+    // Leakage-safe split: train/val/test assignment by NEAR-DUP
+    // CLUSTER, not by document — a per-doc split (t4) lets two
+    // near-identical documents land in train and test, silently
+    // inflating eval scores; splitting on the connected component's
+    // canonical id keeps every duplicate family on one side. Docs in
+    // no cluster are their own singleton group. Assignment stays the
+    // portable salted-hash bucket (8/1/1).
+    "t19_leakage_safe_split" -> ((
+      (s: SparkSession, d: String) => {
+        val comp = graft.operators.ConnectedComponents.run(
+          verifiedNearDupEdges(s, d, threshold = 0.2), "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+        val grouped = docs(s, d).select("doc_id")
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("grp", coalesce(col("component"), col("doc_id")))
+        val bucket = pmod(saltedHash(11, col("grp").cast("string")), lit(10L))
+        grouped
+          .withColumn("split",
+            when(bucket < 8, "train").when(bucket < 9, "val")
+              .otherwise("test"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("grp")).as("n_groups"))
+      },
+      Some(s"""WITH RECURSIVE d7 AS ($verifiedJaccardSql),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM d7 WHERE jaccard >= 0.2
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM d7 WHERE jaccard >= 0.2),
+          reach(doc, comp) AS (
+            SELECT a, a FROM e
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN e ON r.doc = e.a),
+          comp AS (
+            SELECT doc AS doc_id, min(comp) AS component
+            FROM reach GROUP BY doc),
+          grouped AS (
+            SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS grp
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+        SELECT CASE WHEN b < 8 THEN 'train' WHEN b < 9 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               count(DISTINCT grp) AS n_groups
+        FROM (SELECT grp, ${saltedHashSql(11, "grp::VARCHAR")} % 10 AS b
+              FROM grouped)
+        GROUP BY 1""")
+    )),
+
     // Temperature-scaled domain mixing: per-source sampling weights
     // ∝ n^(1/2) (α=0.5 — the standard upsample-the-tail mixture for
     // pretraining corpora) and the resulting document allocation for
