@@ -338,7 +338,15 @@ object StatesV2FilterEval {
   }
 }
 
-case class StatesV2RangePartition(start: Long, end: Long, seed: Long)
+/** Range partition. `filters` carries the EFFECTIVE filter list
+  * (planning-time pushed + runtime/DPP): partitions are re-planned
+  * AFTER runtime filters arrive, while the reader factory is forced
+  * at physical planning (for the columnar decision) — filters baked
+  * into the factory would silently miss every runtime filter.
+  */
+case class StatesV2RangePartition(
+    start: Long, end: Long, seed: Long,
+    filters: Seq[Filter] = Nil)
   extends InputPartition
 
 case class StatesV2Scan(
@@ -421,8 +429,11 @@ case class StatesV2Scan(
       // no filters: the limit is exact — only the first n indices are
       // ever generated (still split for parallelism)
       case Some(n) if pushed.isEmpty =>
-        StatesV2Scan.splitRange(0L, math.min(rows, n.toLong), partitions, seed)
-      case _ => StatesV2Scan.splitRange(0L, rows, partitions, seed)
+        StatesV2Scan.splitRange(0L, math.min(rows, n.toLong), partitions,
+          seed, effectiveFilters)
+      case _ =>
+        StatesV2Scan.splitRange(0L, rows, partitions, seed,
+          effectiveFilters)
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -446,14 +457,16 @@ case class StatesV2Scan(
 
 object StatesV2Scan {
   def splitRange(
-      start: Long, end: Long, partitions: Int, seed: Long)
+      start: Long, end: Long, partitions: Int, seed: Long,
+      filters: Seq[Filter] = Nil)
       : Array[InputPartition] = {
     val total = end - start
     val n = math.max(1, partitions)
     val per = (total + n - 1) / n
     (0 until n).iterator
       .map(i => StatesV2RangePartition(
-        start + i * per, math.min(end, start + (i + 1) * per), seed))
+        start + i * per, math.min(end, start + (i + 1) * per), seed,
+        filters))
       .filter(p => p.end > p.start)
       .toArray
   }
@@ -566,6 +579,9 @@ class StatesV2AggReaderFactory(
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatesV2RangePartition]
+    // the partition's filter list supersedes the factory's: it is the
+    // one re-planned after runtime filters arrived
+    val effective = if (p.filters.nonEmpty) p.filters else pushed
     val groupGetters = groups.map(StatesV2FilterEval.getter).toArray
     // bind one column getter per aggregate OUTSIDE the row loop —
     // getter() dispatches on the column name; doing it per row per
@@ -629,7 +645,7 @@ class StatesV2AggReaderFactory(
     var i = p.start
     while (i < p.end) {
       val h = StatesV2Source.splitmix64(p.seed + i)
-      if (StatesV2FilterEval.accepts(pushed, h)) {
+      if (StatesV2FilterEval.accepts(effective, h)) {
         val key: IndexedSeq[Any] = groupGetters.map(_(h)).toIndexedSeq
         var slot = buffers.get(key)
         if (slot == null) { slot = emptySlot(); buffers.put(key, slot) }
@@ -662,12 +678,15 @@ class StatesV2ReaderFactory(
     limitPerPartition: Option[Int] = None)
   extends PartitionReaderFactory {
 
-  // Vectorized path: unfiltered scans emit ColumnarBatches (4096-row
-  // on-heap vectors) instead of one InternalRow at a time — the shape
-  // that keeps a generated source inside whole-stage codegen's
-  // columnar pipeline. Filtered scans keep the row reader: the
-  // generation-time filter produces irregular survivors, and the
-  // selective-fill bookkeeping would cost what it saves.
+  // Vectorized path: PLANNING-TIME-unfiltered scans emit
+  // ColumnarBatches (4096-row on-heap vectors) instead of one
+  // InternalRow at a time — the shape that keeps a generated source
+  // inside whole-stage codegen's columnar pipeline. Planning-filtered
+  // scans keep the row reader. RUNTIME filters can still arrive here:
+  // Spark fixes columnar-vs-row at physical planning, BEFORE a DPP
+  // subquery delivers its IN-set, so the columnar reader must apply
+  // them itself (selective fill) or join-driven pruning silently
+  // becomes a no-op on exactly the scans it matters for.
   override def supportColumnarReads(partition: InputPartition): Boolean =
     pushed.isEmpty
 
@@ -696,21 +715,29 @@ class StatesV2ReaderFactory(
             s"unexpected column type $other")
         }
     }
+    // runtime (DPP) filters ride the partition — selective fill:
+    // failing rows never enter the vectors
+    val effective = p.filters
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var i = p.start
       override def next(): Boolean = {
-        if (i >= p.end) return false
-        vectors.foreach(_.reset())
-        var n = 0
-        while (n < batchSize && i < p.end) {
-          val h = StatesV2Source.splitmix64(p.seed + i)
-          var c = 0
-          while (c < fills.length) { fills(c)(n, h); c += 1 }
-          i += 1
-          n += 1
+        // loop until a batch has at least one survivor (a heavily
+        // pruned range may yield empty fills for many windows)
+        while (i < p.end) {
+          vectors.foreach(_.reset())
+          var n = 0
+          while (n < batchSize && i < p.end) {
+            val h = StatesV2Source.splitmix64(p.seed + i)
+            if (StatesV2FilterEval.accepts(effective, h)) {
+              var c = 0
+              while (c < fills.length) { fills(c)(n, h); c += 1 }
+              n += 1
+            }
+            i += 1
+          }
+          if (n > 0) { batch.setNumRows(n); return true }
         }
-        batch.setNumRows(n)
-        true
+        false
       }
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
         batch
@@ -721,6 +748,11 @@ class StatesV2ReaderFactory(
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatesV2RangePartition]
+    // the partition's filter list supersedes the factory's: partitions
+    // are re-planned after runtime (DPP) filters arrive, the factory
+    // is not (it is forced at physical planning for the columnar
+    // decision). Streaming partitions carry none and fall back.
+    val effective = if (p.filters.nonEmpty) p.filters else pushed
     // bind the projection once per partition, not per row — each getter
     // wraps the SINGLE per-column derivation in StatesV2FilterEval
     // (strings converted to UTF8String for InternalRow), so filter
@@ -746,7 +778,7 @@ class StatesV2ReaderFactory(
         if (emitted >= cap) return false
         while ({ i += 1; i < p.end }) {
           h = StatesV2Source.splitmix64(p.seed + i)
-          if (StatesV2FilterEval.accepts(pushed, h)) {
+          if (StatesV2FilterEval.accepts(effective, h)) {
             emitted += 1
             return true
           }

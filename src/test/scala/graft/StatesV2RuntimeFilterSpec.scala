@@ -48,6 +48,39 @@ class StatesV2RuntimeFilterSpec extends SparkSpecBase {
       s"runtime-filtered reader emitted $n rows, expected $expected")
   }
 
+  test("runtime filters ride the re-planned partitions into the " +
+      "COLUMNAR reader (the factory predates them)") {
+    // Spark forces the reader factory at physical planning — before a
+    // DPP subquery delivers its IN-set — so filters baked into the
+    // factory would miss every runtime filter; they must travel via
+    // planInputPartitions(), which IS re-invoked after filter().
+    val full = read(5000, 1).collect()
+    val wanted = full.take(40).map(_.getString(0)).distinct.take(8)
+    val scan = StatesV2Scan(
+      rows = 5000, partitions = 1, seed = 7,
+      rowsPerBatch = 100, maxRows = 5000,
+      required = StatesV2Source.schema)
+    val factory = scan.createReaderFactory() // created BEFORE filter()
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("icao24", wanted.toArray[Any])))
+    val part = scan.planInputPartitions().head // re-planned AFTER
+    assert(factory.asInstanceOf[graft.sources.StatesV2ReaderFactory]
+      .supportColumnarReads(part))
+    val reader = factory.createColumnarReader(part)
+    var n = 0
+    while (reader.next()) {
+      val batch = reader.get()
+      n += batch.numRows()
+      val it = batch.rowIterator()
+      while (it.hasNext) {
+        assert(wanted.contains(it.next().getUTF8String(0).toString))
+      }
+    }
+    val expected = full.count(r => wanted.contains(r.getString(0)))
+    assert(n == expected && n > 0,
+      s"columnar reader emitted $n rows, expected $expected pruned")
+  }
+
   test("unsupported runtime filter shapes are ignored, not applied") {
     val scan = StatesV2Scan(
       rows = 100, partitions = 1, seed = 7,
