@@ -336,6 +336,49 @@ object StatesV2FilterEval {
     }
     true
   }
+
+  /** Numeric values compare by double widening in `cmp`; normalize to
+    * the same key so a hash-set probe agrees with it.
+    */
+  private def norm(v: Any): Any = v match {
+    case n: Number => java.lang.Double.valueOf(n.doubleValue())
+    case other => other
+  }
+
+  /** Compile a filter list into one per-row predicate bound OUTSIDE
+    * the generation loop. The payoff is In(col, values): a DPP
+    * runtime filter can carry thousands of keys, and the interpreted
+    * eval re-derives the column value and walks the list per row —
+    * O(rows·k) string formats. Compiled, it is one derivation and one
+    * hash-set probe per row; other shapes fall back to eval (already
+    * O(1) per row).
+    */
+  def compile(filters: Seq[Filter]): Long => Boolean = {
+    if (filters.isEmpty) return _ => true
+    val preds: Array[Long => Boolean] = filters.map {
+      case In(a, vs) if cols(a) =>
+        val g = getter(a)
+        val set = vs.filter(_ != null).map(norm).toSet
+        // acceptance matches eval's 3VL In: only a real match is TRUE
+        // (a NULL value or NULL-element no-match is UNKNOWN, a plain
+        // no-match FALSE — both reject)
+        (h: Long) => {
+          val x = g(h)
+          x != null && set.contains(norm(x))
+        }
+      case other =>
+        (h: Long) => eval(other, h).contains(true)
+    }.toArray
+    (h: Long) => {
+      var i = 0
+      var ok = true
+      while (ok && i < preds.length) {
+        ok = preds(i)(h)
+        i += 1
+      }
+      ok
+    }
+  }
 }
 
 /** Range partition. `filters` carries the EFFECTIVE filter list
@@ -540,7 +583,7 @@ class StatesV2MicroBatchStream(
     advanceTo(end.asInstanceOf[StatesV2Offset].n)
     StatesV2Scan.splitRange(
       start.asInstanceOf[StatesV2Offset].n,
-      end.asInstanceOf[StatesV2Offset].n, partitions, seed)
+      end.asInstanceOf[StatesV2Offset].n, partitions, seed, pushed)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -579,9 +622,10 @@ class StatesV2AggReaderFactory(
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatesV2RangePartition]
-    // the partition's filter list supersedes the factory's: it is the
-    // one re-planned after runtime filters arrived
-    val effective = if (p.filters.nonEmpty) p.filters else pushed
+    // partitions carry the authoritative filter list — re-planned
+    // after runtime filters arrive (the factory is not); compiled
+    // once per partition
+    val accept = StatesV2FilterEval.compile(p.filters)
     val groupGetters = groups.map(StatesV2FilterEval.getter).toArray
     // bind one column getter per aggregate OUTSIDE the row loop —
     // getter() dispatches on the column name; doing it per row per
@@ -645,7 +689,7 @@ class StatesV2AggReaderFactory(
     var i = p.start
     while (i < p.end) {
       val h = StatesV2Source.splitmix64(p.seed + i)
-      if (StatesV2FilterEval.accepts(effective, h)) {
+      if (accept(h)) {
         val key: IndexedSeq[Any] = groupGetters.map(_(h)).toIndexedSeq
         var slot = buffers.get(key)
         if (slot == null) { slot = emptySlot(); buffers.put(key, slot) }
@@ -716,28 +760,28 @@ class StatesV2ReaderFactory(
         }
     }
     // runtime (DPP) filters ride the partition — selective fill:
-    // failing rows never enter the vectors
-    val effective = p.filters
+    // failing rows never enter the vectors. Compiled once: a DPP
+    // IN-set probe is one hash lookup per row, not a list walk.
+    val accept = StatesV2FilterEval.compile(p.filters)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var i = p.start
       override def next(): Boolean = {
-        // loop until a batch has at least one survivor (a heavily
-        // pruned range may yield empty fills for many windows)
-        while (i < p.end) {
-          vectors.foreach(_.reset())
-          var n = 0
-          while (n < batchSize && i < p.end) {
-            val h = StatesV2Source.splitmix64(p.seed + i)
-            if (StatesV2FilterEval.accepts(effective, h)) {
-              var c = 0
-              while (c < fills.length) { fills(c)(n, h); c += 1 }
-              n += 1
-            }
-            i += 1
+        // single pass: the fill loop only stops on a full batch or
+        // range exhaustion, so n == 0 means the range is done
+        if (i >= p.end) return false
+        vectors.foreach(_.reset())
+        var n = 0
+        while (n < batchSize && i < p.end) {
+          val h = StatesV2Source.splitmix64(p.seed + i)
+          if (accept(h)) {
+            var c = 0
+            while (c < fills.length) { fills(c)(n, h); c += 1 }
+            n += 1
           }
-          if (n > 0) { batch.setNumRows(n); return true }
+          i += 1
         }
-        false
+        batch.setNumRows(n)
+        n > 0
       }
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
         batch
@@ -748,11 +792,10 @@ class StatesV2ReaderFactory(
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[StatesV2RangePartition]
-    // the partition's filter list supersedes the factory's: partitions
-    // are re-planned after runtime (DPP) filters arrive, the factory
-    // is not (it is forced at physical planning for the columnar
-    // decision). Streaming partitions carry none and fall back.
-    val effective = if (p.filters.nonEmpty) p.filters else pushed
+    // partitions carry the authoritative filter list (batch AND
+    // streaming plan them in) — re-planned after runtime (DPP)
+    // filters arrive, which the factory is not; compiled once
+    val accept = StatesV2FilterEval.compile(p.filters)
     // bind the projection once per partition, not per row — each getter
     // wraps the SINGLE per-column derivation in StatesV2FilterEval
     // (strings converted to UTF8String for InternalRow), so filter
@@ -778,7 +821,7 @@ class StatesV2ReaderFactory(
         if (emitted >= cap) return false
         while ({ i += 1; i < p.end }) {
           h = StatesV2Source.splitmix64(p.seed + i)
-          if (StatesV2FilterEval.accepts(effective, h)) {
+          if (accept(h)) {
             emitted += 1
             return true
           }

@@ -201,6 +201,35 @@ object StreamingFlightSession {
         initial.groupByKey(_._1).mapValues(_._2))
   }
 
+  /** Shared per-batch loop for the three `transformWithState`
+    * processors — one definition of the step-drive + one-live-timer
+    * pattern, so the processors differ ONLY in input type and timer
+    * arming (the same guarantee `step` gives across state APIs).
+    */
+  private[streaming] def runBatch[I](
+      key: String,
+      rows: Iterator[I],
+      asObs: I => Observation,
+      state: org.apache.spark.sql.streaming.ValueState[ActiveFlight],
+      handle: org.apache.spark.sql.streaming.StatefulProcessorHandle,
+      armAt: ActiveFlight => Long): Iterator[CompletedFlight] = {
+    val out = Seq.newBuilder[CompletedFlight]
+    rows.toSeq.map(asObs).sortBy(_.last_contact).foreach { obs =>
+      val prior = if (state.exists()) Some(state.get()) else None
+      val (next, emitted) = step(key, prior, obs)
+      emitted.foreach(out += _)
+      next match {
+        case Some(st) => state.update(st)
+        case None => state.clear()
+      }
+    }
+    // exactly one live inactivity timer per key: drop stale arms from
+    // earlier batches, then re-arm iff the session is still open
+    handle.listTimers().foreach(handle.deleteTimer)
+    if (state.exists()) handle.registerTimer(armAt(state.get()))
+    out.result().iterator
+  }
+
   /** Observation carrying its event-time column (required for
     * watermarking — Spark tracks the watermark on a timestamp column
     * of the input, not on an arbitrary long).
@@ -312,25 +341,9 @@ class FlightSessionProcessor
   override def handleInputRows(
       key: String,
       rows: Iterator[Observation],
-      timerValues: TimerValues): Iterator[CompletedFlight] = {
-    val out = Seq.newBuilder[CompletedFlight]
-    rows.toSeq.sortBy(_.last_contact).foreach { obs =>
-      val prior = if (state.exists()) Some(state.get()) else None
-      val (next, emitted) = step(key, prior, obs)
-      emitted.foreach(out += _)
-      next match {
-        case Some(s) => state.update(s)
-        case None => state.clear()
-      }
-    }
-    // exactly one live inactivity timer per key: drop stale arms from
-    // earlier batches, then re-arm iff the session is still open
-    getHandle.listTimers().foreach(getHandle.deleteTimer)
-    if (state.exists())
-      getHandle.registerTimer(
-        timerValues.getCurrentProcessingTimeInMs + InactivityMillis)
-    out.result().iterator
-  }
+      timerValues: TimerValues): Iterator[CompletedFlight] =
+    runBatch[Observation](key, rows, identity, state, getHandle,
+      _ => timerValues.getCurrentProcessingTimeInMs + InactivityMillis)
 
   override def handleExpiredTimer(
       key: String,
@@ -367,26 +380,14 @@ class FlightSessionEventTimeProcessor
   override def handleInputRows(
       key: String,
       rows: Iterator[TimedObservation],
-      timerValues: TimerValues): Iterator[CompletedFlight] = {
-    val out = Seq.newBuilder[CompletedFlight]
-    rows.toSeq.sortBy(_.last_contact).foreach { t =>
-      val obs = Observation(t.icao24, t.last_contact, t.velocity,
-        t.vertical_rate)
-      val prior = if (state.exists()) Some(state.get()) else None
-      val (next, emitted) = step(key, prior, obs)
-      emitted.foreach(out += _)
-      next match {
-        case Some(s) => state.update(s)
-        case None => state.clear()
-      }
-    }
-    getHandle.listTimers().foreach(getHandle.deleteTimer)
-    if (state.exists())
-      getHandle.registerTimer(
-        state.get().flight_last_contact.toLong * 1000L +
-          InactivityMillis)
-    out.result().iterator
-  }
+      timerValues: TimerValues): Iterator[CompletedFlight] =
+    runBatch[TimedObservation](key, rows,
+      t => Observation(t.icao24, t.last_contact, t.velocity,
+        t.vertical_rate),
+      state, getHandle,
+      // arm from the stamped state's last_contact (the running max of
+      // non-zero contacts) — correct under any intra-batch order
+      st => st.flight_last_contact.toLong * 1000L + InactivityMillis)
 
   override def handleExpiredTimer(
       key: String,
@@ -433,23 +434,9 @@ class FlightSessionBootstrapProcessor
   override def handleInputRows(
       key: String,
       rows: Iterator[Observation],
-      timerValues: TimerValues): Iterator[CompletedFlight] = {
-    val out = Seq.newBuilder[CompletedFlight]
-    rows.toSeq.sortBy(_.last_contact).foreach { obs =>
-      val prior = if (state.exists()) Some(state.get()) else None
-      val (next, emitted) = step(key, prior, obs)
-      emitted.foreach(out += _)
-      next match {
-        case Some(s) => state.update(s)
-        case None => state.clear()
-      }
-    }
-    getHandle.listTimers().foreach(getHandle.deleteTimer)
-    if (state.exists())
-      getHandle.registerTimer(
-        timerValues.getCurrentProcessingTimeInMs + InactivityMillis)
-    out.result().iterator
-  }
+      timerValues: TimerValues): Iterator[CompletedFlight] =
+    runBatch[Observation](key, rows, identity, state, getHandle,
+      _ => timerValues.getCurrentProcessingTimeInMs + InactivityMillis)
 
   override def handleExpiredTimer(
       key: String,
