@@ -163,7 +163,8 @@ class StatesV2ScanBuilder(options: CaseInsensitiveStringMap)
     // equal, defeating plan canonicalization and scan reuse.
     pushed = pushed.toSeq,
     agg = pushedAgg,
-    limit = limit)
+    limit = limit,
+    columnar = options.getBoolean("columnar", false))
 }
 
 /** A pushed aggregate call, reduced to a serializable shape the
@@ -398,7 +399,8 @@ case class StatesV2Scan(
     countStarPushed: Boolean = false,
     pushed: Seq[Filter] = Nil,
     agg: Option[(Seq[StatesV2Agg], Seq[String])] = None,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    columnar: Boolean = false)
   extends Scan with Batch
   with SupportsReportStatistics with SupportsRuntimeFiltering {
 
@@ -490,7 +492,8 @@ case class StatesV2Scan(
         // runtime filters pruning within that prefix is still correct
         // (the join that produced them re-checks membership anyway)
         new StatesV2ReaderFactory(required, effectiveFilters,
-          limitPerPartition = if (pushed.isEmpty) None else limit)
+          limitPerPartition = if (pushed.isEmpty) None else limit,
+          columnar = columnar)
     }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -719,20 +722,25 @@ class StatesV2AggReaderFactory(
 
 class StatesV2ReaderFactory(
     required: StructType, pushed: Seq[Filter] = Nil,
-    limitPerPartition: Option[Int] = None)
+    limitPerPartition: Option[Int] = None,
+    columnar: Boolean = false)
   extends PartitionReaderFactory {
 
-  // Vectorized path: PLANNING-TIME-unfiltered scans emit
+  // Vectorized path — OPT-IN (`option("columnar", true)`): emits
   // ColumnarBatches (4096-row on-heap vectors) instead of one
-  // InternalRow at a time — the shape that keeps a generated source
-  // inside whole-stage codegen's columnar pipeline. Planning-filtered
-  // scans keep the row reader. RUNTIME filters can still arrive here:
-  // Spark fixes columnar-vs-row at physical planning, BEFORE a DPP
-  // subquery delivers its IN-set, so the columnar reader must apply
-  // them itself (selective fill) or join-driven pruning silently
-  // becomes a no-op on exactly the scans it matters for.
+  // InternalRow at a time. MEASURED OFF by default for this source:
+  // vectorization pays when it amortizes a decode cost (parquet
+  // pages, network wire formats); a pure-compute generator has none,
+  // and the vector fill + ColumnarToRow copy made the columnar path
+  // ~1.6x SLOWER than direct row generation on a 20M-row aggregate
+  // (examples/ColumnarBench). The path stays fully functional — it is
+  // the template a decode-bound connector would enable. Only for
+  // planning-time-unfiltered scans; RUNTIME filters can still arrive
+  // (Spark fixes columnar-vs-row at physical planning, BEFORE a DPP
+  // subquery delivers its IN-set), so the columnar reader applies the
+  // partition's filters itself via selective fill.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    pushed.isEmpty
+    columnar && pushed.isEmpty
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

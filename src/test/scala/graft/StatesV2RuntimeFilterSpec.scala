@@ -59,7 +59,7 @@ class StatesV2RuntimeFilterSpec extends SparkSpecBase {
     val scan = StatesV2Scan(
       rows = 5000, partitions = 1, seed = 7,
       rowsPerBatch = 100, maxRows = 5000,
-      required = StatesV2Source.schema)
+      required = StatesV2Source.schema, columnar = true)
     val factory = scan.createReaderFactory() // created BEFORE filter()
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       In("icao24", wanted.toArray[Any])))

@@ -150,9 +150,11 @@ class StatesV2SourceSpec extends SparkSpecBase {
       "filtered count must reflect the filter, not the rows option")
   }
 
-  test("unfiltered scans read vectorized: ColumnarToRow in the plan, " +
-      "identical content to the row path") {
-    val df = read(20000, 4)
+  test("unfiltered scans read vectorized when opted in: ColumnarToRow " +
+      "in the plan, identical content to the row path") {
+    val df = spark.read.format("graft-states")
+      .option("rows", 20000).option("partitions", 4).option("seed", 42L)
+      .option("columnar", true).load()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ColumnarToRow"),
       s"expected the vectorized read path:\n$plan")
