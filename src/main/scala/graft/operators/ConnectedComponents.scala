@@ -46,20 +46,29 @@ object ConnectedComponents {
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
       .localCheckpoint(true)
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
 
     // coalesce to 0: sum over an empty labels frame is null, and LSH can
     // legitimately produce zero candidate pairs on a clean corpus.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+    // ONE job per round: the frame is marked for LAZY local
+    // checkpointing, so the convergence-sum action both materializes
+    // the round's blocks and returns the sum — running the sum as a
+    // separate job on an eager checkpoint doubled the per-round driver
+    // round-trips, which dominated wall time once ~90 plans' worth of
+    // block-manager state had accumulated in a long bench sweep.
+    def checkpointAndSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val cp = df.localCheckpoint(false)
+      val s = cp.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
           lit(java.math.BigDecimal.ZERO))).head()
         .getDecimal(0)
+      (cp, s)
+    }
+
+    var (labels, oldSum) = checkpointAndSum(
+      sym.select(col("a").as("id")).distinct()
+        .withColumn("component", col("id")))
 
     var converged = false
     var it = 0
-    var oldSum = labelSum(labels)
     while (!converged && it < maxIters) {
       // 1. neighbor min
       val viaNeighbors = sym
@@ -72,10 +81,9 @@ object ConnectedComponents {
       // total.
       val mapping = afterMin
         .select(col("id").as("cid"), col("component").as("ccomp"))
-      val next = afterMin.join(mapping, afterMin("component") === col("cid"))
-        .select(afterMin("id"), col("ccomp").as("component"))
-        .localCheckpoint(true)
-      val newSum = labelSum(next)
+      val (next, newSum) = checkpointAndSum(
+        afterMin.join(mapping, afterMin("component") === col("cid"))
+          .select(afterMin("id"), col("ccomp").as("component")))
       labels = next
       converged = newSum.compareTo(oldSum) == 0
       oldSum = newSum
