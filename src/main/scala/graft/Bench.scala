@@ -41,6 +41,21 @@ object Bench {
       }
     }
 
+    // Sweep hygiene: the iterative operators (connected components,
+    // PageRank, LSH verification) leave localCheckpoint blocks behind;
+    // their cleanup is normally GC-driven (ContextCleaner), whose lag
+    // across a ~90-query sweep lands as multi-second inflation on
+    // whichever heavy query happens to run late in alphabetical order
+    // (r4: t19 16 s vs 2.6 s steady; r5: t16 5.9 s vs 1.5 s). Dropping
+    // every persistent block between measured queries makes each
+    // number sweep-order-independent. (Safe: no query reuses another's
+    // DataFrames, and each fn() call builds a fresh plan.)
+    def dropBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+
     // Per-query: one unmeasured warmup run (whole-stage-codegen +
     // JIT compile of the plan, 2-4s per distinct plan shape, a fixed
     // cost irrelevant to data-scale throughput), then the measured run.
@@ -49,6 +64,7 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val r = try {
         run()
+        dropBlocks()
         val t0 = System.nanoTime()
         run()
         name -> (System.nanoTime() - t0) / 1e9
@@ -57,6 +73,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> -1.0
       }
+      dropBlocks()
       // incremental per-query line on stderr: survives any stdout-tail
       // truncation of the final (long) JSON line
       System.err.println(f"[bench] ${r._1}%-28s ${r._2}%.3f s")

@@ -55,6 +55,12 @@ object ConnectedComponents {
     // separate job on an eager checkpoint doubled the per-round driver
     // round-trips, which dominated wall time once ~90 plans' worth of
     // block-manager state had accumulated in a long bench sweep.
+    // INVARIANT: because the checkpoint is lazy, the probe action MUST
+    // be a full-scan aggregate that computes EVERY partition (the
+    // global sum below is). A partial action (isEmpty/head/limit on
+    // the labels frame) would leave some partitions unmaterialized,
+    // and later rounds would silently recompute the full untruncated
+    // lineage for them.
     def checkpointAndSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
       val cp = df.localCheckpoint(false)
       val s = cp.agg(coalesce(sum(col("component").cast("decimal(38,0)")),
@@ -62,6 +68,14 @@ object ConnectedComponents {
         .getDecimal(0)
       (cp, s)
     }
+    // Deterministic block hygiene: once a round's labels are
+    // materialized, the PREVIOUS round's checkpoint blocks can never
+    // be read again — free them now instead of leaving it to the
+    // GC-driven ContextCleaner (whose lag across a 90-query sweep
+    // shows up as multi-second inflation of late-running queries).
+    def free(df: DataFrame): Unit =
+      org.apache.spark.sql.graft.bridge.checkpointedRdd(df)
+        .foreach(_.unpersist(blocking = false))
 
     var (labels, oldSum) = checkpointAndSum(
       sym.select(col("a").as("id")).distinct()
@@ -84,11 +98,15 @@ object ConnectedComponents {
       val (next, newSum) = checkpointAndSum(
         afterMin.join(mapping, afterMin("component") === col("cid"))
           .select(afterMin("id"), col("ccomp").as("component")))
+      free(labels)
       labels = next
       converged = newSum.compareTo(oldSum) == 0
       oldSum = newSum
       it += 1
     }
+    // The final labels are self-contained checkpoint blocks — the
+    // symmetrized edge table is no longer reachable from any consumer.
+    free(sym)
     labels
   }
 }

@@ -15,11 +15,14 @@ import org.apache.spark.sql.functions._
   * floating-point-free oracle possible (the DuckDB side unrolls the
   * same iterations as CTEs).
   *
-  * Scale shape: each iteration is one equi-join (edges × ranks,
-  * shuffled on the join key) and one aggregation — the standard
-  * distributed PageRank round. No driver-side state beyond the loop
-  * counter; each round is `localCheckpoint`ed so lineage (and
-  * planning time) stays constant across iterations.
+  * Scale shape: the rank table carries (node, deg, rank), so each
+  * round's contribution rate is a pure PROJECTION (no rank⋈degree
+  * join), broadcast into the stationary checkpointed edge table — the
+  * edges are never shuffled. The per-round contribution aggregation
+  * hash-partitions on `node`, the same partitioning the checkpointed
+  * rank table already has (localCheckpoint preserves the physical
+  * partitioning), so the damping join needs no exchange either: one
+  * shuffle per round, total, and it is map-side combined.
   */
 object PageRank {
 
@@ -33,6 +36,13 @@ object PageRank {
     *        round's (un-checkpointed) rank plan before it executes —
     *        checkpointing erases the round's join shape from the final
     *        plan, so plan-shape tests observe it here
+    * @param checkpointEvery truncate lineage every this many rounds.
+    *        Rounds BETWEEN checkpoints fuse into one plan executed as
+    *        a single multi-stage job chain (shuffle stages are shared
+    *        across the per-round broadcast builds), so a short run
+    *        pays zero per-round driver synchronization; the interval
+    *        bounds plan depth so a long run never re-plans its whole
+    *        history.
     */
   def run(
       edges: DataFrame,
@@ -40,48 +50,69 @@ object PageRank {
       dstCol: String,
       iterations: Int = 5,
       broadcastNodeLimit: Long = 5000000L,
+      checkpointEvery: Int = 1,
       inspectRound: DataFrame => Unit = _ => ()): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
+    def free(df: DataFrame): Unit =
+      org.apache.spark.sql.graft.bridge.checkpointedRdd(df)
+        .foreach(_.unpersist(blocking = false))
+
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (node, deg): hash-partitioned on node by the groupBy; the
+    // checkpoint preserves that partitioning, and every later round's
+    // rank table inherits it by construction.
+    val base = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
       .localCheckpoint(true)
-    // node set = sources (with symmetric input this is all nodes);
-    // re-materialized once, reused every round on both sides
-    val nodes = deg.select("node").localCheckpoint(true)
 
-    // The rank/degree table is |nodes| rows; the edge table is |E| —
-    // usually orders of magnitude bigger. When the node table fits a
+    // The rank table is |nodes| rows; the edge table is |E| — usually
+    // orders of magnitude bigger. When the node table fits a
     // broadcast, each round joins the (tiny) per-node contribution
     // rate INTO the stationary checkpointed edges — no edge shuffle,
-    // ever; the only shuffle left is the map-side-combined contrib
-    // aggregation. Past the limit it degrades to a plain shuffled
-    // equi-join (checkpointed DataFrames report no size stats, so
-    // Spark would never choose the broadcast on its own).
-    val nNodes = nodes.count()
+    // ever. Past the limit it degrades to a plain shuffled equi-join
+    // (checkpointed DataFrames report no size stats, so Spark would
+    // never choose the broadcast on its own).
+    val nNodes = base.count()
     val maybeBroadcast: DataFrame => DataFrame =
       if (nNodes <= broadcastNodeLimit) broadcast _ else identity _
 
-    var rank = nodes.withColumn("rank", lit(1000000L))
-    for (_ <- 1 to iterations) {
-      val rate = rank.join(deg, "node")
+    var rank = base.withColumn("rank", lit(1000000L))
+    var rankCheckpointed = false
+    for (i <- 1 to iterations) {
+      // deg rides inside the rank table: the rate is a projection,
+      // not a join.
+      val rate = rank
         .select(col("node").as("src"), expr("rank div deg").as("c"))
       val contrib = e
         .join(maybeBroadcast(rate), "src")
         .select(col("dst").as("node"), col("c"))
         .groupBy("node")
         .agg(sum("c").as("s"))
-      val next = nodes
+      // base and contrib are both hash(node)-partitioned with the
+      // session shuffle parallelism — the damping join is
+      // exchange-free.
+      val next = base
         .join(contrib, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (lit(150000L) + expr("85 * coalesce(s, 0L) div 100"))
             .as("rank"))
       inspectRound(next)
-      rank = next.localCheckpoint(true)
+      if (i % checkpointEvery == 0 && i < iterations) {
+        val cp = next.localCheckpoint(true)
+        // the superseded checkpoint's blocks can never be read again —
+        // free them now rather than waiting for the GC-driven
+        // ContextCleaner. (e/base stay persisted: the final rounds'
+        // un-checkpointed plans still reference them.)
+        if (rankCheckpointed) free(rank)
+        rank = cp
+        rankCheckpointed = true
+      } else {
+        rank = next
+      }
     }
-    rank
+    rank.select("node", "rank")
   }
 }

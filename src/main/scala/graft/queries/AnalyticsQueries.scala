@@ -742,12 +742,18 @@ object AnalyticsQueries {
     // shape that survives a billion-edge graph.
     "p2_pagerank" -> ((
       (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-          .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+        // co-purchase edges as ONE shuffle: per-order part sets
+        // (map-side-combined collect_set) expanded to ordered pairs by
+        // two narrow explodes — same edge set as the self-join
+        // formulation (the oracle keeps that shape), minus its three
+        // extra 600k-row exchanges (distinct + join re-partitioning).
+        // PageRank.run dedups cross-order repeats itself.
+        val e = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("pks"))
+          .select(explode(col("pks")).as("src"), col("pks"))
+          .select(col("src"), explode(col("pks")).as("dst"))
+          .where(col("src") =!= col("dst"))
         graft.operators.PageRank.run(e, "src", "dst", iterations = 5)
           .select(col("node").as("part"), col("rank"))
       },

@@ -42,6 +42,18 @@ object bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The materialized RDD behind a `localCheckpoint`ed DataFrame, if
+    * any — lets iterative operators free a superseded round's blocks
+    * deterministically instead of waiting for the ContextCleaner to
+    * GC the dropped reference (block-manager accumulation across a
+    * long query sweep taxes whichever query runs last).
+    */
+  def checkpointedRdd(df: org.apache.spark.sql.Dataset[_])
+      : Option[org.apache.spark.rdd.RDD[_]] = analyzed(df) match {
+    case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+    case _ => None
+  }
+
   /** Idempotently add a planner strategy to a live session (the
     * public `ExperimentalMethods` hook — works on any session, unlike
     * `spark.sql.extensions` which must be set at session build time).
