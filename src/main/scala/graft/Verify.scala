@@ -44,6 +44,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Oracle-less queries: print WHY rows-only is the ceiling (each is
+    // approximate by construction) and which green exact companion +
+    // spec pins its behavior. NOT written into outDir — the compare
+    // harness globs outDir/* as query results and a stray file breaks
+    // the whole gate.
+    SparkEntry.noOracleRationale.toSeq.sortBy(_._1)
+      .foreach { case (name, why) =>
+        System.err.println(s"[verify] no-oracle $name: $why")
+      }
     spark.stop()
   }
 }

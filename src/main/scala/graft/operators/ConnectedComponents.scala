@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param edges undirected edge list (one row per edge, any order)
+    * @param inspectRound instrumentation hook: called with each
+    *        round's (un-checkpointed) label plan before it executes —
+    *        checkpointing erases the round's join shape from the final
+    *        plan, so plan-shape tests observe it here
     * @return (id, component) for every node appearing in `edges`,
     *         component = minimum node id reachable from the node
     */
@@ -36,7 +40,8 @@ object ConnectedComponents {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
-      maxIters: Int = 25): DataFrame = {
+      maxIters: Int = 25,
+      inspectRound: DataFrame => Unit = _ => ()): DataFrame = {
     // localCheckpoint (not persist): the union references `edges`
     // twice, so an un-truncated lineage would compute the caller's
     // (possibly expensive — d8 feeds a whole LSH pipeline) plan twice,
@@ -95,9 +100,11 @@ object ConnectedComponents {
       // total.
       val mapping = afterMin
         .select(col("id").as("cid"), col("component").as("ccomp"))
-      val (next, newSum) = checkpointAndSum(
-        afterMin.join(mapping, afterMin("component") === col("cid"))
-          .select(afterMin("id"), col("ccomp").as("component")))
+      val roundPlan = afterMin
+        .join(mapping, afterMin("component") === col("cid"))
+        .select(afterMin("id"), col("ccomp").as("component"))
+      inspectRound(roundPlan)
+      val (next, newSum) = checkpointAndSum(roundPlan)
       free(labels)
       labels = next
       converged = newSum.compareTo(oldSum) == 0

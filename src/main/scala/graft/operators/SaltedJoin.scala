@@ -46,4 +46,61 @@ object SaltedJoin {
           salted(salt) === replicated(salt))
       .drop(salt)
   }
+
+  /** Bucket count from a sampled key histogram: 1 (≡ plain join) when
+    * no key exceeds `skewTolerance`× the average reducer's share of
+    * the shuffle, else just enough buckets to bring the hottest key
+    * back under that bound (capped at `maxBuckets`).
+    *
+    * The sampling pass reads only the (column-pruned) key column once;
+    * at warehouse scale amortize it by computing the histogram on
+    * ingest and passing the observed hot-key share to a cached plan.
+    */
+  def decideBuckets(
+      fact: DataFrame,
+      factKey: String,
+      maxBuckets: Int = 16,
+      sampleFraction: Double = 0.01,
+      skewTolerance: Double = 4.0,
+      seed: Long = 42L): Int = {
+    val parts = fact.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val row = fact.select(col(factKey)).sample(sampleFraction, seed)
+      .groupBy(factKey).agg(count(lit(1)).as("c"))
+      .agg(coalesce(max(col("c")), lit(0L)),
+        coalesce(sum(col("c")), lit(0L)))
+      .head()
+    val (mx, tot) = (row.getLong(0), row.getLong(1))
+    if (tot == 0L) 1
+    else {
+      val share = mx.toDouble / tot
+      // a key may occupy up to skewTolerance× an average reducer —
+      // but never more than 20% of the whole shuffle: at low
+      // parallelism skewTolerance/parts approaches 1 and would wave
+      // through a key that dominates the table outright
+      val bound = math.min(skewTolerance / parts, 0.2)
+      if (share <= bound) 1
+      else math.min(maxBuckets, math.ceil(share / bound).toInt)
+    }
+  }
+
+  /** Self-tuning inner join: measures the fact side's hot-key share on
+    * a sample and only pays the dimension-replication cost when the
+    * measurement says the shuffle would actually skew — unskewed input
+    * plans a completely plain equi-join.
+    */
+  def auto(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      saltFrom: Seq[String],
+      maxBuckets: Int = 16,
+      sampleFraction: Double = 0.01,
+      skewTolerance: Double = 4.0): DataFrame = {
+    val buckets = decideBuckets(fact, factKey, maxBuckets,
+      sampleFraction, skewTolerance)
+    if (buckets <= 1) fact.join(dim, fact(factKey) === dim(dimKey))
+    else inner(fact, dim, factKey, dimKey, saltFrom, buckets)
+  }
 }

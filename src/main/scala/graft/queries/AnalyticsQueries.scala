@@ -453,17 +453,19 @@ object AnalyticsQueries {
           ON p.user_id = s.user_id AND s.ts <= p.ts""")
     )),
 
-    // Skew-salted shuffle join: lineitem's hot order keys are spread
-    // over 8 salt buckets, orders is replicated 8×, and the join runs
-    // on (key, salt) — identical results to the plain join (this
-    // oracle), with the largest reducer shrunk ~8×. SaltedJoinSpec
-    // proves the balance effect on a synthetically skewed key.
+    // Self-tuning skew-salted shuffle join: a sampled key histogram
+    // picks the bucket count — TPC-H order keys are uniform, so this
+    // measures no skew and plans a completely plain equi-join (the
+    // dimension-replication cost is only ever paid on MEASURED skew);
+    // identical results either way (this oracle). SaltedJoinSpec
+    // proves both the balance effect on a synthetically skewed key
+    // and that unskewed input takes the plain path.
     "q29_salted_join" -> ((
       (s: SparkSession, d: String) => {
-        val joined = graft.operators.SaltedJoin.inner(
+        val joined = graft.operators.SaltedJoin.auto(
           t(s, d, "lineitem"), t(s, d, "orders"),
           "l_orderkey", "o_orderkey",
-          saltFrom = Seq("l_linenumber"), buckets = 8)
+          saltFrom = Seq("l_linenumber"))
         joined.groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n"),
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)

@@ -778,6 +778,19 @@ object TextQueries {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b")
 
+  /** The candidate-gated shingle scan: only candidate docs' shingles
+    * explode — a broadcast semi-join keeps verification O(candidate
+    * docs), not O(corpus). Package-visible (un-checkpointed) so plan
+    * guards can assert the gate survives refactors; verifiedJaccard
+    * checkpoints it.
+    */
+  private[graft] def gatedShingleScan(
+      s: SparkSession, d: String, cand: DataFrame): DataFrame =
+    docs(s, d)
+      .join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
+
   /** d7's DataFrame: exact Jaccard over the LSH candidate pairs —
     * shared by d7 (verification) and d8 (clustering).
     */
@@ -798,11 +811,7 @@ object TextQueries {
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
         // both sides of the intersection join and the size aggregate
         // read the exploded shingles — materialize once
-        val sh = docs(s, d)
-          .join(broadcast(cand), Seq("doc_id"), "left_semi")
-          .withColumn("w", split(col("text"), " "))
-          .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
-          .localCheckpoint(true)
+        val sh = gatedShingleScan(s, d, cand).localCheckpoint(true)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = pairs
           .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -52,6 +52,16 @@ class OperatorValidationSpec extends SparkSpecBase {
     }
   }
 
+  test("every oracle-less query has an explicit rationale — and only " +
+      "oracle-less queries do") {
+    val noOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(SparkEntry.noOracleRationale.keySet == noOracle,
+      s"rationale keys must exactly cover the oracle-less set; " +
+        s"missing=${noOracle -- SparkEntry.noOracleRationale.keySet} " +
+        s"stale=${SparkEntry.noOracleRationale.keySet -- noOracle}")
+  }
+
   test("as-of joins reject value collisions and missing/mismatched columns") {
     intercept[IllegalArgumentException] {
       AsOfJoin.asofJoin(df, df, "a", "b", Seq("v")) // v exists on left

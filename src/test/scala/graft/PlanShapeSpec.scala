@@ -126,6 +126,38 @@ class PlanShapeSpec extends SparkSpecBase {
       s"expected the per-round rate join to broadcast:\n${plans.mkString}")
   }
 
+  test("connected-components rounds plan equi-joins only — no " +
+      "cartesian or nested loop in any iteration") {
+    import SparkTestSession.spark.implicits._
+    // 6-node chain: takes several pointer-jumping rounds to converge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val rounds = scala.collection.mutable.Buffer[
+      org.apache.spark.sql.DataFrame]()
+    graft.operators.ConnectedComponents.run(edges, "a", "b",
+      inspectRound = rounds += _)
+    assert(rounds.nonEmpty)
+    val plans = rounds.map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+        s"CC round must plan equi-joins only:\n$p")
+    }
+  }
+
+  test("near-dup verification gates the shingle explosion behind a " +
+      "broadcast semi-join on the candidate set") {
+    import SparkTestSession.spark.implicits._
+    val cand = Seq(1L, 2L).toDF("doc_id")
+    val plan = graft.queries.TextQueries
+      .gatedShingleScan(SparkTestSession.spark,
+        "/root/testdata/sf0.001", cand)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"),
+      s"shingle scan must semi-join-gate on candidates:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the candidate gate must broadcast:\n$plan")
+  }
+
   test("edit-distance blocking is an equi-join, never a nested loop") {
     val s = finalPlan(planOf("d11_editdist_neardup")).toString
     assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),

@@ -54,4 +54,38 @@ class SaltedJoinSpec extends SparkSpecBase {
       saltFrom = Seq("row_id"), buckets = buckets)
     assert(!out.columns.contains("__salt"))
   }
+
+  // uniform keys: every key appears ~40×/2000 = 2% ≈ the average
+  // reducer share — no measured skew
+  private lazy val uniformFact = {
+    import spark.implicits._
+    (1 to 2000).map(i => (i.toLong, (i % 50).toLong, i * 1.5))
+      .toDF("row_id", "fk", "amount")
+  }
+
+  test("self-tuning: unskewed input measures buckets=1 and plans a " +
+      "plain join (no dimension replication)") {
+    val b = SaltedJoin.decideBuckets(uniformFact, "fk",
+      sampleFraction = 1.0)
+    assert(b == 1, s"uniform keys must not salt, got $b buckets")
+    val plan = SaltedJoin.auto(uniformFact, dim, "fk", "dk",
+        saltFrom = Seq("row_id"), sampleFraction = 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("__salt") && !plan.contains("explode"),
+      s"plain path must not replicate the dimension:\n$plan")
+  }
+
+  test("self-tuning: measured skew salts, with enough buckets to " +
+      "flatten the hot key, and keeps plain-join semantics") {
+    val b = SaltedJoin.decideBuckets(fact, "fk", sampleFraction = 1.0)
+    assert(b > 1, "90%-hot key must trigger salting")
+    val auto = SaltedJoin.auto(fact, dim, "fk", "dk",
+        saltFrom = Seq("row_id"), sampleFraction = 1.0)
+      .select("row_id", "fk", "amount", "name")
+      .collect().toSeq.sortBy(_.getLong(0))
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("row_id", "fk", "amount", "name")
+      .collect().toSeq.sortBy(_.getLong(0))
+    assert(auto == plain)
+  }
 }
