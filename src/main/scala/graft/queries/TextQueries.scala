@@ -84,24 +84,35 @@ object TextQueries {
     */
   private val P = 1073741789L
 
-  /** Per-doc MinHash signature: ONE md5 per shingle reduced to a 60-bit
-    * base, then 4 affine universal hashes `(a_k·b + c_k) mod P` — far
-    * cheaper than 4 salted md5 invocations, still independent enough
-    * for banding. `min` is duplicate-invariant, so shingles are
-    * exploded without a distinct pass.
+  /** Adds MinHash signature columns h0..h3 to any frame with a `text`
+    * column, entirely PER ROW: shingle → ONE md5 reduced to a 60-bit
+    * base, then 4 affine universal hashes `(a_k·b + c_k) mod P`
+    * minimized over the shingle array with `array_min` — no explode,
+    * no aggregation shuffle. Values are identical to the historical
+    * explode+groupBy formulation (`min` over the same multiset), but
+    * the derivation is a stateless narrow map — which is also what
+    * lets the STREAMING near-dup gate reuse it verbatim on an
+    * unbounded stream (no streaming aggregation state needed).
     */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
-    def h(k: Int) = pmod(col("b") * lit(2 * k + 3) + lit(7 * k + 1), lit(P))
-    docs(s, d)
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("s", explode(expr(shinglesRawExpr)))
-      // materialized once per shingle — the md5 must not be duplicated
-      // into each of the four aggregate expressions
-      .select(col("doc_id"), pmod(saltedHash(0, col("s")), lit(P)).as("b"))
-      .groupBy("doc_id")
-      .agg(min(h(0)).as("h0"), min(h(1)).as("h1"),
-        min(h(2)).as("h2"), min(h(3)).as("h3"))
+  private[graft] def withMinhashSignature(df: DataFrame): DataFrame = {
+    def h(k: Int) = s"array_min(transform(bv, b -> pmod(b * ${2 * k + 3} " +
+      s"+ ${7 * k + 1}, ${P}L)))"
+    df.withColumn("w", split(col("text"), " "))
+      // one md5 per shingle, shared by the four minimizations
+      .withColumn("bv",
+        expr(s"transform($shinglesRawExpr, s -> " +
+          s"pmod(cast(conv(substring(md5(concat('0:', s)), 1, 15), 16, 10) " +
+          s"AS LONG), ${P}L))"))
+      .withColumn("h0", expr(h(0))).withColumn("h1", expr(h(1)))
+      .withColumn("h2", expr(h(2))).withColumn("h3", expr(h(3)))
+      .drop("w", "bv")
   }
+
+  /** Per-doc MinHash signature (doc_id, h0..h3) — see
+    * withMinhashSignature for the zero-shuffle derivation.
+    */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    withMinhashSignature(docs(s, d)).select("doc_id", "h0", "h1", "h2", "h3")
 
   private val minhashSql = {
     def h(k: Int) = s"(b * ${2 * k + 3} + ${7 * k + 1}) % $P"
@@ -120,22 +131,46 @@ object TextQueries {
 
   private val SimhashBits = 16
 
+  /** Both band hashes of the MinHash signature in ONE narrow pass:
+    * (doc_id, bh0, bh1). ONE definition shared by the batch LSH
+    * pipeline (d4/d7/…) and the STREAMING near-dup gate, so the two
+    * surfaces can never disagree on what a band collision is.
+    */
+  private[graft] def bandedSignatureFlat(df: DataFrame): DataFrame =
+    withMinhashSignature(df).select(col("doc_id"),
+      md5(concat_ws(",", col("h0"), col("h1"))).as("bh0"),
+      md5(concat_ws(",", col("h2"), col("h3"))).as("bh1"))
+
+  /** Fan the flat form out to (doc_id, band, bh) rows — as a
+    * two-branch union, NOT `explode(array(struct…))`: generator-input
+    * pruning inlines the whole per-row signature tree into the
+    * Generate and re-evaluates it per band (measured 10× slower).
+    * A caller fanning out from one pass should persist/checkpoint the
+    * flat form first; un-materialized, each branch recomputes the
+    * signature once (2× a single pass — the streaming gate's price
+    * for statelessness).
+    */
+  private[graft] def explodedBands(flat: DataFrame): DataFrame =
+    flat.select(col("doc_id"), lit(0).as("band"), col("bh0").as("bh"))
+      .union(flat.select(col("doc_id"), lit(1).as("band"),
+        col("bh1").as("bh")))
+
+  /** (doc_id, band, bh) banded-signature rows for a (doc_id, text)
+    * frame — batch or streaming.
+    */
+  private[graft] def bandedSignature(df: DataFrame): DataFrame =
+    explodedBands(bandedSignatureFlat(df))
+
   /** LSH candidate pairs (Spark side), shared by d4 and the d7
     * verification stage.
     */
   def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
-    // The signature pipeline (explode + groupBy) feeds BOTH sides of
-    // the self-join — materialize it once instead of paying the
-    // shingle explosion twice. At cluster scale this would be a
-    // checkpoint / exchange reuse; in-memory cache is the local twin.
-    val sig = minhashSignatures(s, d).persist()
-      .withColumn("bands", array(
-        struct(lit(0).as("band"),
-          md5(concat_ws(",", col("h0"), col("h1"))).as("bh")),
-        struct(lit(1).as("band"),
-          md5(concat_ws(",", col("h2"), col("h3"))).as("bh"))))
-      .select(col("doc_id"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bh").as("bh"))
+    // The signature pipeline feeds BOTH band branches AND both sides
+    // of the self-join — materialize the flat form once instead of
+    // paying the shingle hashing four times. At cluster scale this
+    // would be a checkpoint / exchange reuse; in-memory cache is the
+    // local twin.
+    val sig = explodedBands(bandedSignatureFlat(docs(s, d)).persist())
     sig.as("a").join(sig.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("band").cast("long").as("band"),

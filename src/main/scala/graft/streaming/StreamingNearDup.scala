@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate gate — the streaming twin of the batch
+  * MinHash-LSH candidate pipeline (d4), for admitting documents into a
+  * growing corpus: an incoming document is flagged when any of its LSH
+  * bands collides with a document admitted EARLIER (a previous
+  * micro-batch, or a lower doc id within the same batch).
+  *
+  * The signature/banding derivation is `TextQueries.bandedSignature` —
+  * the exact expressions the batch pipeline uses, reusable here
+  * verbatim because round 6 made it a stateless per-row map (no
+  * explode+groupBy shuffle), which is also what makes it legal on an
+  * unbounded stream without a streaming aggregation.
+  *
+  * State shape: one entry per (band, band-hash) bucket holding the
+  * first admitted doc id — O(admitted docs × bands), the corpus
+  * fingerprint a dedup-at-ingest service has to keep by definition.
+  * It lives in the state store (RocksDB at scale), partitioned by
+  * bucket hash; there is no per-pair state and no cross-partition
+  * coordination. For sliding-horizon dedup (only suppress dups within
+  * N days) swap NoTimeout for a watermark + timeout eviction — corpus
+  * identity here is permanent, so the gate keeps buckets forever.
+  *
+  * Like the batch pipeline, band collisions are CANDIDATES (the LSH
+  * false-positive rate applies); a consumer that needs verified
+  * near-dups re-checks flagged pairs with exact Jaccard, exactly as d7
+  * verifies d4 — on the tiny flagged subset, not the stream.
+  */
+object StreamingNearDup {
+
+  /** One row per (incoming doc, colliding band). */
+  case class BandFlag(doc_id: Long, band: Int, bh: String, dup_of: Long)
+
+  // public: encoder-generated projections cannot access private types
+  case class BandRow(doc_id: Long, band: Int, bh: String)
+  case class BucketState(firstDoc: Long, hits: Long)
+
+  /** (doc_id, band, bh) banded-signature rows for a (doc_id, text)
+    * frame — batch or streaming.
+    */
+  def bandRows(docs: DataFrame): DataFrame =
+    graft.queries.TextQueries.bandedSignature(docs)
+
+  /** The stateful gate over a STREAMING (doc_id, text) frame: emits a
+    * BandFlag per band collision with an earlier document. Documents
+    * with no emitted flags are novel (admitted); flagged documents
+    * name the bucket's first admitted doc as `dup_of`.
+    */
+  def gate(docs: DataFrame): Dataset[BandFlag] = {
+    val session = docs.sparkSession
+    import session.implicits._
+    bandRows(docs).as[BandRow]
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[BucketState, BandFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, bh), rows, state) =>
+          // doc-id order makes within-batch admission deterministic
+          // (micro-batch row order is not)
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var st = state.getOption
+          val out = Seq.newBuilder[BandFlag]
+          sorted.foreach { r =>
+            st match {
+              case None =>
+                st = Some(BucketState(r.doc_id, 0L))
+              case Some(s) if s.firstDoc == r.doc_id =>
+                () // replayed first doc: not a collision with itself
+              case Some(s) =>
+                out += BandFlag(r.doc_id, band, bh, s.firstDoc)
+                st = Some(s.copy(hits = s.hits + 1))
+            }
+          }
+          st.foreach(state.update)
+          out.result().iterator
+      }
+  }
+}

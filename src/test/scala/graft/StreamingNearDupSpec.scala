@@ -1,0 +1,94 @@
+package graft
+
+import graft.streaming.StreamingNearDup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming near-dup gate: collision flags must match the batch LSH
+  * banding run over the same corpus, and admission must respect
+  * arrival order (earlier batch wins; lower doc id wins within a
+  * batch).
+  */
+class StreamingNearDupSpec extends SparkSpecBase {
+
+  // distinct 24-word texts — enough shingles that two different texts
+  // never share a MinHash band by accident at this size
+  private def text(seed: String): String =
+    (1 to 24).map(i => s"$seed$i").mkString(" ")
+
+  private val docA = 1L -> text("alpha")
+  private val docB = 2L -> text("beta")
+  private val docC = 3L -> docA._2 // exact copy of A, later wave
+  private val docD = 4L -> text("delta")
+  private val docE = 5L -> docD._2 // exact copy of D, same wave
+
+  test("collides only against earlier-admitted documents, across and " +
+      "within micro-batches") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingNearDup.gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_flags").start()
+    try {
+      // wave 1: two novel docs — nothing flags
+      input.addData(docA, docB)
+      query.processAllAvailable()
+      assert(spark.table("neardup_flags").count() == 0)
+
+      // wave 2: C duplicates A (cross-batch), E duplicates D
+      // (same batch, D has the lower id and wins admission)
+      input.addData(docC, docD, docE)
+      query.processAllAvailable()
+      val flags = spark.table("neardup_flags")
+        .select("doc_id", "band", "dup_of")
+        .as[(Long, Int, Long)].collect().toSet
+      // every band of an exact copy collides → 2 rows per duplicate
+      assert(flags == Set((3L, 0, 1L), (3L, 1, 1L),
+        (5L, 0, 4L), (5L, 1, 4L)), s"got $flags")
+
+      // wave 3: replaying an admitted doc id is not a self-collision;
+      // a fresh copy of B still flags against B
+      input.addData(docA, 6L -> docB._2)
+      query.processAllAvailable()
+      val extra = spark.table("neardup_flags")
+        .filter(col("doc_id").isin(1L, 6L))
+        .select("doc_id", "dup_of").as[(Long, Long)].collect().toSet
+      assert(extra == Set((6L, 2L)), s"got $extra")
+    } finally query.stop()
+  }
+
+  test("streamed flag set matches the batch banding over the same " +
+      "corpus: a doc flags iff it shares a band with an earlier doc") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val corpus = Seq(docA, docB, docC, docD, docE)
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingNearDup.gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_parity").start()
+    val streamedFlagged = try {
+      // one doc per micro-batch → arrival order == doc-id order
+      corpus.foreach { doc =>
+        input.addData(doc)
+        query.processAllAvailable()
+      }
+      spark.table("neardup_parity").select("doc_id")
+        .as[Long].collect().toSet
+    } finally query.stop()
+
+    // batch expectation from the SAME banding: docs sharing any
+    // (band, bh) with a lower doc id
+    val bands = StreamingNearDup.bandRows(
+      corpus.toDF("doc_id", "text"))
+    val expect = bands.as("a").join(bands.as("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id")).as[Long].collect().toSet
+    assert(streamedFlagged == expect && expect == Set(3L, 5L),
+      s"streamed=$streamedFlagged batch=$expect")
+  }
+}
