@@ -112,8 +112,13 @@ object AnalyticsQueries {
     // ship-date order (deterministic total order → bitwise-stable sums).
     "q5_running_revenue" -> ((
       (s: SparkSession, d: String) => {
+        // l_extendedprice tie-break: (orderkey, linenumber) is NOT
+        // unique in the synthetic data (sf0.1 has a same-key pair with
+        // two prices), and a running sum over a non-total order is
+        // engine-arbitrary at the tied rows.
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber",
+            "l_extendedprice")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "lineitem")
           .withColumn("running_base",
@@ -122,7 +127,7 @@ object AnalyticsQueries {
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
           round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
-            ORDER BY l_shipdate, l_orderkey, l_linenumber
+            ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
             ROWS UNBOUNDED PRECEDING), 2) AS running_base
         FROM lineitem""")
     )),
@@ -786,12 +791,18 @@ object AnalyticsQueries {
 
     "q40_copurchase_pairs" -> ((
       (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val a = li.select(col("ok"), col("pk").as("part_a"))
-        val b = li.select(col("ok").as("ok_b"), col("pk").as("part_b"))
-        a.join(b, col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+        // ordered pairs from per-order part SETS (map-side-combined
+        // collect_set + two narrow explodes) — the same edge set the
+        // keyed self-join produces (the oracle keeps that shape), for
+        // one 600k-row shuffle instead of three. Group sizes are
+        // bounded by order width, so the fan-out is O(width²) per
+        // order, never O(n²).
+        t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("pks"))
+          .select(explode(col("pks")).as("part_a"), col("pks"))
+          .select(col("part_a"), explode(col("pks")).as("part_b"))
+          .where(col("part_a") < col("part_b"))
           .groupBy("part_a", "part_b")
           .agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
