@@ -60,6 +60,48 @@ class StreamingNearDupSpec extends SparkSpecBase {
     } finally query.stop()
   }
 
+  test("bucket state survives a checkpoint restart: a doc admitted in " +
+      "leg 1 still flags its duplicate in leg 2") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("neardup-restart")
+    val sink = s"$dir/flags"
+    val checkpoint = s"$dir/checkpoint"
+    val input = MemoryStream[(Long, String)]
+    def start() = StreamingNearDup
+      .gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[StreamingNearDup.BandFlag],
+            _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(sink)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData(docA, docB)
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start()
+    try {
+      input.addData(docC) // duplicate of A, admitted before the restart
+      val deadline = System.currentTimeMillis + 120000
+      def emitted() = scala.util.Try(
+        spark.read.parquet(sink).count() >= 2).getOrElse(false)
+      while (!emitted() && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+    } finally q2.stop()
+
+    val flags = spark.read.parquet(sink)
+      .select("doc_id", "band", "dup_of")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(flags == Set((3L, 0, 1L), (3L, 1, 1L)), s"got $flags")
+  }
+
   test("streamed flag set matches the batch banding over the same " +
       "corpus: a doc flags iff it shares a band with an earlier doc") {
     val session = spark
@@ -90,5 +132,42 @@ class StreamingNearDupSpec extends SparkSpecBase {
       .select(col("a.doc_id")).as[Long].collect().toSet
     assert(streamedFlagged == expect && expect == Set(3L, 5L),
       s"streamed=$streamedFlagged batch=$expect")
+  }
+
+  test("randomized parity: for seeded corpora with planted duplicates " +
+      "and random wave splits, streamed flags == batch banding rule") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // 12 docs: ~half are copies of an earlier doc (planted dups)
+      val corpus = (1L to 12L).map { id =>
+        if (id > 1 && rnd.nextBoolean())
+          id -> text(s"s$seed-d${rnd.nextInt(id.toInt - 1) + 1}-")
+        else id -> text(s"s$seed-d$id-")
+      }
+      val input = MemoryStream[(Long, String)]
+      val query = StreamingNearDup
+        .gate(input.toDF().toDF("doc_id", "text"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"neardup_rand_$seed").start()
+      val streamed = try {
+        // random wave boundaries, ids still arrive in increasing order
+        corpus.grouped(1 + rnd.nextInt(4)).foreach { wave =>
+          input.addData(wave: _*)
+          query.processAllAvailable()
+        }
+        spark.table(s"neardup_rand_$seed").select("doc_id")
+          .as[Long].collect().toSet
+      } finally query.stop()
+
+      val bands = StreamingNearDup.bandRows(corpus.toDF("doc_id", "text"))
+      val expect = bands.as("a").join(bands.as("b"), Seq("band", "bh"))
+        .filter(col("a.doc_id") > col("b.doc_id"))
+        .select(col("a.doc_id")).as[Long].collect().toSet
+      assert(streamed == expect, s"seed=$seed: $streamed vs $expect")
+    }
   }
 }
