@@ -25,6 +25,15 @@ object Prof {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("sum(id)").collect()
+    // Same block hygiene as Bench: without it, r2 of any query that
+    // persist()s silently reuses r1's cache through the CacheManager's
+    // canonicalized-plan match and reports a number the bench will
+    // never reproduce.
+    def dropBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
     val targets =
       if (names.nonEmpty) names.toSeq else graft.SparkEntry.queries.keys.toSeq.sorted
     targets.foreach { name =>
@@ -34,6 +43,7 @@ object Prof {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"[prof] $name r$r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        dropBlocks()
       }
     }
     spark.stop()
