@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting by degree orientation — the third
+  * graph operator (ConnectedComponents = reachability, PageRank =
+  * centrality, this = local clustering / cohesion, the signal a
+  * curation pipeline uses to find tightly-knit co-occurrence families
+  * versus incidental co-occurrence).
+  *
+  * The naive formulation (join the edge list with itself twice)
+  * enumerates every wedge at its center, so a single hot node of
+  * degree d contributes d² wedge rows — quadratic in the skew, the
+  * classic straggler at scale. Degree orientation (Cohen's MapReduce
+  * algorithm / Suri–Vassilvitskii) fixes the asymptotics: direct every
+  * undirected edge from its lower-(degree, id) endpoint to the higher
+  * one, and enumerate wedges only at the LOW end. Every out-degree in
+  * the oriented graph is then O(√|E|) — a node of huge degree has
+  * almost all its edges INCOMING — so total wedge volume is
+  * Σ outdeg² ≤ O(|E|^1.5) regardless of skew, and each triangle
+  * {u,v,w} is found exactly once (at its lowest-ranked vertex, closing
+  * edge checked by one hash equi-join).
+  *
+  * Three shuffles total beyond the caller's edge derivation: the
+  * degree aggregation, the wedge self-join on the low vertex, and the
+  * closing-edge join — all hash equi-joins, nothing cartesian.
+  */
+object TriangleCount {
+
+  /** @param edges undirected edge list (one row per edge; duplicates
+    *              and self-loops are removed here)
+    * @return (node, triangles) for every node incident to an edge,
+    *         triangles = number of distinct triangles through it
+    */
+  def run(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set: (lo, hi), deduped — reused by the
+    // degree agg, both wedge branches, and the closing-edge probe, so
+    // materialize once (checkpoint, not cache: bench sweeps drop
+    // persistent blocks between queries).
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+
+    // orient lower (deg, id) → higher; carry the head's rank key so
+    // wedge endpoints can be ordered without another degree join
+    val dd = und
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), "b")
+    val lt = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = dd.select(
+        when(lt, col("a")).otherwise(col("b")).as("u"),
+        when(lt, col("b")).otherwise(col("a")).as("v"),
+        when(lt, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(true)
+
+    // wedges at the low vertex, endpoints rank-ordered — so the
+    // closing edge, if present, is exactly (v1 → v2) in the oriented
+    // set (rank(u) < rank(v1) < rank(v2)); each triangle surfaces once
+    val wedges = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2")),
+        Seq("u"))
+      .where(col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("v1") < col("v2")))
+    val tris = wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")),
+        Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+
+    val perNode = tris
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("triangles"))
+
+    deg.select("n")
+      .join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+}

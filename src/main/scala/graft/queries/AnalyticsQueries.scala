@@ -789,6 +789,61 @@ object AnalyticsQueries {
       }
     )),
 
+    // Triangle counting over the SUPPORT-FILTERED co-purchase graph
+    // (edges = part pairs co-purchased in ≥ 2 orders — the standard
+    // market-basket support prune, which is also what keeps the graph
+    // meaningful AND sparse at 100 TB). Degree orientation bounds the
+    // wedge enumeration at O(|E|^1.5) independent of skew — a hot
+    // part's edges point INTO it, so no reducer ever sees deg² rows
+    // (see operators.TriangleCount). The oracle re-derives the same
+    // count from first principles with the identical orientation rule.
+    "p3_triangle_count" -> ((
+      (s: SparkSession, d: String) => {
+        val edges = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("pks"))
+          .select(explode(col("pks")).as("a"), col("pks"))
+          .select(col("a"), explode(col("pks")).as("b"))
+          .where(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+        graft.operators.TriangleCount.run(edges, "a", "b")
+          .select(col("node").as("part"), col("triangles"))
+      },
+      Some("""WITH li AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        e AS (
+          SELECT a.pk AS a, b.pk AS b
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+          GROUP BY a.pk, b.pk HAVING count(*) >= 2),
+        deg AS (
+          SELECT n, count(*) AS deg
+          FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+          GROUP BY n),
+        o AS (
+          SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                      THEN e.a ELSE e.b END AS u,
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                      THEN e.b ELSE e.a END AS v,
+                 CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+                      THEN db.deg ELSE da.deg END AS dv
+          FROM e JOIN deg da ON da.n = e.a JOIN deg db ON db.n = e.b),
+        tri AS (
+          SELECT e1.u, e1.v AS v1, e2.v AS v2
+          FROM o e1
+          JOIN o e2 ON e1.u = e2.u
+            AND (e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v))
+          JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v),
+        pn AS (
+          SELECT n, count(*) AS triangles
+          FROM (SELECT u AS n FROM tri
+                UNION ALL SELECT v1 FROM tri
+                UNION ALL SELECT v2 FROM tri) t(n)
+          GROUP BY n)
+      SELECT deg.n AS part, COALESCE(pn.triangles, 0) AS triangles
+      FROM deg LEFT JOIN pn ON pn.n = deg.n""")
+    )),
+
     "q40_copurchase_pairs" -> ((
       (s: SparkSession, d: String) => {
         // ordered pairs from per-order part SETS (map-side-combined

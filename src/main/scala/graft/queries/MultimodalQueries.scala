@@ -57,6 +57,35 @@ object MultimodalQueries {
         FROM documents""")
     )),
 
+    // Content-addressable media dedup: byte-exact replica detection by
+    // payload digest — the media-side counterpart of d1 (which dedups
+    // NORMALIZED text; identical bytes from different URLs is the far
+    // more common case for images/video). One window over the digest
+    // partition yields the canonical mapping in a single shuffle; at
+    // 100 TB the digest is computed at ingest and this is a groupBy
+    // over 16-byte keys, never over payloads.
+    "m6_media_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val byFp = Window.partitionBy("fp")
+        Derived.table(s, d, "documents")
+          .withColumn("fp", md5(encode(col("text"), "UTF-8")))
+          .select(col("doc_id").as("media_id"),
+            substring(col("fp"), 1, 8).as("fp8"),
+            min("doc_id").over(byFp).as("canonical_id"),
+            count(lit(1)).over(byFp).as("n_copies"))
+          .withColumn("is_dup",
+            when(col("media_id") === col("canonical_id"), 0).otherwise(1))
+      },
+      Some("""SELECT doc_id AS media_id,
+          substr(md5(text), 1, 8) AS fp8,
+          min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+          count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+          CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+               THEN 0 ELSE 1 END AS is_dup
+        FROM documents""")
+    )),
+
     // flatMap frame sampling: every 4th 256-byte frame of "video" rows.
     "m3_frame_samples" -> ((
       (s: SparkSession, d: String) =>

@@ -977,6 +977,50 @@ object TextQueries {
       }
     )),
 
+    // Incremental ingest dedup: admit a NEW batch (doc_id % 4 = 0 —
+    // the deterministic stand-in for "snapshot N+1") against the
+    // EXISTING corpus (the other 75%) by MinHash-LSH band collision.
+    // This is the production dedup shape at 100 TB: the accumulated
+    // corpus is an INDEX (its banded signatures are already
+    // materialized from previous ingests), and each new batch pays
+    // one equi-join on (band, bucket-hash) against it — work scales
+    // with the new batch plus its collisions, never with corpus².
+    // Output is the admission decision per new doc: the earliest
+    // colliding existing doc (dup_of) or admitted = 1.
+    "d12_incremental_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        // one signature pass feeds both the new and existing sides
+        val flat = bandedSignatureFlat(docs(s, d)).persist()
+        val bands = explodedBands(flat)
+        val isNew = pmod(col("doc_id"), lit(4)) === 0
+        val hits = bands.filter(isNew).as("n")
+          .join(bands.filter(pmod(col("doc_id"), lit(4)) =!= 0).as("e"),
+            Seq("band", "bh"))
+          .groupBy(col("n.doc_id").as("doc_id"))
+          .agg(min(col("e.doc_id")).as("dup_of"))
+        docs(s, d).select("doc_id").filter(isNew)
+          .join(hits, Seq("doc_id"), "left")
+          .withColumn("admitted",
+            when(col("dup_of").isNull, 1).otherwise(0))
+      },
+      Some(s"""WITH sig AS ($minhashSql),
+          bands AS (
+            SELECT doc_id, 0 AS band,
+                   md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bh FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band,
+                   md5(h2::VARCHAR || ',' || h3::VARCHAR) AS bh FROM sig),
+          hits AS (
+            SELECT n.doc_id, min(e.doc_id) AS dup_of
+            FROM bands n JOIN bands e ON n.band = e.band AND n.bh = e.bh
+            WHERE n.doc_id % 4 = 0 AND e.doc_id % 4 <> 0
+            GROUP BY n.doc_id)
+        SELECT d.doc_id, h.dup_of,
+               CASE WHEN h.dup_of IS NULL THEN 1 ELSE 0 END AS admitted
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id % 4 = 0""")
+    )),
+
     // Leakage-safe split: train/val/test assignment by NEAR-DUP
     // CLUSTER, not by document — a per-doc split (t4) lets two
     // near-identical documents land in train and test, silently
