@@ -26,7 +26,8 @@ object ScaleBench {
   private val targets = Seq(
     "d7_lsh_verified_jaccard", "d8_dedup_clusters",
     "t19_leakage_safe_split", "p2_pagerank", "q29_salted_join",
-    "q40_copurchase_pairs", "s5_ivf_topk")
+    "q40_copurchase_pairs", "s5_ivf_topk",
+    "d12_incremental_dedup", "p3_triangle_count")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")

@@ -789,6 +789,27 @@ object AnalyticsQueries {
       }
     )),
 
+    // Z-order (Morton) key derivation over (user, hour-of-epoch) — the
+    // write-time layout key that makes 2-D box predicates prunable by
+    // parquet min/max stats at 100 TB (see operators.ZOrder and
+    // examples.LayoutBench for the measured pruning effect). The key is
+    // pure bit arithmetic, so the oracle rebuilds it bit by bit and the
+    // whole derivation stays inside whole-stage codegen.
+    "q44_zorder_key" -> ((
+      (s: SparkSession, d: String) =>
+        Derived.events(s, d).select(col("event_id"),
+          col("user_id"),
+          expr("unix_micros(ts) div 3600000000").as("epoch_hour"),
+          graft.operators.ZOrder
+            .zvalue(col("user_id"), expr("unix_micros(ts) div 3600000000"))
+            .as("z")),
+      Some(s"""SELECT event_id, user_id,
+          epoch_us(ts) // 3600000000 AS epoch_hour,
+          ${graft.operators.ZOrder.zvalueSql(
+            "user_id", "epoch_us(ts) // 3600000000")} AS z
+        FROM events""")
+    )),
+
     // Triangle counting over the SUPPORT-FILTERED co-purchase graph
     // (edges = part pairs co-purchased in ≥ 2 orders — the standard
     // market-basket support prune, which is also what keeps the graph

@@ -54,6 +54,14 @@ object bridge {
     case _ => None
   }
 
+  /** Block until every queued listener event is delivered — metric
+    * collection via SparkListener is asynchronous, and a measurement
+    * read before the bus drains undercounts (`listenerBus` is
+    * `private[spark]`).
+    */
+  def drainListeners(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Idempotently add a planner strategy to a live session (the
     * public `ExperimentalMethods` hook — works on any session, unlike
     * `spark.sql.extensions` which must be set at session build time).

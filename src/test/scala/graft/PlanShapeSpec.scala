@@ -158,6 +158,18 @@ class PlanShapeSpec extends SparkSpecBase {
       s"the candidate gate must broadcast:\n$plan")
   }
 
+  test("triangle wedge enumeration and closing probe are equi-joins") {
+    val s = finalPlan(planOf("p3_triangle_count")).toString
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"degree-oriented counting must plan equi-joins only:\n$s")
+  }
+
+  test("incremental dedup admits through a (band, bucket) equi-join") {
+    val s = finalPlan(planOf("d12_incremental_dedup")).toString
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"the index probe must be an equi-join:\n$s")
+  }
+
   test("edit-distance blocking is an equi-join, never a nested loop") {
     val s = finalPlan(planOf("d11_editdist_neardup")).toString
     assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
