@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.queries.TextQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The near-duplicate pipeline as a DataFrame-first library API — the
+  * entry point for a consumer curating their OWN corpus, not the
+  * bundled test tables. Every stage reuses the exact expressions the
+  * oracle-verified queries (d3/d4/d7/d8/t19) run, so the API cannot
+  * drift from the checked semantics:
+  *
+  *   signatures       per-doc MinHash signature (narrow map, no shuffle)
+  *   candidatePairs   banded-LSH bucket join — O(collisions), never O(n²)
+  *   verifiedPairs    exact shingle-set Jaccard on candidates only,
+  *                    semi-join-gated so only candidate docs' shingles
+  *                    ever explode
+  *   clusters         connected components over thresholded verified
+  *                    edges (pointer jumping, O(log diameter) rounds)
+  *   leakageSafeSplit train/val/test by CLUSTER, so a duplicate family
+  *                    never straddles a split boundary
+  *
+  * Input contract: `idCol` must be a unique long, `textCol` a
+  * whitespace-tokenized string. Any other columns pass through
+  * untouched where the result is row-aligned (leakageSafeSplit) and
+  * are ignored elsewhere.
+  */
+object NearDup {
+
+  private def normalized(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text"))
+
+  /** (doc_id, h0..h3) MinHash signature per document. */
+  def signatures(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextQueries.withMinhashSignature(normalized(docs, idCol, textCol))
+      .select("doc_id", "h0", "h1", "h2", "h3")
+
+  /** (band, doc_a, doc_b) LSH band collisions — the candidate set. */
+  def candidatePairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextQueries.lshCandidatePairsDf(normalized(docs, idCol, textCol))
+
+  /** (doc_a, doc_b, n_inter, n_a, n_b, jaccard) — exact Jaccard for
+    * every candidate pair.
+    */
+  def verifiedPairs(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextQueries.verifiedJaccardDf(normalized(docs, idCol, textCol))
+
+  /** (doc_id, component) for every document in a near-dup cluster at
+    * `threshold`; component = the cluster's minimum doc id (its
+    * canonical document). Docs with no near-dup are absent — treat
+    * them as their own singleton cluster (as leakageSafeSplit does).
+    */
+  def clusters(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.2): DataFrame = {
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0, 1], got $threshold")
+    val edges = TextQueries.verifiedNearDupEdgesDf(
+      normalized(docs, idCol, textCol), threshold)
+    ConnectedComponents.run(edges, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("component"))
+  }
+
+  /** Input rows plus (split ∈ train/val/test) assigned by near-dup
+    * CLUSTER: both members of a duplicate family always land on the
+    * same side, so evaluation can never score against a training
+    * near-copy. Assignment is a portable salted-hash bucket over the
+    * cluster canonical — deterministic across runs, engines, and
+    * cluster sizes.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      threshold: Double = 0.2,
+      trainBuckets: Int = 8, valBuckets: Int = 1,
+      testBuckets: Int = 1): DataFrame = {
+    require(trainBuckets > 0 && valBuckets > 0 && testBuckets > 0,
+      "every split needs at least one bucket")
+    val comp = clusters(docs, idCol, textCol, threshold)
+      .withColumnRenamed("doc_id", "__nd_id")
+    val total = trainBuckets + valBuckets + testBuckets
+    val bucket = pmod(
+      TextQueries.saltedHash(11, col("__grp").cast("string")),
+      lit(total.toLong))
+    docs
+      .join(comp, col(idCol).cast("long") === col("__nd_id"), "left")
+      .withColumn("__grp",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("split",
+        when(bucket < trainBuckets, "train")
+          .when(bucket < trainBuckets + valBuckets, "val")
+          .otherwise("test"))
+      .drop("__nd_id", "component", "__grp")
+  }
+}

@@ -32,7 +32,7 @@ object TextQueries {
   private[graft] val bpePattern = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]"
 
   /** k-salted portable 60-bit hash of a string column (Spark side). */
-  private def saltedHash(k: Int, c: org.apache.spark.sql.Column) =
+  private[graft] def saltedHash(k: Int, c: org.apache.spark.sql.Column) =
     conv(substring(md5(concat(lit(s"$k:"), c)), 1, 15), 16, 10).cast("long")
 
   /** Same hash, DuckDB side. */
@@ -164,13 +164,19 @@ object TextQueries {
   /** LSH candidate pairs (Spark side), shared by d4 and the d7
     * verification stage.
     */
-  def lshCandidatePairs(s: SparkSession, d: String): DataFrame = {
+  def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
+    lshCandidatePairsDf(docs(s, d))
+
+  /** DataFrame-first form — the one `operators.NearDup` exposes to
+    * library consumers with their own corpus.
+    */
+  private[graft] def lshCandidatePairsDf(docsDf: DataFrame): DataFrame = {
     // The signature pipeline feeds BOTH band branches AND both sides
     // of the self-join — materialize the flat form once instead of
     // paying the shingle hashing four times. At cluster scale this
     // would be a checkpoint / exchange reuse; in-memory cache is the
     // local twin.
-    val sig = explodedBands(bandedSignatureFlat(docs(s, d)).persist())
+    val sig = explodedBands(bandedSignatureFlat(docsDf).persist())
     sig.as("a").join(sig.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("band").cast("long").as("band"),
@@ -809,32 +815,44 @@ object TextQueries {
     */
   def verifiedNearDupEdges(
       s: SparkSession, d: String, threshold: Double = 0.2): DataFrame =
-    verifiedJaccard(s, d)
+    verifiedNearDupEdgesDf(docs(s, d), threshold)
+
+  private[graft] def verifiedNearDupEdgesDf(
+      docsDf: DataFrame, threshold: Double): DataFrame =
+    verifiedJaccardDf(docsDf)
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b")
 
   /** The candidate-gated shingle scan: only candidate docs' shingles
     * explode — a broadcast semi-join keeps verification O(candidate
     * docs), not O(corpus). Package-visible (un-checkpointed) so plan
-    * guards can assert the gate survives refactors; verifiedJaccard
+    * guards can assert the gate survives refactors; verifiedJaccardDf
     * checkpoints it.
     */
   private[graft] def gatedShingleScan(
       s: SparkSession, d: String, cand: DataFrame): DataFrame =
-    docs(s, d)
+    gatedShingleScanDf(docs(s, d), cand)
+
+  private[graft] def gatedShingleScanDf(
+      docsDf: DataFrame, cand: DataFrame): DataFrame =
+    docsDf
       .join(broadcast(cand), Seq("doc_id"), "left_semi")
       .withColumn("w", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(shinglesExpr)).as("s"))
 
   /** d7's DataFrame: exact Jaccard over the LSH candidate pairs —
-    * shared by d7 (verification) and d8 (clustering).
+    * shared by d7 (verification), d8 (clustering), and the NearDup
+    * public API.
     */
-  private def verifiedJaccard(s: SparkSession, d: String): DataFrame = {
+  private def verifiedJaccard(s: SparkSession, d: String): DataFrame =
+    verifiedJaccardDf(docs(s, d))
+
+  private[graft] def verifiedJaccardDf(docsDf: DataFrame): DataFrame = {
         // localCheckpoint (eager), not persist(): blocks are released by
         // the ContextCleaner once the plan is GC'd, so repeated d7/d8/d10
         // invocations (bench loops) don't accumulate cached blocks for
         // the life of the session the way un-unpersisted cache entries do.
-        val pairs = lshCandidatePairs(s, d)
+        val pairs = lshCandidatePairsDf(docsDf)
           .select("doc_a", "doc_b").distinct().localCheckpoint(true)
         // Only candidate docs' shingles are needed: a broadcast
         // semi-join gates the explosion so verification work is
@@ -846,7 +864,7 @@ object TextQueries {
           .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
         // both sides of the intersection join and the size aggregate
         // read the exploded shingles — materialize once
-        val sh = gatedShingleScan(s, d, cand).localCheckpoint(true)
+        val sh = gatedShingleScanDf(docsDf, cand).localCheckpoint(true)
         val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
         val inter = pairs
           .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
