@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.queries.SimilarityQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Semantic (embedding-space) dedup as a DataFrame-first library API —
+  * NearDup's twin for the vector side, over a consumer's OWN
+  * embeddings. The candidate stage is signed-random-projection LSH:
+  * corpus-independent ±1 hyperplanes (derived from md5, so
+  * deterministic everywhere) give each vector a 32-bit sign signature
+  * in one narrow map — no training, no corpus statistics, no grid —
+  * then banded bit-space retrieval (4 bands × 8 bits) finds candidates
+  * with an equi-join, never an all-pairs scan. Verification is exact
+  * cosine via the codegen'd CosineSimilarity expression; clustering is
+  * the same pointer-jumping components loop the text side uses.
+  *
+  * Input contract: `idCol` unique long, `vecCol` a fixed-length
+  * numeric array of exactly `dims` components.
+  */
+object SemanticDedup {
+
+  private def normalized(
+      emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("embedding"))
+
+  /** (vec_id, srp) — the 32-bit sign signature per vector. */
+  def signatures(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64): DataFrame = {
+    require(dims >= 1, s"dims must be positive, got $dims")
+    SimilarityQueries.srpSignaturesDf(emb, idCol, vecCol, dims)
+  }
+
+  /** (vec_a, vec_b, hamming) — banded signature collisions within
+    * `maxHamming` bits. By pigeonhole, any pair within Hamming
+    * distance 3 of the 32-bit signature agrees on at least one whole
+    * 8-bit band, so recall is structural up to that distance.
+    */
+  def candidatePairs(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      maxHamming: Int = 10): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 32,
+      s"maxHamming must be in [0, 32], got $maxHamming")
+    val sig = signatures(emb, idCol, vecCol, dims).localCheckpoint(true)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("vec_id"), lit(b).as("band"),
+        shiftright(col("srp"), b * 8).bitwiseAND(0xff).as("bv"))
+    }.reduce(_.unionByName(_))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(sig.select(col("vec_id").as("vec_a"), col("srp").as("fa")),
+        Seq("vec_a"))
+      .join(sig.select(col("vec_id").as("vec_b"), col("srp").as("fb")),
+        Seq("vec_b"))
+      .withColumn("hamming",
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("vec_a", "vec_b", "hamming")
+  }
+
+  /** (vec_a, vec_b, hamming, cosine) — candidates verified by exact
+    * cosine similarity ≥ `minCosine`. The embedding join is an
+    * equi-join on the candidate ids, so only candidate vectors are
+    * ever fetched.
+    */
+  def verifiedPairs(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      maxHamming: Int = 10,
+      minCosine: Double = 0.35): DataFrame = {
+    require(minCosine >= -1.0 && minCosine <= 1.0,
+      s"minCosine must be in [-1, 1], got $minCosine")
+    val e = normalized(emb, idCol, vecCol)
+    candidatePairs(emb, idCol, vecCol, dims, maxHamming)
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("qv")),
+        Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("nv")),
+        Seq("vec_b"))
+      .withColumn("cosine",
+        graft.functions.VectorExprs.cosine_similarity(col("qv"), col("nv")))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_a", "vec_b", "hamming", "cosine")
+  }
+
+  /** (vec_id, component) for every vector in a semantic-dup cluster;
+    * component = the cluster's minimum vec id (its canonical vector).
+    */
+  def clusters(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      maxHamming: Int = 10,
+      minCosine: Double = 0.35): DataFrame = {
+    val edges = verifiedPairs(emb, idCol, vecCol, dims, maxHamming, minCosine)
+      .select("vec_a", "vec_b")
+    ConnectedComponents.run(edges, "vec_a", "vec_b")
+      .select(col("id").as("vec_id"), col("component"))
+  }
+}

@@ -317,7 +317,7 @@ object SimilarityQueries {
     * by any engine with an MD5 function, which is what makes the
     * signature oracle-checkable.
     */
-  private def srpSign(i: Int, j: Int): Long = {
+  private[graft] def srpSign(i: Int, j: Int): Long = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(s"$i:$j".getBytes("UTF-8"))
     if (((h(0) >> 4) & 1) == 0) 1L else -1L
@@ -328,17 +328,26 @@ object SimilarityQueries {
     * float association hazard), dot against each ±1 plane, take sign
     * bits. One narrow map over the corpus — no shuffle, no state.
     */
-  private[graft] def srpSignatures(s: SparkSession, d: String): DataFrame = {
+  private[graft] def srpSignatures(s: SparkSession, d: String): DataFrame =
+    srpSignaturesDf(emb(s, d), "vec_id", "embedding", 64)
+
+  /** DataFrame-first form over a consumer's own embeddings — the one
+    * `operators.SemanticDedup` exposes. `dims` must equal the vector
+    * length (a shorter sign array would zip to nulls).
+    */
+  private[graft] def srpSignaturesDf(
+      embDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int): DataFrame = {
     val qv = expr(
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
     val srp = (0 until 32).map { i =>
-      val signs = array((0 until 64).map(j => lit(srpSign(i, j))): _*)
+      val signs = array((0 until dims).map(j => lit(srpSign(i, j))): _*)
       val dot = aggregate(
         zip_with(col("qv"), signs, (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    emb(s, d).withColumn("qv", qv)
-      .select(col("vec_id"), srp.as("srp"))
+    embDf.withColumn("qv", qv)
+      .select(col(idCol).cast("long").as("vec_id"), srp.as("srp"))
   }
 }
