@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Per-document text profiling as a DataFrame-first library API — the
+  * quality-gate stage of a curation pipeline over a consumer's OWN
+  * corpus. Every function is a narrow map (no shuffle at any scale)
+  * that APPENDS columns, so gates compose:
+  *
+  *   TextProfile.withTokenStats(docs)      n_tokens / n_word_tokens / len_chars
+  *   TextProfile.withQualityStats(docs)    stopword + punctuation densities
+  *   TextProfile.withLangGuess(docs)       heuristic n-gram language ID
+  *   TextProfile.withRepetition(docs)      duplicate-bigram compression proxy
+  *   TextProfile.hashSplit(docs)           portable md5-bucket train/val/test
+  *
+  * The oracle-verified queries (t1/t2/t3/t7/t4) run these exact
+  * expressions, so the API cannot drift from the checked semantics.
+  */
+object TextProfile {
+
+  /** Whitespace token count, lowercase-alnum word-token count, and
+    * character length.
+    */
+  def withTokenStats(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("n_word_tokens",
+        regexp_count(col(textCol), lit("[a-z0-9]+")).cast("long"))
+      .withColumn("len_chars", length(col(textCol)).cast("long"))
+
+  /** Stopword density and punctuation ratio — the cheap fluency
+    * signals a quality gate thresholds on.
+    */
+  def withQualityStats(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("stop_hits",
+        regexp_count(col(textCol), lit("\\b(the|a|of|and|to)\\b")).cast("long"))
+      .withColumn("punct_chars",
+        length(regexp_replace(col(textCol), "[^.!?,;:]", "")).cast("long"))
+      .withColumn("stop_ratio",
+        round(col("stop_hits").cast("double") / col("n_tokens"), 4))
+      .withColumn("punct_ratio",
+        round(col("punct_chars").cast("double") / length(col(textCol)), 4))
+
+  private val langPatterns = Seq(
+    "en" -> "\\b(the|of|and|to|in)\\b",
+    "de" -> "\\b(der|die|das|und|ist)\\b",
+    "es" -> "\\b(el|los|las|una|y)\\b",
+    "fr" -> "\\b(le|les|et|des|est)\\b")
+
+  /** Stopword-vote language ID (en/de/es/fr + CJK detection) with a
+    * deterministic vote-order tie-break. Appends hits_<lang> counters
+    * and `lang_guess`.
+    */
+  def withLangGuess(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val withScores = langPatterns.foldLeft(df) { case (d, (l, pat)) =>
+      d.withColumn(s"hits_$l", regexp_count(col(textCol), lit(pat)).cast("long"))
+    }.withColumn("cjk",
+      regexp_count(col(textCol), lit("[\\x{4e00}-\\x{9fff}]")).cast("long"))
+    withScores.withColumn("lang_guess",
+      when(col("cjk") > 0, "zh")
+        .when(col("hits_en") >= greatest(col("hits_de"), col("hits_es"),
+          col("hits_fr")), "en")
+        .when(col("hits_de") >= greatest(col("hits_es"), col("hits_fr")), "de")
+        .when(col("hits_es") >= col("hits_fr"), "es")
+        .otherwise("fr"))
+      .drop("cjk")
+  }
+
+  /** Duplicate-bigram ratio — a shuffle-free compression-style proxy
+    * for boilerplate/repetition. Appends n_grams / n_distinct /
+    * rep_ratio.
+    */
+  def withRepetition(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("__w", split(col(textCol), " "))
+      .withColumn("__grams", expr(
+        """CASE WHEN size(__w) < 2 THEN array(concat_ws(' ', __w))
+           ELSE transform(sequence(0, size(__w) - 2),
+             i -> concat_ws(' ', slice(__w, i + 1, 2))) END"""))
+      .withColumn("n_grams", size(col("__grams")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(col("__grams"))).cast("long"))
+      .withColumn("rep_ratio",
+        round(lit(1.0) - col("n_distinct") / col("n_grams").cast("double"), 4))
+      .drop("__w", "__grams")
+
+  /** Portable deterministic hash bucket of an id column — stable
+    * across runs, engines, and cluster sizes, unlike rand().
+    */
+  private[graft] def hashBucket(id: Column, buckets: Long): Column =
+    pmod(graft.queries.TextQueries.saltedHash(0, id.cast("string")),
+      lit(buckets))
+
+  /** Appends `split` ∈ train/val/test by md5 bucket of `idCol` —
+    * percentages out of 100.
+    */
+  def hashSplit(
+      df: DataFrame, idCol: String = "doc_id",
+      trainPct: Int = 80, valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct > 0 && testPct > 0 &&
+      trainPct + valPct + testPct == 100,
+      s"split percentages must be positive and sum to 100, " +
+        s"got $trainPct/$valPct/$testPct")
+    val bucket = hashBucket(col(idCol), 100L)
+    df.withColumn("split",
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+}

@@ -199,14 +199,11 @@ object TextQueries {
   val entries: Map[String, (Fn, Option[String])] = Map(
 
     // Token counting: whitespace tokens + BPE-ish alnum-run tokens.
+    // (Delegates to the TextProfile library API — same expressions.)
     "t1_token_stats" -> ((
       (s: SparkSession, d: String) =>
-        docs(s, d).select(
-          col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"),
-          regexp_count(col("text"), lit("[a-z0-9]+")).cast("long")
-            .as("n_word_tokens"),
-          length(col("text")).cast("long").as("len_chars")),
+        graft.operators.TextProfile.withTokenStats(docs(s, d))
+          .select("doc_id", "n_tokens", "n_word_tokens", "len_chars"),
       Some("""SELECT doc_id,
           len(string_split(text, ' ')) AS n_tokens,
           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_word_tokens,
@@ -215,20 +212,12 @@ object TextQueries {
     )),
 
     // Quality scoring: stopword density + punctuation ratio.
+    // (Delegates to the TextProfile library API — same expressions.)
     "t2_quality_scores" -> ((
       (s: SparkSession, d: String) =>
-        docs(s, d)
-          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-          .withColumn("stop_hits",
-            regexp_count(col("text"), lit("\\b(the|a|of|and|to)\\b")).cast("long"))
-          .withColumn("punct_chars",
-            length(regexp_replace(col("text"), "[^.!?,;:]", "")).cast("long"))
-          .select(col("doc_id"), col("n_tokens"), col("stop_hits"),
-            col("punct_chars"),
-            round(col("stop_hits").cast("double") / col("n_tokens"), 4)
-              .as("stop_ratio"),
-            round(col("punct_chars").cast("double") / length(col("text")), 4)
-              .as("punct_ratio")),
+        graft.operators.TextProfile.withQualityStats(docs(s, d))
+          .select("doc_id", "n_tokens", "stop_hits", "punct_chars",
+            "stop_ratio", "punct_ratio"),
       Some("""SELECT doc_id, n_tokens, stop_hits, punct_chars,
           round(CAST(stop_hits AS DOUBLE) / n_tokens, 4) AS stop_ratio,
           round(CAST(punct_chars AS DOUBLE) / length(text), 4) AS punct_ratio
@@ -241,27 +230,12 @@ object TextQueries {
 
     // Heuristic n-gram language ID: stopword votes per language + CJK
     // detection, deterministic tie-break by vote order.
+    // (Delegates to the TextProfile library API — same expressions.)
     "t3_lang_guess" -> ((
-      (s: SparkSession, d: String) => {
-        val hits = Map(
-          "en" -> "\\b(the|of|and|to|in)\\b",
-          "de" -> "\\b(der|die|das|und|ist)\\b",
-          "es" -> "\\b(el|los|las|una|y)\\b",
-          "fr" -> "\\b(le|les|et|des|est)\\b")
-        val withScores = hits.foldLeft(docs(s, d)) { case (df, (l, pat)) =>
-          df.withColumn(s"hits_$l",
-            regexp_count(col("text"), lit(pat)).cast("long"))
-        }.withColumn("cjk",
-          regexp_count(col("text"), lit("[\\x{4e00}-\\x{9fff}]")).cast("long"))
-        withScores.select(col("doc_id"), col("lang"),
-          col("hits_en"), col("hits_de"), col("hits_es"), col("hits_fr"),
-          when(col("cjk") > 0, "zh")
-            .when(col("hits_en") >= greatest(col("hits_de"), col("hits_es"),
-              col("hits_fr")), "en")
-            .when(col("hits_de") >= greatest(col("hits_es"), col("hits_fr")), "de")
-            .when(col("hits_es") >= col("hits_fr"), "es")
-            .otherwise("fr").as("lang_guess"))
-      },
+      (s: SparkSession, d: String) =>
+        graft.operators.TextProfile.withLangGuess(docs(s, d))
+          .select("doc_id", "lang", "hits_en", "hits_de", "hits_es",
+            "hits_fr", "lang_guess"),
       Some("""SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr,
           CASE WHEN cjk > 0 THEN 'zh'
                WHEN hits_en >= greatest(hits_de, hits_es, hits_fr) THEN 'en'
@@ -283,11 +257,8 @@ object TextQueries {
     // any scale. 80/10/10 on bucket = hash % 100.
     "t4_hash_split" -> ((
       (s: SparkSession, d: String) => {
-        val bucket = pmod(saltedHash(0, col("doc_id").cast("string")), lit(100L))
-        docs(s, d)
-          .withColumn("split",
-            when(bucket < 80, "train").when(bucket < 90, "val")
-              .otherwise("test"))
+        // (Delegates to the TextProfile library API — same bucketing.)
+        graft.operators.TextProfile.hashSplit(docs(s, d))
           .groupBy("split")
           // Exact integer aggregates only: a rounded-double avg ties
           // differently between Spark's HALF_UP decimal rendering and
@@ -537,19 +508,11 @@ object TextQueries {
     // Repetition ratio (compression-proxy quality signal): fraction of
     // duplicated word bigrams per document — high repetition flags
     // boilerplate/spam for corpus filtering.
+    // (Delegates to the TextProfile library API — same expressions.)
     "t7_repetition" -> ((
       (s: SparkSession, d: String) =>
-        docs(s, d)
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("grams", expr(
-            """CASE WHEN size(w) < 2 THEN array(concat_ws(' ', w))
-               ELSE transform(sequence(0, size(w) - 2),
-                 i -> concat_ws(' ', slice(w, i + 1, 2))) END"""))
-          .select(col("doc_id"),
-            size(col("grams")).cast("long").as("n_grams"),
-            size(array_distinct(col("grams"))).cast("long").as("n_distinct"),
-            round(lit(1.0) - size(array_distinct(col("grams"))) /
-              size(col("grams")).cast("double"), 4).as("rep_ratio")),
+        graft.operators.TextProfile.withRepetition(docs(s, d))
+          .select("doc_id", "n_grams", "n_distinct", "rep_ratio"),
       Some("""SELECT doc_id, n_grams, n_distinct,
           round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 4) AS rep_ratio
         FROM (SELECT doc_id, len(grams) AS n_grams,

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.TextProfile
+import org.apache.spark.sql.functions._
+
+/** The TextProfile library API: planted-text behavior for each
+  * profiling column and the split invariants. Oracle parity for the
+  * same expressions is carried by t1/t2/t3/t7/t4, which delegate here.
+  */
+class TextProfileSpec extends SparkSpecBase {
+
+  private def doc(id: Long, text: String) = (id, text)
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("token stats count whitespace tokens, word tokens, and chars") {
+    val r = TextProfile.withTokenStats(df(doc(1, "the cat, 42 times!")))
+      .select("n_tokens", "n_word_tokens", "len_chars").head()
+    assert(r.getLong(0) == 4)   // whitespace tokens
+    assert(r.getLong(1) == 4)   // the, cat, 42, times
+    assert(r.getLong(2) == 18)
+  }
+
+  test("quality stats expose stopword and punctuation densities") {
+    val r = TextProfile
+      .withQualityStats(df(doc(1, "the fish and the net.")))
+      .select("n_tokens", "stop_hits", "punct_chars", "stop_ratio").head()
+    assert(r.getLong(0) == 5 && r.getLong(1) == 3 && r.getLong(2) == 1)
+    assert(r.getDouble(3) == 0.6)
+  }
+
+  test("language votes pick the dominant stopword family; CJK wins outright") {
+    val out = TextProfile.withLangGuess(df(
+        doc(1, "der Hund und die Katze ist da"),
+        doc(2, "the cat of the house went to sleep in peace"),
+        doc(3, "el mar y los barcos y las olas"),
+        doc(4, "text with 漢字 characters")))
+      .select("doc_id", "lang_guess").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "de", 2L -> "en", 3L -> "es", 4L -> "zh"))
+  }
+
+  test("repetition ratio measures duplicate bigrams") {
+    val r = TextProfile.withRepetition(df(doc(1, "a b a b a b")))
+      .select("n_grams", "n_distinct", "rep_ratio").head()
+    // bigrams: "a b","b a","a b","b a","a b" → 5 total, 2 distinct
+    assert(r.getLong(0) == 5 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.6)
+  }
+
+  test("hash split assigns every row deterministically and validates input") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextProfile.hashSplit(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = TextProfile.hashSplit(docs).groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b && a.values.sum == docs.count())
+    assert(a.keySet == Set("train", "val", "test"))
+    intercept[IllegalArgumentException] {
+      TextProfile.hashSplit(docs, trainPct = 90, valPct = 15, testPct = 10)
+    }
+  }
+
+  test("profiling columns compose into one narrow pass") {
+    val composed = TextProfile.withRepetition(
+      TextProfile.withLangGuess(
+        TextProfile.withTokenStats(df(doc(1, "the cat and the cat")))))
+    assert(!composed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "profiling must stay shuffle-free")
+    val r = composed
+      .select("n_tokens", "lang_guess", "rep_ratio").head()
+    assert(r.getLong(0) == 5 && r.getString(1) == "en")
+  }
+}
