@@ -1,8 +1,6 @@
 package graft.examples
 
-import graft.operators.ConnectedComponents
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end training-data curation demo over the documents corpus:
@@ -26,31 +24,25 @@ object CorpusPipelineDemo {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[corpus] input docs:            ${docs.count()}")
 
-    // 1. quality gate (token floor + repetition ceiling)
-    val gated = docs
-      .withColumn("w", split(col("text"), " "))
-      .withColumn("n_tokens", size(col("w")).cast("long"))
+    // 1. quality gate (token floor) — TextProfile's narrow-map columns
+    val gated = graft.operators.TextProfile.withTokenStats(docs)
       .filter(col("n_tokens") >= 20)
-      .drop("w")
+      .drop("n_word_tokens", "len_chars")
     println(s"[corpus] after quality gate:    ${gated.count()}")
 
     // 2. exact dedup on normalized fingerprint (keep min doc_id)
-    val exact = gated
-      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("fp").orderBy("doc_id")))
-      .filter(col("rk") === 1).drop("fp", "rk")
+    val exact = graft.operators.NearDup.exactDedup(gated)
     println(s"[corpus] after exact dedup:     ${exact.count()}")
 
-    // 3. near-dup clusters: Jaccard-VERIFIED LSH pairs → components →
-    // keep the canonical doc of each cluster. Canonical = minimum
-    // SURVIVING id per component: pairs are computed over the full
-    // corpus, so a cluster's global min(doc_id) may already be gone
-    // (quality gate or exact dedup) — pruning against it would drop
-    // every surviving member of that cluster.
-    val edges = graft.queries.TextQueries
-      .verifiedNearDupEdges(spark, sfDir, threshold = 0.2)
-    val comps = ConnectedComponents.run(edges, "doc_a", "doc_b")
+    // 3. near-dup clusters via the NearDup API (LSH candidates →
+    // Jaccard verify → components) → keep the canonical doc of each
+    // cluster. Canonical = minimum SURVIVING id per component:
+    // clusters are computed over the full corpus, so a cluster's
+    // global min(doc_id) may already be gone (quality gate or exact
+    // dedup) — pruning against it would drop every surviving member
+    // of that cluster.
+    val comps = graft.operators.NearDup.clusters(docs, threshold = 0.2)
+      .withColumnRenamed("doc_id", "id")
     val surviving = comps
       .join(exact.select("doc_id"), comps("id") === col("doc_id"))
       .select(col("id"), col("component"))
@@ -62,12 +54,9 @@ object CorpusPipelineDemo {
     val canonical = exact.join(dupIds, Seq("doc_id"), "left_anti")
     println(s"[corpus] after near-dup prune:  ${canonical.count()}")
 
-    // 4. deterministic split + partitioned write
-    val bucket = pmod(
-      conv(substring(md5(concat(lit("0:"), col("doc_id").cast("string"))),
-        1, 15), 16, 10).cast("long"), lit(100L))
-    val splitDf = canonical.withColumn("split",
-      when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+    // 4. deterministic split (TextProfile's portable md5 bucket) +
+    // partitioned write
+    val splitDf = graft.operators.TextProfile.hashSplit(canonical)
     splitDf.write.mode("overwrite").partitionBy("split").parquet(outDir)
     spark.read.parquet(outDir).groupBy("split").count()
       .orderBy("split").collect()

@@ -32,6 +32,23 @@ object NearDup {
     docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text"))
 
+  /** The input rows with byte-level duplicates removed: docs whose
+    * whitespace-normalized lowercase text hashes identically keep only
+    * the minimum-id member. All other columns pass through.
+    */
+  def exactDedup(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("__fp",
+        md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__fp").orderBy(col(idCol))))
+      .filter(col("__rk") === 1).drop("__fp", "__rk")
+  }
+
   /** (doc_id, h0..h3) MinHash signature per document. */
   def signatures(
       docs: DataFrame,

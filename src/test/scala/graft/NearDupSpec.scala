@@ -88,6 +88,18 @@ class NearDupSpec extends SparkSpecBase {
     assert(sides == 1L, "a duplicate family crossed a split boundary")
   }
 
+  test("exact dedup keeps the minimum-id member and passes columns through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The  Quick brown fox", "keep"),
+      (2L, "the quick Brown   fox", "drop"),  // same normalized text
+      (3L, "something else entirely here", "keep"))
+      .toDF("doc_id", "text", "tag")
+    val out = NearDup.exactDedup(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(out == Set((1L, "keep"), (3L, "keep")))
+  }
+
   test("misuse fails fast") {
     intercept[IllegalArgumentException] {
       NearDup.clusters(planted, threshold = 1.5)
