@@ -37,6 +37,45 @@ object SimilarityQueries {
 
   val entries: Map[String, (Fn, Option[String])] = Map(
 
+    // Symmetric int8 quantization of the embedding corpus
+    // (operators.VectorQuantize): scale = max |x|, codes
+    // floor(x·127/scale + 0.5) — fixed IEEE evaluation order, never
+    // round(), so a QUANTIZER gets a value oracle (half-even vs
+    // half-up rounding is exactly where engines drift). Output is the
+    // integer summary of the code array (fingerprint over the joined
+    // codes verifies the actual bytes).
+    "s8_int8_quantize" -> ((
+      (s: SparkSession, d: String) =>
+        graft.operators.VectorQuantize.int8(emb(s, d))
+          .select(col("vec_id"),
+            expr("CAST(floor(scale * 1000000D) AS BIGINT)").as("scale_q"),
+            expr("CAST(size(q) AS BIGINT)").as("n_dims"),
+            expr("""substring(md5(concat_ws(',',
+              transform(q, x -> CAST(x AS STRING)))), 1, 8)""").as("fp8"),
+            expr("aggregate(q, 0L, (a, x) -> a + x)").as("sum_q"),
+            expr("array_min(q)").as("min_q"),
+            expr("array_max(q)").as("max_q")),
+      Some("""SELECT vec_id,
+          CAST(floor(maxabs * 1000000) AS BIGINT) AS scale_q,
+          CAST(len(q) AS BIGINT) AS n_dims,
+          substr(md5(array_to_string(q, ',')), 1, 8) AS fp8,
+          CAST(list_sum(q) AS BIGINT) AS sum_q,
+          CAST(list_min(q) AS BIGINT) AS min_q,
+          CAST(list_max(q) AS BIGINT) AS max_q
+        FROM (
+          SELECT vec_id, maxabs,
+            CASE WHEN maxabs = 0
+                 THEN list_transform(xs, x -> CAST(0 AS BIGINT))
+                 ELSE list_transform(xs,
+                   x -> CAST(floor(x * 127 / maxabs + 0.5) AS BIGINT)) END AS q
+          FROM (
+            SELECT vec_id, xs,
+              list_max(list_transform(xs, x -> abs(x))) AS maxabs
+            FROM (SELECT vec_id,
+                list_transform(embedding, x -> x::DOUBLE) AS xs
+              FROM embeddings)))""")
+    )),
+
     // Brute-force cosine top-5 for the first 10 query vectors.
     "s1_cosine_topk" -> ((
       (s: SparkSession, d: String) => {
