@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Context-window chunking and training-bin packing as a
+  * DataFrame-first library API — the stage between a curated corpus
+  * and a token-budgeted training run.
+  *
+  * `chunk` is a zero-shuffle explode: each document becomes
+  * ⌈tokens/chunkTokens⌉ rows carrying the chunk's text. `packBins`
+  * assigns chunks to fixed-budget bins SHARD-LOCALLY: a deterministic
+  * hash shard per document, a running-sum window inside each shard —
+  * never the single-partition global window that cannot exist at
+  * 100 TB. A bin's token total can exceed the budget by at most
+  * chunkTokens - 1 (the straddling chunk), which is the bound a
+  * packing consumer pads against.
+  *
+  * The oracle-verified t12/t14 queries delegate here, so the API and
+  * the DuckDB oracles share one set of expressions.
+  */
+object Packing {
+
+  /** (idCol, chunk_id, chunk_tokens, chunk_text) — fixed-size token
+    * chunks per document, in order.
+    */
+  def chunk(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 64): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
+    val k = chunkTokens
+    df.withColumn("__w", split(col(textCol), " "))
+      .withColumn("chunk_id",
+        explode(expr(s"sequence(0, (size(__w) - 1) div $k)")))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        size(expr(s"slice(__w, chunk_id * $k + 1, $k)")).cast("long")
+          .as("chunk_tokens"),
+        expr(s"concat_ws(' ', slice(__w, chunk_id * $k + 1, $k))")
+          .as("chunk_text"))
+  }
+
+  /** Adds (shard, bin) to a chunk frame: documents hash to one of
+    * `shards` deterministic shards, and each shard's chunks pack
+    * greedily (in (idCol, chunk_id) order) into bins of `binTokens`.
+    */
+  def packBins(
+      chunks: DataFrame,
+      idCol: String = "doc_id",
+      shards: Int = 8,
+      binTokens: Int = 2048): DataFrame = {
+    require(shards >= 1, s"shards must be positive, got $shards")
+    require(binTokens >= 1, s"binTokens must be positive, got $binTokens")
+    val w = Window.partitionBy("shard")
+      .orderBy(col(idCol), col("chunk_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    chunks
+      .withColumn("shard",
+        pmod(graft.queries.TextQueries.saltedHash(
+          5, col(idCol).cast("string")), lit(shards.toLong)))
+      .withColumn("__cum", sum("chunk_tokens").over(w))
+      .withColumn("bin",
+        expr(s"(__cum - chunk_tokens) div $binTokens"))
+      .drop("__cum")
+  }
+}

@@ -322,17 +322,12 @@ object TextQueries {
     // explode (zero shuffles, linear at any scale); each chunk carries
     // its token count and an md5 fingerprint of the actual chunk text
     // so the oracle verifies real content, not just counts.
+    // (Delegates to the Packing library API — same expressions.)
     "t12_chunk_pack" -> ((
       (s: SparkSession, d: String) =>
-        docs(s, d)
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("chunk_id",
-            explode(expr("sequence(0, (size(w) - 1) div 64)")))
-          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-            size(expr("slice(w, chunk_id * 64 + 1, 64)")).cast("long")
-              .as("chunk_tokens"),
-            md5(expr("concat_ws(' ', slice(w, chunk_id * 64 + 1, 64))"))
-              .as("chunk_fp")),
+        graft.operators.Packing.chunk(docs(s, d))
+          .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+            md5(col("chunk_text")).as("chunk_fp")),
       Some("""WITH b AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         c AS (
@@ -408,28 +403,15 @@ object TextQueries {
     // runs (each worker packs its own slice; fill efficiency is
     // unchanged for i.i.d. chunk sizes). Outputs per (shard, bin):
     // chunk count and exact token total.
+    // (Delegates to the Packing library API — same expressions.)
     "t14_sequence_pack" -> ((
-      (s: SparkSession, d: String) => {
-        val chunks = docs(s, d)
-          .withColumn("w", split(col("text"), " "))
-          .withColumn("chunk_id",
-            explode(expr("sequence(0, (size(w) - 1) div 64)")))
-          .select(col("doc_id"),
-            col("chunk_id").cast("long").as("chunk_id"),
-            size(expr("slice(w, chunk_id * 64 + 1, 64)")).cast("long")
-              .as("chunk_tokens"))
-          .withColumn("shard",
-            pmod(saltedHash(5, col("doc_id").cast("string")), lit(8L)))
-        val w = Window.partitionBy("shard")
-          .orderBy(col("doc_id"), col("chunk_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        chunks
-          .withColumn("cum", sum("chunk_tokens").over(w))
-          .withColumn("bin", expr("(cum - chunk_tokens) div 2048"))
+      (s: SparkSession, d: String) =>
+        graft.operators.Packing.packBins(
+            graft.operators.Packing.chunk(docs(s, d))
+              .drop("chunk_text"))
           .groupBy("shard", "bin")
           .agg(count(lit(1)).as("n_chunks"),
-            sum("chunk_tokens").as("bin_tokens"))
-      },
+            sum("chunk_tokens").as("bin_tokens")),
       Some(s"""WITH b AS (
           SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         c AS (

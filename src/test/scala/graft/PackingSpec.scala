@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Packing
+import org.apache.spark.sql.functions._
+
+/** The Packing library API: chunk geometry on planted text, the
+  * bin-overflow bound packing consumers pad against, and shard
+  * locality. Oracle parity for the same expressions is carried by
+  * t12/t14, which delegate here.
+  */
+class PackingSpec extends SparkSpecBase {
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("chunks cover the document in order with a short tail") {
+    val out = Packing.chunk(
+        df((1L, (1 to 10).map(i => s"w$i").mkString(" "))),
+        chunkTokens = 4)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 3)
+    assert(out(0) == (0L, 4L, "w1 w2 w3 w4"))
+    assert(out(1) == (1L, 4L, "w5 w6 w7 w8"))
+    assert(out(2) == (2L, 2L, "w9 w10"))
+  }
+
+  test("an empty-ish document still yields exactly one chunk") {
+    val out = Packing.chunk(df((1L, "only three words"))).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 3L)
+  }
+
+  test("bins never exceed the budget by more than one chunk") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val binTotals = Packing.packBins(
+        Packing.chunk(docs).drop("chunk_text"),
+        shards = 4, binTokens = 256)
+      .groupBy("shard", "bin").agg(sum("chunk_tokens").as("t"))
+    val over = binTotals.filter(col("t") > 256 + 64 - 1).count()
+    assert(over == 0L, "a bin exceeded budget + chunk slack")
+    // every bin but each shard's last is full up to straddle slack:
+    // a chunk crossing the boundary is charged to the earlier bin, so
+    // a non-final bin holds at least budget - (chunkTokens - 1) tokens
+    import org.apache.spark.sql.expressions.Window
+    val notLast = binTotals.withColumn("maxBin",
+        max("bin").over(Window.partitionBy("shard")))
+      .filter(col("bin") < col("maxBin"))
+    val under = notLast.filter(col("t") < 256 - (64 - 1)).count()
+    assert(under == 0L, "a non-final bin is under-full beyond straddle slack")
+  }
+
+  test("chunks of one document always land in one shard") {
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val spread = Packing.packBins(
+        Packing.chunk(docs).drop("chunk_text"))
+      .groupBy("doc_id").agg(countDistinct("shard").as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(spread == 1L)
+  }
+
+  test("misuse fails fast") {
+    intercept[IllegalArgumentException] {
+      Packing.chunk(df((1L, "a b")), chunkTokens = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.packBins(Packing.chunk(df((1L, "a b"))), shards = 0)
+    }
+  }
+}
