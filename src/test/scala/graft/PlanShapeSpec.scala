@@ -158,6 +158,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"the candidate gate must broadcast:\n$plan")
   }
 
+  test("the z-order key derivation is a zero-shuffle narrow map") {
+    val s = planOf("q44_zorder_key").toString
+    assert(!s.contains("Exchange"), s"key derivation must not shuffle:\n$s")
+  }
+
+  test("media dedup resolves its canonical mapping in one shuffle") {
+    val s = planOf("m6_media_dedup").toString
+    assert(s.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"one hash exchange (plus AQE read) is the whole cost:\n$s")
+  }
+
+  test("int8 quantization is a zero-shuffle narrow map") {
+    val s = planOf("s8_int8_quantize").toString
+    assert(!s.contains("Exchange"), s"quantization must not shuffle:\n$s")
+  }
+
   test("triangle wedge enumeration and closing probe are equi-joins") {
     val s = finalPlan(planOf("p3_triangle_count")).toString
     assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
