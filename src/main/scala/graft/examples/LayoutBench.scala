@@ -43,7 +43,8 @@ object LayoutBench {
 
     ev.sort("user_id")
       .coalesce(8).write.mode("overwrite").parquet(s"$out/by_user")
-    ZOrder.layout(ev, col("user_id"), col("hour"), numFiles = 8)
+    // bits=20: epoch-hours (~500k) wrap a 16-bit key (see ZOrder doc)
+    ZOrder.layout(ev, col("user_id"), col("hour"), numFiles = 8, bits = 20)
       .write.mode("overwrite").parquet(s"$out/zorder")
 
     // box: ~30% of users × ~3% of hours — the shape a "these users,

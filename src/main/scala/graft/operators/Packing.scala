@@ -32,7 +32,11 @@ object Packing {
       chunkTokens: Int = 64): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
     val k = chunkTokens
-    df.withColumn("__w", split(col(textCol), " "))
+    // null text coalesces to "" (one 1-token chunk of the empty
+    // string) — explode over a null array would silently DROP the
+    // document, and "every document appears" is the contract
+    // downstream token accounting reconciles against
+    df.withColumn("__w", split(coalesce(col(textCol), lit("")), " "))
       .withColumn("chunk_id",
         explode(expr(s"sequence(0, (size(__w) - 1) div $k)")))
       .select(col(idCol),

@@ -25,14 +25,28 @@ object SemanticDedup {
     emb.select(col(idCol).cast("long").as("vec_id"),
       col(vecCol).as("embedding"))
 
-  /** (vec_id, srp) — the 32-bit sign signature per vector. */
+  /** (vec_id, srp) — the 32-bit sign signature per vector.
+    *
+    * A vector whose length differs from `dims` fails the job with a
+    * clear error. Silently proceeding would be catastrophic, not just
+    * wrong: zip_with pads the shorter side with nulls, every dot
+    * product goes null, every signature degenerates to 0, and the
+    * "candidate" stage becomes an all-pairs cross join with bogus
+    * hamming=0 — the exact blow-up this operator exists to avoid.
+    */
   def signatures(
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dims: Int = 64): DataFrame = {
     require(dims >= 1, s"dims must be positive, got $dims")
-    SimilarityQueries.srpSignaturesDf(emb, idCol, vecCol, dims)
+    val checked = emb.withColumn(vecCol,
+      when(size(col(vecCol)) === dims, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"SemanticDedup: expected $dims-dimension vectors " +
+            s"(the dims argument), found length "),
+          size(col(vecCol)).cast("string")))))
+    SimilarityQueries.srpSignaturesDf(checked, idCol, vecCol, dims)
   }
 
   /** (vec_a, vec_b, hamming) — banded signature collisions within

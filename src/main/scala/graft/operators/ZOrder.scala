@@ -22,6 +22,13 @@ object ZOrder {
     * columns: bit i of `x` lands at position 2i, bit i of `y` at
     * 2i+1. Inputs are masked to `bits` bits first, so out-of-range
     * values wrap rather than corrupt high bits.
+    *
+    * CHOOSE `bits` TO COVER THE DOMAIN of both inputs (or normalize
+    * them first, e.g. `hour - min_hour`): a wrapping input aliases
+    * values 2^bits apart into the same cell, which silently destroys
+    * the layout's locality the first time the data window straddles
+    * a wrap boundary. Epoch-hours (~500k) need bits ≥ 20; epoch-days
+    * fit 16 until 2149.
     */
   def zvalue(x: Column, y: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")

@@ -803,18 +803,24 @@ object AnalyticsQueries {
     // examples.LayoutBench for the measured pruning effect). The key is
     // pure bit arithmetic, so the oracle rebuilds it bit by bit and the
     // whole derivation stays inside whole-stage codegen.
+    // bits=20 (not the 16-bit default): epoch-hours are ~half a
+    // million, and a key that wraps mod 2^16 would alias hours
+    // 65,536 apart into one cell — fine for this fixture, a silent
+    // layout breaker the first time a data window straddles a wrap
+    // boundary. 20 bits covers epoch-hours until 2089.
     "q44_zorder_key" -> ((
       (s: SparkSession, d: String) =>
         Derived.events(s, d).select(col("event_id"),
           col("user_id"),
           expr("unix_micros(ts) div 3600000000").as("epoch_hour"),
           graft.operators.ZOrder
-            .zvalue(col("user_id"), expr("unix_micros(ts) div 3600000000"))
+            .zvalue(col("user_id"), expr("unix_micros(ts) div 3600000000"),
+              bits = 20)
             .as("z")),
       Some(s"""SELECT event_id, user_id,
           epoch_us(ts) // 3600000000 AS epoch_hour,
           ${graft.operators.ZOrder.zvalueSql(
-            "user_id", "epoch_us(ts) // 3600000000")} AS z
+            "user_id", "epoch_us(ts) // 3600000000", bits = 20)} AS z
         FROM events""")
     )),
 

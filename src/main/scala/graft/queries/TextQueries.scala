@@ -173,10 +173,14 @@ object TextQueries {
   private[graft] def lshCandidatePairsDf(docsDf: DataFrame): DataFrame = {
     // The signature pipeline feeds BOTH band branches AND both sides
     // of the self-join — materialize the flat form once instead of
-    // paying the shingle hashing four times. At cluster scale this
-    // would be a checkpoint / exchange reuse; in-memory cache is the
-    // local twin.
-    val sig = explodedBands(bandedSignatureFlat(docsDf).persist())
+    // paying the shingle hashing four times. localCheckpoint (eager),
+    // NOT persist(): persist registers in the CacheManager, which
+    // holds a strong reference forever, and this path is now reachable
+    // from the public NearDup API — a per-ingest-batch caller would
+    // leak one cache entry per call for the life of the session.
+    // Checkpoint blocks are released by the ContextCleaner once the
+    // plan is GC'd.
+    val sig = explodedBands(bandedSignatureFlat(docsDf).localCheckpoint(true))
     sig.as("a").join(sig.as("b"), Seq("band", "bh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("band").cast("long").as("band"),
@@ -953,7 +957,8 @@ object TextQueries {
     "d12_incremental_dedup" -> ((
       (s: SparkSession, d: String) => {
         // one signature pass feeds both the new and existing sides
-        val flat = bandedSignatureFlat(docs(s, d)).persist()
+        // (localCheckpoint, not persist — see lshCandidatePairsDf)
+        val flat = bandedSignatureFlat(docs(s, d)).localCheckpoint(true)
         val bands = explodedBands(flat)
         val isNew = pmod(col("doc_id"), lit(4)) === 0
         val hits = bands.filter(isNew).as("n")

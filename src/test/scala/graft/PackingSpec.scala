@@ -32,6 +32,12 @@ class PackingSpec extends SparkSpecBase {
     assert(out.length == 1 && out.head.getLong(2) == 3L)
   }
 
+  test("a null text is not silently dropped") {
+    val out = Packing.chunk(df((1L, null), (2L, "two words here")))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(out == Set(1L, 2L), "every input document must appear")
+  }
+
   test("bins never exceed the budget by more than one chunk") {
     val docs = spark.read
       .parquet("/root/testdata/sf0.001/documents.parquet")

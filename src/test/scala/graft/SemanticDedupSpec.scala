@@ -60,6 +60,18 @@ class SemanticDedupSpec extends SparkSpecBase {
     assert(api == s7)
   }
 
+  test("a dims mismatch fails the job instead of degenerating to " +
+      "all-zero signatures") {
+    val e = intercept[Exception] {
+      SemanticDedup.signatures(planted, dims = 64).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("expected 64-dimension")),
+      s"wrong error: $e")
+  }
+
   test("misuse fails fast") {
     intercept[IllegalArgumentException] {
       SemanticDedup.candidatePairs(planted, dims = 8, maxHamming = 40)
