@@ -43,6 +43,14 @@ object PageRank {
     *        pays zero per-round driver synchronization; the interval
     *        bounds plan depth so a long run never re-plans its whole
     *        history.
+    * @param seeds PERSONALIZED (topic-sensitive) PageRank: when set,
+    *        only the listed nodes (column `node`) receive the damped
+    *        reset mass — importance then measures proximity to the
+    *        seed topic, the ranking a curation pipeline uses to find
+    *        documents/parts related to a seed set. None (the default)
+    *        is uniform reset = classic PageRank; the seed table joins
+    *        once into the degree table, after which per-round cost is
+    *        unchanged.
     */
   def run(
       edges: DataFrame,
@@ -51,7 +59,8 @@ object PageRank {
       iterations: Int = 5,
       broadcastNodeLimit: Long = 5000000L,
       checkpointEvery: Int = 1,
-      inspectRound: DataFrame => Unit = _ => ()): DataFrame = {
+      inspectRound: DataFrame => Unit = _ => (),
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
     def free(df: DataFrame): Unit =
       org.apache.spark.sql.graft.bridge.checkpointedRdd(df)
@@ -61,12 +70,18 @@ object PageRank {
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .localCheckpoint(true)
-    // (node, deg): hash-partitioned on node by the groupBy; the
+    // (node, deg, reset): hash-partitioned on node by the groupBy; the
     // checkpoint preserves that partitioning, and every later round's
     // rank table inherits it by construction.
-    val base = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degrees = e.groupBy("src").agg(count(lit(1)).as("deg"))
       .withColumnRenamed("src", "node")
-      .localCheckpoint(true)
+    val base = (seeds match {
+      case None => degrees.withColumn("reset", lit(1L))
+      case Some(sd) => degrees
+        .join(sd.select(col("node")).distinct()
+          .withColumn("reset", lit(1L)), Seq("node"), "left")
+        .na.fill(0L, Seq("reset"))
+    }).localCheckpoint(true)
 
     // The rank table is |nodes| rows; the edge table is |E| — usually
     // orders of magnitude bigger. When the node table fits a
@@ -79,7 +94,7 @@ object PageRank {
     val maybeBroadcast: DataFrame => DataFrame =
       if (nNodes <= broadcastNodeLimit) broadcast _ else identity _
 
-    var rank = base.withColumn("rank", lit(1000000L))
+    var rank = base.withColumn("rank", col("reset") * lit(1000000L))
     var rankCheckpointed = false
     for (i <- 1 to iterations) {
       // deg rides inside the rank table: the rate is a projection,
@@ -96,9 +111,9 @@ object PageRank {
       // exchange-free.
       val next = base
         .join(contrib, Seq("node"), "left")
-        .select(col("node"), col("deg"),
-          (lit(150000L) + expr("85 * coalesce(s, 0L) div 100"))
-            .as("rank"))
+        .select(col("node"), col("deg"), col("reset"),
+          (col("reset") * lit(150000L) +
+            expr("85 * coalesce(s, 0L) div 100")).as("rank"))
       inspectRound(next)
       if (i % checkpointEvery == 0 && i < iterations) {
         val cp = next.localCheckpoint(true)

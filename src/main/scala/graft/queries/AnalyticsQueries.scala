@@ -824,6 +824,63 @@ object AnalyticsQueries {
         FROM events""")
     )),
 
+    // PERSONALIZED (topic-sensitive) PageRank: only seed parts (one
+    // brand) receive the damped reset mass, so rank measures proximity
+    // to the seed topic through the co-purchase graph — "what else is
+    // this brand's ecosystem" rather than global importance. Same
+    // integer fixed-point machinery as p2 (bit-identical on any
+    // engine); the seed table joins ONCE into the degree table, so
+    // per-round cost is unchanged.
+    "p4_personalized_pagerank" -> ((
+      (s: SparkSession, d: String) => {
+        val e = t(s, d, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("pks"))
+          .select(explode(col("pks")).as("src"), col("pks"))
+          .select(col("src"), explode(col("pks")).as("dst"))
+          .where(col("src") =!= col("dst"))
+        val seeds = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#4")
+          .select(col("p_partkey").as("node"))
+        graft.operators.PageRank.run(e, "src", "dst", iterations = 5,
+            checkpointEvery = 2, seeds = Some(seeds))
+          .select(col("node").as("part"), col("rank"))
+      },
+      Some {
+        val round = (i: Int, prev: String) =>
+          s"""c$i AS (
+            SELECT e.dst AS node, CAST(sum(r.rank // deg.d) AS BIGINT) AS s
+            FROM e JOIN $prev r ON e.src = r.node
+                   JOIN deg ON e.src = deg.src
+            GROUP BY e.dst),
+          r$i AS (
+            SELECT n.node,
+                   CAST(n.reset * 150000
+                        + (85 * COALESCE(c$i.s, 0)) // 100 AS BIGINT)
+                     AS rank
+            FROM nodesr n LEFT JOIN c$i ON c$i.node = n.node)"""
+        s"""WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          e AS (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+          deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+          nodes AS (SELECT DISTINCT src AS node FROM e),
+          seeds AS (
+            SELECT DISTINCT p_partkey AS node FROM part
+            WHERE p_brand = 'Brand#4'),
+          nodesr AS (
+            SELECT n.node,
+                   CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS reset
+            FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+          r0 AS (
+            SELECT node, CAST(reset * 1000000 AS BIGINT) AS rank
+            FROM nodesr),
+          ${(1 to 5).map(i => round(i, s"r${i - 1}")).mkString(",\n          ")}
+        SELECT node AS part, rank FROM r5"""
+      }
+    )),
+
     // Triangle counting over the SUPPORT-FILTERED co-purchase graph
     // (edges = part pairs co-purchased in ≥ 2 orders — the standard
     // market-basket support prune, which is also what keeps the graph

@@ -53,4 +53,27 @@ class PageRankSpec extends SparkSpecBase {
     assertSameRows(got,
       Seq(Row("a", 936250L), Row("b", 1127500L), Row("c", 936250L)))
   }
+
+  test("an all-nodes seed set reproduces classic PageRank exactly") {
+    import SparkTestSession.spark.implicits._
+    val all = Seq("a", "b", "c").toDF("node")
+    val got = PageRank.run(chain, "s", "t", iterations = 2,
+      seeds = Some(all))
+    assertSameRows(got,
+      Seq(Row("a", 936250L), Row("b", 1127500L), Row("c", 936250L)))
+  }
+
+  test("personalized rank flows outward from the seed only") {
+    import SparkTestSession.spark.implicits._
+    // directed path a→b→c plus return edges so every node has
+    // out-degree ≥ 1; seed = a only
+    val e = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("s", "t")
+    val seeds = Seq("a").toDF("node")
+    val r = PageRank.run(e, "s", "t", iterations = 2,
+        seeds = Some(seeds))
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+    // round 1: a=150000 (+0 from c), b=0+85%·1000000=850000, c=0
+    // round 2: a=150000, b=85%·150000=127500, c=85%·850000=722500
+    assert(r == Map("a" -> 150000L, "b" -> 127500L, "c" -> 722500L), s"$r")
+  }
 }
