@@ -44,7 +44,17 @@ object AsOfJoin {
 
     val side = "__asof_is_left"
     val l = left.withColumn(side, lit(true))
+    // Null-key / null-ts right rows can never be "the latest visible
+    // state" under equi-join semantics (NULL matches nothing, and a
+    // null timestamp has no position) — drop them BEFORE the union.
+    // Unfiltered, the window's partitionBy would group null keys
+    // together and nulls-first ordering would make a null-ts right row
+    // the carried state for every left row — diverging from both SQL
+    // ASOF and the native exec (which skips them). Left rows with a
+    // null key land in a partition with no right rows and correctly
+    // get null value columns.
     val r = right.select((Seq(key, ts) ++ valueCols).map(col): _*)
+      .filter(col(key).isNotNull && col(ts).isNotNull)
       .withColumn(side, lit(false))
     val unioned = l.unionByName(r, allowMissingColumns = true)
 

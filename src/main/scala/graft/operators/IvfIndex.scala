@@ -52,14 +52,30 @@ object IvfIndex {
     require(k > 0 && iters >= 0)
     val raw = col(vecCol).cast(ArrayType(DoubleType))
     val norm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
+    // Zero-norm vectors are excluded from TRAINING: under ANSI mode
+    // (Spark 4 default) x/0 throws mid-job, and under legacy mode it
+    // yields nulls that silently poison seeds and Lloyd sums. A zero
+    // vector has no direction, so it cannot inform spherical
+    // centroids — the when() keeps the division off those rows
+    // entirely (the projection can evaluate before the filter), and
+    // the filter drops them from the sample. assign/probe still
+    // handle such corpus rows (deterministic first-cell assignment).
     val sample = df
       .select(col(idCol).as("id"),
-        transform(raw, x => x / norm).as("v"))
+        when(norm > 0, transform(raw, x => x / norm)).as("v"))
+      .filter(col("v").isNotNull)
       .orderBy("id").limit(sampleLimit)
       .cache()
     val n = sample.count().toInt
-    require(n >= k, s"need at least k=$k training vectors, got $n")
+    require(n >= k, s"need at least k=$k non-zero training vectors, got $n")
     val dim = sample.head().getSeq[Double](1).length
+    // a ragged vector column would null-poison zip_with the same way —
+    // fail with the offending length instead
+    val badLen = sample.filter(size(col("v")) =!= dim).limit(1)
+      .select(size(col("v"))).collect()
+    require(badLen.isEmpty,
+      s"IvfIndex: vectors must all have length $dim, found ${
+        badLen.headOption.map(_.getInt(0)).getOrElse(-1)}")
 
     // Strided seeds: rows 0, stride, 2·stride, … in id order.
     val stride = math.max(1, n / k)

@@ -42,8 +42,15 @@ object NearDup {
       textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     docs
+      // md5(null) is null and the window groups nulls together — an
+      // unguarded fingerprint would collapse EVERY null-text document
+      // (metadata-only / failed-extraction rows) into one survivor.
+      // Null text is absence of content, not shared content: each such
+      // doc keeps a unique fingerprint and survives.
       .withColumn("__fp",
-        md5(regexp_replace(lower(col(textCol)), "\\s+", " ")))
+        when(col(textCol).isNull,
+          concat(lit("__null__:"), col(idCol).cast("string")))
+          .otherwise(md5(regexp_replace(lower(col(textCol)), "\\s+", " "))))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("__fp").orderBy(col(idCol))))
       .filter(col("__rk") === 1).drop("__fp", "__rk")
@@ -110,9 +117,9 @@ object NearDup {
     val comp = clusters(docs, idCol, textCol, threshold)
       .withColumnRenamed("doc_id", "__nd_id")
     val total = trainBuckets + valBuckets + testBuckets
-    val bucket = pmod(
-      TextQueries.saltedHash(11, col("__grp").cast("string")),
-      lit(total.toLong))
+    // salt 11 = the t19 oracle's cluster-split salt; shares
+    // TextProfile's bucket derivation so split semantics live once
+    val bucket = TextProfile.hashBucket(col("__grp"), total.toLong, salt = 11)
     docs
       .join(comp, col(idCol).cast("long") === col("__nd_id"), "left")
       .withColumn("__grp",

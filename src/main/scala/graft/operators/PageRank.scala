@@ -62,6 +62,8 @@ object PageRank {
       inspectRound: DataFrame => Unit = _ => (),
       seeds: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 0, "iterations must be non-negative")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be at least 1, got $checkpointEvery")
     def free(df: DataFrame): Unit =
       org.apache.spark.sql.graft.bridge.checkpointedRdd(df)
         .foreach(_.unpersist(blocking = false))
@@ -95,7 +97,11 @@ object PageRank {
       if (nNodes <= broadcastNodeLimit) broadcast _ else identity _
 
     var rank = base.withColumn("rank", col("reset") * lit(1000000L))
-    var rankCheckpointed = false
+    // the PREVIOUS round-checkpoint, tracked separately: with
+    // checkpointEvery > 1, `rank` is often an un-checkpointed
+    // intermediate plan, and free() on that would be a silent no-op —
+    // superseded checkpoint blocks would then never be released
+    var lastCp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
       // deg rides inside the rank table: the rate is a projection,
       // not a join.
@@ -121,9 +127,9 @@ object PageRank {
         // free them now rather than waiting for the GC-driven
         // ContextCleaner. (e/base stay persisted: the final rounds'
         // un-checkpointed plans still reference them.)
-        if (rankCheckpointed) free(rank)
+        lastCp.foreach(free)
+        lastCp = Some(cp)
         rank = cp
-        rankCheckpointed = true
       } else {
         rank = next
       }

@@ -40,12 +40,16 @@ object SemanticDedup {
       vecCol: String = "embedding",
       dims: Int = 64): DataFrame = {
     require(dims >= 1, s"dims must be positive, got $dims")
+    // coalesce inside the message: for a NULL vector, size() is null
+    // and null-rejecting concat would turn the whole diagnostic into
+    // raise_error(NULL) — a message-less failure
     val checked = emb.withColumn(vecCol,
       when(size(col(vecCol)) === dims, col(vecCol))
         .otherwise(raise_error(concat(
           lit(s"SemanticDedup: expected $dims-dimension vectors " +
             s"(the dims argument), found length "),
-          size(col(vecCol)).cast("string")))))
+          coalesce(size(col(vecCol)).cast("string"),
+            lit("null (missing vector)"))))))
     SimilarityQueries.srpSignaturesDf(checked, idCol, vecCol, dims)
   }
 
@@ -63,20 +67,20 @@ object SemanticDedup {
     require(maxHamming >= 0 && maxHamming <= 32,
       s"maxHamming must be in [0, 32], got $maxHamming")
     val sig = signatures(emb, idCol, vecCol, dims).localCheckpoint(true)
+    // the full signature rides along in the band rows, so the
+    // verification XOR needs no join-back against sig — the two
+    // re-fetch joins that would otherwise shuffle the candidate set
+    // twice more are the avoidable cost in this hot path
     val bands = (0 until 4).map { b =>
-      sig.select(col("vec_id"), lit(b).as("band"),
+      sig.select(col("vec_id"), col("srp"), lit(b).as("band"),
         shiftright(col("srp"), b * 8).bitwiseAND(0xff).as("bv"))
     }.reduce(_.unionByName(_))
-    val cand = bands.as("x").join(bands.as("y"),
+    bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.srp").as("fa"), col("y.srp").as("fb"))
       .distinct()
-    cand
-      .join(sig.select(col("vec_id").as("vec_a"), col("srp").as("fa")),
-        Seq("vec_a"))
-      .join(sig.select(col("vec_id").as("vec_b"), col("srp").as("fb")),
-        Seq("vec_b"))
       .withColumn("hamming",
         bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
       .filter(col("hamming") <= maxHamming)

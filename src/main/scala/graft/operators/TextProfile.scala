@@ -58,7 +58,11 @@ object TextProfile {
     }.withColumn("cjk",
       regexp_count(col(textCol), lit("[\\x{4e00}-\\x{9fff}]")).cast("long"))
     withScores.withColumn("lang_guess",
-      when(col("cjk") > 0, "zh")
+      // null text first: every regexp count is null then, all the
+      // vote comparisons evaluate to null-as-false, and an unguarded
+      // chain would fall through to confidently label the row French
+      when(col(textCol).isNull, lit(null).cast("string"))
+        .when(col("cjk") > 0, "zh")
         .when(col("hits_en") >= greatest(col("hits_de"), col("hits_es"),
           col("hits_fr")), "en")
         .when(col("hits_de") >= greatest(col("hits_es"), col("hits_fr")), "de")
@@ -85,10 +89,13 @@ object TextProfile {
       .drop("__w", "__grams")
 
   /** Portable deterministic hash bucket of an id column — stable
-    * across runs, engines, and cluster sizes, unlike rand().
+    * across runs, engines, and cluster sizes, unlike rand(). The salt
+    * decorrelates independent bucketings of the same ids (doc-level
+    * split vs cluster-level split must not reuse one assignment).
     */
-  private[graft] def hashBucket(id: Column, buckets: Long): Column =
-    pmod(graft.queries.TextQueries.saltedHash(0, id.cast("string")),
+  private[graft] def hashBucket(
+      id: Column, buckets: Long, salt: Int = 0): Column =
+    pmod(graft.queries.TextQueries.saltedHash(salt, id.cast("string")),
       lit(buckets))
 
   /** Appends `split` ∈ train/val/test by md5 bucket of `idCol` —

@@ -45,9 +45,13 @@ object TriangleCount {
       .distinct()
       .localCheckpoint(true)
 
+    // checkpointed like und/oriented: deg feeds the two orientation
+    // joins AND the final zero-fill join — un-materialized, the
+    // |E|-scale union+aggregation would re-run at each use
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
 
     // orient lower (deg, id) → higher; carry the head's rank key so
     // wedge endpoints can be ordered without another degree join

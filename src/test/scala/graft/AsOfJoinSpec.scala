@@ -60,4 +60,31 @@ class AsOfJoinSpec extends SparkSpecBase {
     val got = run(Row(L(1), L(10), t("2024-01-01 14:00:00")))
     assert(got == Seq(Row(L(1), null, "c")))
   }
+
+  test("null keys and null timestamps follow equi-join semantics — " +
+      "composed and native paths agree") {
+    // right noise: a null-key row and a null-ts row, which SQL ASOF
+    // can never match; left row 2 has a null key and must get nulls
+    val noisyRight = right ++ Seq(
+      Row(null, t("2024-01-01 08:00:00"), D(99.0), "nullkey"),
+      Row(L(10), null, D(98.0), "nullts"))
+    val leftRows = Seq(
+      Row(L(1), L(10), t("2024-01-01 10:00:00")),
+      Row(L(2), null, t("2024-01-01 10:00:00")),
+      Row(L(3), L(10), null))
+    val expected = Seq(
+      Row(L(1), D(5.0), "a"),
+      Row(L(2), null, null),
+      Row(L(3), null, null))
+    val composed = AsOfJoin.asofJoin(
+        df(leftSchema, leftRows: _*), df(rightSchema, noisyRight: _*),
+        "u", "ts", Seq("rate", "tag"))
+      .select("id", "rate", "tag").collect().toSeq.sortBy(_.getLong(0))
+    assert(composed == expected, s"composed: $composed")
+    val native = AsOfJoin.asofJoinNative(
+        df(leftSchema, leftRows: _*), df(rightSchema, noisyRight: _*),
+        "u", "ts", Seq("rate", "tag"))
+      .select("id", "rate", "tag").collect().toSeq.sortBy(_.getLong(0))
+    assert(native == expected, s"native: $native")
+  }
 }

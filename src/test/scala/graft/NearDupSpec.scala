@@ -100,6 +100,15 @@ class NearDupSpec extends SparkSpecBase {
     assert(out == Set((1L, "keep"), (3L, "keep")))
   }
 
+  test("null-text documents are not duplicates of each other") {
+    import spark.implicits._
+    val docs = Seq((1L, null), (2L, null), (3L, "real text here"))
+      .toDF("doc_id", "text")
+    val kept = NearDup.exactDedup(docs).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L),
+      "absence of content is not shared content")
+  }
+
   test("misuse fails fast") {
     intercept[IllegalArgumentException] {
       NearDup.clusters(planted, threshold = 1.5)

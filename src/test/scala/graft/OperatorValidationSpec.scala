@@ -37,6 +37,35 @@ class OperatorValidationSpec extends SparkSpecBase {
     }
   }
 
+  test("IVF training excludes zero vectors and rejects ragged lengths") {
+    import spark.implicits._
+    // a zero vector has no direction — silently normalizing it would
+    // null-poison seeds and Lloyd sums; training must ignore it and
+    // still produce unit-norm centroids
+    val withZero = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.0f, 0.0f)))
+      .toDF("id", "vec")
+    val m = IvfIndex.train(withZero, "id", "vec", k = 2, iters = 2)
+    m.centroids.foreach { c =>
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"non-unit centroid: $norm")
+    }
+    val ragged = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f)))
+      .toDF("id", "vec")
+    intercept[IllegalArgumentException] {
+      IvfIndex.train(ragged, "id", "vec", k = 1, iters = 1)
+    }
+  }
+
+  test("PageRank rejects a non-positive checkpoint interval") {
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("s", "t")
+    intercept[IllegalArgumentException] {
+      graft.operators.PageRank.run(e, "s", "t", checkpointEvery = 0)
+    }
+  }
+
   test("the connector sink and batch inference reject non-positive batch sizes") {
     val session = spark
     import session.implicits._

@@ -43,6 +43,16 @@ class TextProfileSpec extends SparkSpecBase {
     assert(out == Map(1L -> "de", 2L -> "en", 3L -> "es", 4L -> "zh"))
   }
 
+  test("null text gets a null language, not a confident French label") {
+    import spark.implicits._
+    val out = TextProfile.withLangGuess(
+        Seq((1L, null), (2L, "le chat est sur le toit et les murs"))
+          .toDF("doc_id", "text"))
+      .select("doc_id", "lang_guess").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out == Map(1L -> None, 2L -> Some("fr")))
+  }
+
   test("repetition ratio measures duplicate bigrams") {
     val r = TextProfile.withRepetition(df(doc(1, "a b a b a b")))
       .select("n_grams", "n_distinct", "rep_ratio").head()
