@@ -78,9 +78,17 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
   extends BatchWrite {
   require(path != null && path.nonEmpty, "graft-flights requires a path")
 
+  // Job-unique token baked into every file name: taskIds restart per
+  // SparkContext, so "part-<pid>-<tid>" alone is only unique within
+  // one application — a SECOND application appending to the same path
+  // would truncate and rewrite files the first one already committed
+  // (and the carried-forward manifest would list them twice). This is
+  // the same role Spark's own file commit protocol gives its jobId.
+  private val jobToken = java.util.UUID.randomUUID().toString.take(8)
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new FlightsV2WriterFactory(path, schema)
+    new FlightsV2WriterFactory(path, schema, jobToken)
 
   /** Atomic publish: the manifest names exactly the files of the
     * winning task attempts; orphans from failed/speculative attempts
@@ -93,19 +101,44 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
     val fresh = messages.collect {
       case FlightsV2TaskCommit(f, n) => s"$f\t$n"
     }
-    // append semantics: carry the previously committed files forward;
-    // overwrite (truncate) starts the manifest from this job alone
-    val prior = dir.resolve("_manifest")
-    val lines =
-      if (replace || !java.nio.file.Files.exists(prior)) fresh.toSeq
-      else java.nio.file.Files.readAllLines(prior)
-        .asScala.toSeq.filter(_.nonEmpty) ++ fresh
-    val tmp = dir.resolve("_manifest.tmp")
-    java.nio.file.Files.write(tmp,
-      lines.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, dir.resolve("_manifest"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // The rename makes the manifest atomic for READERS; committers
+    // must additionally be mutually exclusive, because append's
+    // read-modify-write would otherwise let two concurrent jobs each
+    // carry the same prior forward and the second rename drop the
+    // first job's files. A create-exclusive lock file serializes them
+    // (bounded wait, then fail the commit — Spark surfaces the error).
+    val lock = dir.resolve("_manifest.lock")
+    var acquired = false
+    var attempts = 0
+    while (!acquired && attempts < 100) {
+      try {
+        java.nio.file.Files.createFile(lock)
+        acquired = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          attempts += 1; Thread.sleep(100)
+      }
+    }
+    if (!acquired) throw new IllegalStateException(
+      s"could not acquire $lock after ${attempts} attempts — " +
+        "another committer holds it (or crashed; delete the lock to recover)")
+    try {
+      // append semantics: carry the previously committed files forward;
+      // overwrite (truncate) starts the manifest from this job alone
+      val prior = dir.resolve("_manifest")
+      val lines =
+        if (replace || !java.nio.file.Files.exists(prior)) fresh.toSeq
+        else java.nio.file.Files.readAllLines(prior)
+          .asScala.toSeq.filter(_.nonEmpty) ++ fresh
+      val tmp = dir.resolve("_manifest.tmp")
+      java.nio.file.Files.write(tmp,
+        lines.mkString("\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, dir.resolve("_manifest"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally {
+      java.nio.file.Files.deleteIfExists(lock)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -115,12 +148,13 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
     }
 }
 
-class FlightsV2WriterFactory(path: String, schema: StructType)
+class FlightsV2WriterFactory(
+    path: String, schema: StructType, jobToken: String)
   extends DataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new FlightsV2Writer(path, schema, partitionId, taskId)
+    new FlightsV2Writer(path, schema, partitionId, taskId, jobToken)
 }
 
 /** Task-private temp file named by (partition, task attempt) — two
@@ -154,10 +188,10 @@ object FlightsV2Writer {
 
 class FlightsV2Writer(
     path: String, schema: StructType,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long, jobToken: String)
   extends DataWriter[InternalRow] {
 
-  private val fileName = f"part-$partitionId%05d-$taskId.jsonl"
+  private val fileName = f"part-$partitionId%05d-$taskId-$jobToken.jsonl"
   private val target = {
     val dir = java.nio.file.Paths.get(path)
     java.nio.file.Files.createDirectories(dir)
@@ -176,7 +210,12 @@ class FlightsV2Writer(
         if (record.isNullAt(i)) "null"
         else f.dataType match {
           case _: NumericType | BooleanType =>
-            record.get(i, f.dataType).toString
+            val s = record.get(i, f.dataType).toString
+            // JSON has no NaN/Infinity literal — a bare one makes the
+            // whole line unparseable for strict readers. Quote them
+            // (Jackson's non-numeric-number convention).
+            if (s == "NaN" || s.endsWith("Infinity")) "\"" + s + "\""
+            else s
           case _ =>
             "\"" + FlightsV2Writer.escapeJson(
               String.valueOf(record.get(i, f.dataType))) + "\""

@@ -101,16 +101,37 @@ object HttpStatesClient {
     Sources.statesFromRows(spark, rows)
   }
 
-  private def coerce(v: JsonNode, dt: DataType): Any =
+  /** STRICT cell decode: Jackson's asLong()/asDouble()/asBoolean()
+    * return 0/0.0/false for non-convertible nodes, which would turn a
+    * malformed cell (e.g. last_contact: "n/a") into the pipeline's
+    * "absent this batch" sentinel and silently mis-sessionize the
+    * flight — while the replay path (FAILFAST json read) rejects the
+    * same data. Live and replayed cycles must fail identically.
+    */
+  private def coerce(v: JsonNode, dt: DataType): Any = {
+    def bad(expected: String) =
+      throw new Sources.InvalidResponseError(
+        s"states cell is not $expected: ${v.getNodeType} '${v.toString.take(40)}'")
     if (v == null || v.isNull) null
     else dt match {
-      case StringType => v.asText()
-      case LongType => v.asLong()
-      case DoubleType => v.asDouble()
-      case BooleanType => v.asBoolean()
-      case IntegerType => v.asInt()
+      case StringType =>
+        if (!v.isTextual && !v.isNumber) bad("a string")
+        v.asText()
+      case LongType =>
+        if (!v.canConvertToLong) bad("an integral number")
+        v.asLong()
+      case DoubleType =>
+        if (!v.isNumber) bad("a number")
+        v.asDouble()
+      case BooleanType =>
+        if (!v.isBoolean) bad("a boolean")
+        v.asBoolean()
+      case IntegerType =>
+        if (!v.canConvertToInt) bad("a 32-bit integer")
+        v.asInt()
       case other =>
         throw new Sources.InvalidResponseError(
           s"unsupported states column type $other")
     }
+  }
 }

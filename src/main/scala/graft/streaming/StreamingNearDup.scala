@@ -37,7 +37,10 @@ object StreamingNearDup {
 
   // public: encoder-generated projections cannot access private types
   case class BandRow(doc_id: Long, band: Int, bh: String)
-  case class BucketState(firstDoc: Long, hits: Long)
+  // just the first-admitted doc: buckets live forever (NoTimeout), so
+  // every extra field is paid O(admitted docs × bands) in the state
+  // store — a hit counter nobody read used to live here
+  case class BucketState(firstDoc: Long)
 
   /** (doc_id, band, bh) banded-signature rows for a (doc_id, text)
     * frame — batch or streaming.
@@ -61,20 +64,23 @@ object StreamingNearDup {
           // doc-id order makes within-batch admission deterministic
           // (micro-batch row order is not)
           val sorted = rows.toSeq.sortBy(_.doc_id)
-          var st = state.getOption
+          val existing = state.getOption
+          var first = existing.map(_.firstDoc)
           val out = Seq.newBuilder[BandFlag]
           sorted.foreach { r =>
-            st match {
+            first match {
               case None =>
-                st = Some(BucketState(r.doc_id, 0L))
-              case Some(s) if s.firstDoc == r.doc_id =>
+                first = Some(r.doc_id)
+              case Some(f) if f == r.doc_id =>
                 () // replayed first doc: not a collision with itself
-              case Some(s) =>
-                out += BandFlag(r.doc_id, band, bh, s.firstDoc)
-                st = Some(s.copy(hits = s.hits + 1))
+              case Some(f) =>
+                out += BandFlag(r.doc_id, band, bh, f)
             }
           }
-          st.foreach(state.update)
+          // collisions don't change the bucket owner — write state
+          // only when the bucket is newly claimed (a state-store
+          // write per touched bucket per batch is the alternative)
+          if (existing.isEmpty) first.foreach(f => state.update(BucketState(f)))
           out.result().iterator
       }
   }

@@ -55,7 +55,7 @@ class FlightsV2SinkSpec extends SparkSpecBase {
     val schema = StructType(Seq(StructField("icao24", StringType)))
     // simulate a zombie attempt: writes a file, never task-commits
     val zombie = new FlightsV2Writer(dir, schema, partitionId = 0,
-      taskId = 999999L)
+      taskId = 999999L, jobToken = "test0000")
     zombie.write(InternalRow(UTF8String.fromString("zz9999")))
     // (no commit — the attempt dies here, leaving the orphan file)
 
@@ -71,7 +71,7 @@ class FlightsV2SinkSpec extends SparkSpecBase {
   test("task abort removes its temp file") {
     val dir = tmpDir()
     val schema = StructType(Seq(StructField("icao24", StringType)))
-    val w = new FlightsV2Writer(dir, schema, partitionId = 3, taskId = 7L)
+    val w = new FlightsV2Writer(dir, schema, partitionId = 3, taskId = 7L, jobToken = "test0000")
     w.write(InternalRow(UTF8String.fromString("ab0001")))
     w.abort()
     assert(Files.list(Paths.get(dir)).iterator().asScala.isEmpty,
@@ -81,7 +81,7 @@ class FlightsV2SinkSpec extends SparkSpecBase {
   test("job abort deletes committed task files; manifest never appears") {
     val dir = tmpDir()
     val schema = StructType(Seq(StructField("icao24", StringType)))
-    val w = new FlightsV2Writer(dir, schema, partitionId = 0, taskId = 1L)
+    val w = new FlightsV2Writer(dir, schema, partitionId = 0, taskId = 1L, jobToken = "test0000")
     w.write(InternalRow(UTF8String.fromString("ab0001")))
     val msg = w.commit()
     new FlightsV2BatchWrite(dir, schema).abort(Array(msg))
@@ -103,6 +103,31 @@ class FlightsV2SinkSpec extends SparkSpecBase {
     assert(rows.size == 5,
       s"append must accumulate, not replace: $rows")
     assert(manifestFiles(dir).map(_._2).sum == 5L)
+  }
+
+  test("two applications appending with the same task ids cannot " +
+      "clobber each other's committed files") {
+    // taskIds restart per SparkContext: simulate app A and app B whose
+    // partition-0 task both get taskId 0 — only the job token keeps
+    // their file names (and thus their committed data) apart
+    val dir = tmpDir()
+    val schema = StructType(Seq(StructField("icao24", StringType)))
+    def appRun(token: String, value: String): Unit = {
+      val w = new FlightsV2Writer(dir, schema, partitionId = 0,
+        taskId = 0L, jobToken = token)
+      w.write(InternalRow(UTF8String.fromString(value)))
+      val msg = w.commit()
+      new FlightsV2BatchWrite(dir, schema, replace = false)
+        .commit(Array(msg))
+    }
+    appRun("appa0001", "aa0001")
+    appRun("appb0002", "bb0002")
+    val rows = manifestRows(dir)
+    assert(rows.exists(_.contains("aa0001")) &&
+      rows.exists(_.contains("bb0002")),
+      s"an application's committed rows vanished: $rows")
+    assert(!Files.exists(Paths.get(dir).resolve("_manifest.lock")),
+      "commit left its lock behind")
   }
 
   test("control characters in values are escaped — JSONL framing holds") {

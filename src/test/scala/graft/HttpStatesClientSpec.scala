@@ -100,6 +100,20 @@ class HttpStatesClientSpec extends SparkSpecBase with BeforeAndAfterAll {
     assert(e.getMessage.contains("expected 17"))
   }
 
+  test("a malformed cell fails fast instead of coercing to a zero " +
+      "sentinel") {
+    // Jackson's asLong would turn "n/a" into 0 — the pipeline's
+    // "absent this batch" sentinel — silently mis-sessionizing the
+    // flight; the decode must fail like the FAILFAST replay path
+    val cells = "\"ab1\", \"CALL\", \"DE\", \"n/a\"" +
+      (", null" * 13)
+    val payload = s"""{"time": 1, "states": [[$cells]]}"""
+    val e = intercept[Sources.InvalidResponseError] {
+      HttpStatesClient.decodeStatesPayload(spark, payload)
+    }
+    assert(e.getMessage.contains("integral number"), e.getMessage)
+  }
+
   test("a response slower than the timeout raises a timeout") {
     val client = new HttpStatesClient(base, timeoutMillis = 200L)
     intercept[java.net.http.HttpTimeoutException] {
