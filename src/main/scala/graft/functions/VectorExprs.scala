@@ -36,8 +36,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null even for non-null inputs (null ELEMENT propagation) — without
+  // this, codegen on non-nullable children would elide the isNull slot
+  override def nullable: Boolean = true
+
   override def prettyName: String = "cosine_similarity"
 
+  // A null ELEMENT propagates to a null result, matching the
+  // zip_with+aggregate formulation and the DuckDB oracle — reading the
+  // slot raw would silently yield 0.0f (zeroed UnsafeArrayData slot)
+  // and a finite wrong similarity. The branch is free in practice
+  // (always-false for real embedding columns).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -47,6 +56,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var ny = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -69,11 +79,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           double xi = (double) $a.getFloat($i);
           double yi = (double) $b.getFloat($i);
           $dot += xi * yi; $nx += xi * xi; $ny += yi * yi;
         }
-        ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        if (!${ev.isNull}) {
+          ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
+        }
       """
     })
 
@@ -118,27 +131,36 @@ case class NearestCell(left: Expression, right: Expression)
 
   override def dataType: DataType = IntegerType
 
+  // null for an empty or null-element centroid set, even when both
+  // inputs are non-null
+  override def nullable: Boolean = true
+
   override def prettyName: String = "nearest_cell"
 
-  private def elem(x: ArrayData, i: Int): Double = vecElemType.get match {
-    case FloatType => x.getFloat(i).toDouble
-    case DoubleType => x.getDouble(i)
-  }
-
+  // An empty centroid set or a null INNER array yields a null result:
+  // returning a phantom "cell 0" for k=0 (or NPE-ing a task on a null
+  // centroid) would silently bucket every vector into a centroid that
+  // does not exist. IvfIndex-built models never hit either case; this
+  // is the SQL-registration misuse path.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val cs = b.asInstanceOf[ArrayData]
     val k = cs.numElements()
+    if (k == 0) return null
+    // resolve the element accessor once, not per k×d element
+    val isFloat = vecElemType.get == FloatType
     var best = 0
     var bestD = Double.MaxValue
     var j = 0
     while (j < k) {
+      if (cs.isNullAt(j)) return null
       val c = cs.getArray(j)
       val n = math.min(c.numElements(), v.numElements())
       var d2 = 0.0
       var i = 0
       while (i < n) {
-        val diff = c.getDouble(i) - elem(v, i)
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = c.getDouble(i) - x
         d2 += diff * diff
         i += 1
       }
@@ -166,7 +188,9 @@ case class NearestCell(left: Expression, right: Expression)
       s"""
         int $k = $b.numElements();
         int $best = 0; double $bestD = Double.MAX_VALUE;
+        if ($k == 0) { ${ev.isNull} = true; }
         for (int $j = 0; $j < $k; $j++) {
+          if ($b.isNullAt($j)) { ${ev.isNull} = true; break; }
           org.apache.spark.sql.catalyst.util.ArrayData $c = $b.getArray($j);
           int $n = java.lang.Math.min($c.numElements(), $a.numElements());
           double $d2 = 0.0;
@@ -176,7 +200,7 @@ case class NearestCell(left: Expression, right: Expression)
           }
           if ($d2 < $bestD) { $bestD = $d2; $best = $j; }
         }
-        ${ev.value} = $best;
+        if (!${ev.isNull}) { ${ev.value} = $best; }
       """
     })
   }

@@ -74,6 +74,10 @@ object MediaPipeline {
       media: Dataset[MediaFile],
       frameBytes: Int = 256,
       stride: Int = 4): Dataset[FrameSample] = {
+    // fail on the driver, not with an ArithmeticException inside a
+    // launched task (batchInference already follows this rule)
+    require(frameBytes >= 1, s"frameBytes must be positive, got $frameBytes")
+    require(stride >= 1, s"stride must be positive, got $stride")
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       val nFrames = m.payload.length / frameBytes
@@ -95,19 +99,28 @@ object MediaPipeline {
     * content fingerprint are real.
     */
   def resize(media: Dataset[MediaFile], stride: Int = 4): Dataset[ResizedMedia] = {
+    require(stride >= 1, s"stride must be positive, got $stride")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { m =>
-        val sub = m.payload.indices.collect {
-          case i if i % stride == 0 => m.payload(i)
-        }.toArray
+        // strided range, not indices.collect: the guard-every-byte +
+        // boxed traversal costs show on this hot mapPartitions path
+        val sub = Array.range(0, m.payload.length, stride).map(m.payload)
         md.reset()
-        val fp = md.digest(sub).map("%02x".format(_)).mkString.take(8)
+        val fp = hexFp(md, sub, 8)
         ResizedMedia(m.media_id, sub.length, fp)
       }
     }
   }
+
+  /** md5-hex-prefix fingerprint — ONE definition for resize and the
+    * stub model, so the two cannot drift from each other or from the
+    * m4/m5 DuckDB oracles.
+    */
+  private[multimodal] def hexFp(
+      md: java.security.MessageDigest, bytes: Array[Byte], n: Int): String =
+    md.digest(bytes).map("%02x".format(_)).mkString.take(n)
 
   /** One batched-inference output row. */
   final case class InferenceResult(media_id: Long, embedding_fp: String)
@@ -134,7 +147,7 @@ object MediaPipeline {
       val md = java.security.MessageDigest.getInstance("MD5")
       payloads.map { p =>
         md.reset()
-        md.digest(p).map("%02x".format(_)).mkString.take(16)
+        MediaPipeline.hexFp(md, p, 16)
       }
     }
   }

@@ -79,6 +79,12 @@ class OperatorValidationSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       graft.multimodal.MediaPipeline.batchInference(media, batchSize = -1)
     }
+    intercept[IllegalArgumentException] {
+      graft.multimodal.MediaPipeline.sampleFrames(media, frameBytes = 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.multimodal.MediaPipeline.resize(media, stride = 0)
+    }
   }
 
   test("every oracle-less query has an explicit rationale — and only " +

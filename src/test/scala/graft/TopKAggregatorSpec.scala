@@ -27,6 +27,21 @@ class TopKAggregatorSpec extends SparkSpecBase {
     assert(agg.finish(agg.merge(agg.zero, buf)).map(_.id) == List(2, 7, 9))
   }
 
+  test("NaN scores rank greatest — the same total order Spark SQL " +
+      "sorts doubles with") {
+    // a zero-norm vector gives cosine 0/0 = NaN; the window strategy
+    // (ORDER BY sim DESC) puts NaN first, so the aggregator must too —
+    // and a non-total naive comparator can also blow up sortWith
+    val rows = List(Scored(1, 0.9), Scored(2, Double.NaN), Scored(3, 0.5),
+      Scored(4, 0.7))
+    val viaReduce = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(viaReduce).map(_.id) == List(2, 1, 4))
+    val viaMerge = agg.merge(
+      rows.take(2).foldLeft(agg.zero)(agg.reduce),
+      rows.drop(2).foldLeft(agg.zero)(agg.reduce))
+    assert(agg.finish(viaMerge).map(_.id) == List(2, 1, 4))
+  }
+
   test("typed end-to-end matches the window formulation on embeddings") {
     val session = spark
     import session.implicits._

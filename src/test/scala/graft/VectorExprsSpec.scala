@@ -49,6 +49,30 @@ class VectorExprsSpec extends SparkSpecBase {
     assert(got.forall(_.isNullAt(0)))
   }
 
+  test("a null ELEMENT propagates to null, like the HOF formulation") {
+    val in = df(schema, Row(Seq(1.0f, null), Seq(1.0f, 2.0f)))
+    val native = in.select(cosine_similarity(col("qv"), col("nv"))).collect()
+    assert(native(0).isNullAt(0),
+      "null element must not silently read as 0.0")
+    val viaHof = in.select(hof.as("s")).collect()
+    assert(viaHof(0).isNullAt(0), "HOF reference disagrees")
+  }
+
+  test("nearest_cell yields null for empty or null-element centroids") {
+    import graft.functions.VectorExprs.nearest_cell
+    val in = df(
+      StructType(Seq(StructField("v", ArrayType(FloatType)))),
+      Row(Seq(1.0f, 0.0f)))
+    val empty = in.select(
+      nearest_cell(col("v"), expr("array()").cast(
+        ArrayType(ArrayType(DoubleType))))).collect()
+    assert(empty(0).isNullAt(0), "empty centroid set must not yield cell 0")
+    val withNull = in.select(
+      nearest_cell(col("v"),
+        expr("array(array(1.0D, 0.0D), NULL)"))).collect()
+    assert(withNull(0).isNullAt(0), "null centroid must not NPE or bucket")
+  }
+
   test("non-float-array input fails analysis") {
     val bad = spark.range(1).select(col("id").as("qv"), col("id").as("nv"))
     intercept[org.apache.spark.sql.AnalysisException] {
