@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   * At equal timestamps the right row is considered visible to the left
   * row (inclusive <=, matching DuckDB/QuestDB ASOF semantics): right
   * rows sort before left rows at the same instant.
+  *
+  * Among SEVERAL right rows sharing one (key, ts), the surviving row
+  * is unspecified (SQL ASOF leaves the tie unspecified too, and the
+  * native exec consumes ties in shuffle order). If the right side can
+  * carry genuine (key, ts) duplicates, disambiguate BEFORE the join —
+  * e.g. ts = struct(ts, sequence_number) — rather than relying on any
+  * engine's tie pick.
   */
 object AsOfJoin {
 

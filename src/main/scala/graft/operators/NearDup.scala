@@ -1,5 +1,10 @@
 package graft.operators
 
+// The MinHash/LSH/verify internals deliberately live beside their
+// DuckDB-oracle SQL twins in TextQueries (one definition per
+// semantics, both engines in one place); this facade re-exposes them
+// DataFrame-first. Engine-independent primitives (the portable hash)
+// live in graft.functions instead.
 import graft.queries.TextQueries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._

@@ -63,7 +63,7 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks
       .withColumn("shard",
-        pmod(graft.queries.TextQueries.saltedHash(
+        pmod(graft.functions.PortableHash.saltedHash(
           5, col(idCol).cast("string")), lit(shards.toLong)))
       .withColumn("__cum", sum("chunk_tokens").over(w))
       .withColumn("bin",

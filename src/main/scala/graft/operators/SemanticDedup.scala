@@ -1,6 +1,5 @@
 package graft.operators
 
-import graft.queries.SimilarityQueries
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -50,7 +49,41 @@ object SemanticDedup {
             s"(the dims argument), found length "),
           coalesce(size(col(vecCol)).cast("string"),
             lit("null (missing vector)"))))))
-    SimilarityQueries.srpSignaturesDf(checked, idCol, vecCol, dims)
+    rawSignatures(checked, idCol, vecCol, dims)
+  }
+
+  /** Deterministic ±1 hyperplane component for plane `i`, dimension
+    * `j`: parity of the first hex digit of md5("i:j") — reproducible
+    * by any engine with an MD5 function, which is what makes the
+    * signature oracle-checkable.
+    */
+  private def srpSign(i: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$i:$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 0) 1L else -1L
+  }
+
+  /** 32-bit SRP signatures without the dims guard: quantize each
+    * component to floor(x*1000) (exact in both engines; integer sums
+    * have no float association hazard), dot against each ±1 plane,
+    * take sign bits. One narrow map over the corpus — no shuffle, no
+    * state. The oracle-verified s7 query reads through this same
+    * definition.
+    */
+  private[graft] def rawSignatures(
+      embDf: DataFrame, idCol: String, vecCol: String,
+      dims: Int): DataFrame = {
+    val qv = expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    val srp = (0 until 32).map { i =>
+      val signs = array((0 until dims).map(j => lit(srpSign(i, j))): _*)
+      val dot = aggregate(
+        zip_with(col("qv"), signs, (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embDf.withColumn("qv", qv)
+      .select(col(idCol).cast("long").as("vec_id"), srp.as("srp"))
   }
 
   /** (vec_a, vec_b, hamming) — banded signature collisions within

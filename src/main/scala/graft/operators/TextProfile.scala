@@ -95,7 +95,7 @@ object TextProfile {
     */
   private[graft] def hashBucket(
       id: Column, buckets: Long, salt: Int = 0): Column =
-    pmod(graft.queries.TextQueries.saltedHash(salt, id.cast("string")),
+    pmod(graft.functions.PortableHash.saltedHash(salt, id.cast("string")),
       lit(buckets))
 
   /** Appends `split` ∈ train/val/test by md5 bucket of `idCol` —

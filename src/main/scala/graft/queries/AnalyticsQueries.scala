@@ -19,6 +19,48 @@ object AnalyticsQueries {
 
   private def t(s: SparkSession, d: String, n: String) = Derived.table(s, d, n)
 
+  /** q22/q28 shared inputs — the two as-of physical strategies must be
+    * compared on IDENTICAL frames, so there is exactly one definition.
+    */
+  private def asofInputs(s: SparkSession, d: String) = {
+    val ev = Derived.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("value").as("signup_value"),
+        unix_micros(col("ts")).as("signup_us"))
+    (purchases, signups)
+  }
+
+  private val asofOracleSql =
+    """SELECT p.event_id, p.user_id, p.value,
+          s.signup_value, s.signup_us
+        FROM (SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN
+             (SELECT user_id, ts, value AS signup_value,
+                     epoch_us(ts) AS signup_us
+              FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND s.ts <= p.ts"""
+
+  /** Co-purchase pairs from per-order part SETS as ONE shuffle
+    * (map-side-combined collect_set + two narrow explodes) — the
+    * single edge derivation behind p2/p4 (directed, a≠b) and p3/q40
+    * (undirected, a<b), so the four graph queries can never drift
+    * onto different edge sets.
+    */
+  private def copurchasePairs(
+      s: SparkSession, d: String, ordered: Boolean) = {
+    val base = t(s, d, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("pks"))
+      .select(explode(col("pks")).as("a"), col("pks"))
+      .select(col("a"), explode(col("pks")).as("b"))
+    if (ordered) base.where(col("a") < col("b"))
+    else base.where(col("a") =!= col("b"))
+  }
+
   val entries: Map[String, (Fn, Option[String])] = Map(
 
     // Grouped aggregation over the fact table (TPC-H Q1 shape).
@@ -202,15 +244,20 @@ object AnalyticsQueries {
 
     // Tumbling time window over the event stream (batch twin of the
     // streaming windowed aggregation).
+    // window start exported as epoch-MICROS, not a raw timestamp: raw
+    // TIMESTAMP values round-trip differently through driver DuckDB
+    // versions (TIMESTAMP_NS vs TIMESTAMP — the q13 incident), so
+    // integers are the portable form.
     "q12_hourly_events" -> ((
       (s: SparkSession, d: String) =>
         Derived.events(s, d)
           .groupBy(
-            window(col("ts"), "1 hour").getField("start").as("wstart"),
+            unix_micros(window(col("ts"), "1 hour").getField("start"))
+              .as("wstart_us"),
             col("event_type"))
           .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("v")),
-      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
-          count(*) AS n, round(sum(value), 2) AS v
+      Some("""SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS wstart_us,
+          event_type, count(*) AS n, round(sum(value), 2) AS v
         FROM events GROUP BY 1, 2""")
     )),
 
@@ -348,19 +395,23 @@ object AnalyticsQueries {
 
     // Sliding window (1h width, 30m slide): each event lands in two
     // overlapping buckets.
+    // epoch-micros window starts for the same driver-portability
+    // reason as q12
     "q18_sliding_windows" -> ((
       (s: SparkSession, d: String) =>
         Derived.events(s, d)
           .groupBy(
-            window(col("ts"), "1 hour", "30 minutes").getField("start")
-              .as("wstart"),
+            unix_micros(
+              window(col("ts"), "1 hour", "30 minutes").getField("start"))
+              .as("wstart_us"),
             col("event_type"))
           .agg(count(lit(1)).as("n")),
-      Some("""SELECT wstart, event_type, count(*) AS n FROM (
-          SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
-                         time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes')])
-                 AS wstart, event_type
-          FROM events) GROUP BY wstart, event_type""")
+      Some("""SELECT wstart_us, event_type, count(*) AS n FROM (
+          SELECT unnest([epoch_us(time_bucket(INTERVAL '1 hour', ts)),
+                         epoch_us(time_bucket(INTERVAL '1 hour', ts,
+                                              INTERVAL '30 minutes'))])
+                 AS wstart_us, event_type
+          FROM events) GROUP BY wstart_us, event_type""")
     )),
 
     // Argument extremes: per user, the event type of the highest- and
@@ -404,58 +455,32 @@ object AnalyticsQueries {
     // the independent oracle).
     "q22_asof_join" -> ((
       (s: SparkSession, d: String) => {
-        val ev = Derived.events(s, d)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select("event_id", "user_id", "ts", "value")
-        val signups = ev.filter(col("event_type") === "signup")
-          .select(col("user_id"), col("ts"),
-            col("value").as("signup_value"),
-            unix_micros(col("ts")).as("signup_us"))
+        val (purchases, signups) = asofInputs(s, d)
         graft.operators.AsOfJoin
           .asofJoin(purchases, signups, "user_id", "ts",
             Seq("signup_value", "signup_us"))
           .select("event_id", "user_id", "value", "signup_value",
             "signup_us")
       },
-      Some("""SELECT p.event_id, p.user_id, p.value,
-          s.signup_value, s.signup_us
-        FROM (SELECT event_id, user_id, ts, value FROM events
-              WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN
-             (SELECT user_id, ts, value AS signup_value,
-                     epoch_us(ts) AS signup_us
-              FROM events WHERE event_type = 'signup') s
-          ON p.user_id = s.user_id AND s.ts <= p.ts""")
+      Some(asofOracleSql)
     )),
 
     // Same as-of semantics through the native whole-operator path:
     // AsOfJoinNode logical plan → AsOfJoinStrategy → AsOfJoinExec
     // (one shuffle per side + in-partition merge scan, no union/window
-    // machinery). Shares q22's independent DuckDB ASOF oracle.
+    // machinery). Shares q22's inputs AND its independent DuckDB ASOF
+    // oracle — the two physical strategies are compared on identical
+    // frames by construction.
     "q28_asof_native" -> ((
       (s: SparkSession, d: String) => {
-        val ev = Derived.events(s, d)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .select("event_id", "user_id", "ts", "value")
-        val signups = ev.filter(col("event_type") === "signup")
-          .select(col("user_id"), col("ts"),
-            col("value").as("signup_value"),
-            unix_micros(col("ts")).as("signup_us"))
+        val (purchases, signups) = asofInputs(s, d)
         graft.operators.AsOfJoin
           .asofJoinNative(purchases, signups, "user_id", "ts",
             Seq("signup_value", "signup_us"))
           .select("event_id", "user_id", "value", "signup_value",
             "signup_us")
       },
-      Some("""SELECT p.event_id, p.user_id, p.value,
-          s.signup_value, s.signup_us
-        FROM (SELECT event_id, user_id, ts, value FROM events
-              WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN
-             (SELECT user_id, ts, value AS signup_value,
-                     epoch_us(ts) AS signup_us
-              FROM events WHERE event_type = 'signup') s
-          ON p.user_id = s.user_id AND s.ts <= p.ts""")
+      Some(asofOracleSql)
     )),
 
     // Self-tuning skew-salted shuffle join: a sampled key histogram
@@ -580,8 +605,11 @@ object AnalyticsQueries {
           .withColumn("valid_to",
             lead("ts", 1).over(Window.partitionBy("user_id")
               .orderBy("ts", "event_id")))
+          // interval bounds exported as epoch-MICROS (q12/q13 driver
+          // portability rationale; null valid_to stays null)
           .select(col("user_id"), col("event_type"),
-            col("ts").as("valid_from"), col("valid_to"),
+            unix_micros(col("ts")).as("valid_from_us"),
+            unix_micros(col("valid_to")).as("valid_to_us"),
             col("valid_to").isNull.as("is_current"))
       },
       Some("""WITH marked AS (
@@ -592,9 +620,9 @@ object AnalyticsQueries {
         changes AS (
           SELECT user_id, event_id, event_type, ts FROM marked
           WHERE prev_type IS NULL OR prev_type <> event_type)
-        SELECT user_id, event_type, ts AS valid_from,
-               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                 AS valid_to,
+        SELECT user_id, event_type, epoch_us(ts) AS valid_from_us,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                 AS valid_to_us,
                lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                  IS NULL AS is_current
         FROM changes""")
@@ -749,18 +777,11 @@ object AnalyticsQueries {
     // shape that survives a billion-edge graph.
     "p2_pagerank" -> ((
       (s: SparkSession, d: String) => {
-        // co-purchase edges as ONE shuffle: per-order part sets
-        // (map-side-combined collect_set) expanded to ordered pairs by
-        // two narrow explodes — same edge set as the self-join
-        // formulation (the oracle keeps that shape), minus its three
-        // extra 600k-row exchanges (distinct + join re-partitioning).
-        // PageRank.run dedups cross-order repeats itself.
-        val e = t(s, d, "lineitem")
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("pks"))
-          .select(explode(col("pks")).as("src"), col("pks"))
-          .select(col("src"), explode(col("pks")).as("dst"))
-          .where(col("src") =!= col("dst"))
+        // shared co-purchase edge derivation (ONE shuffle — see
+        // copurchasePairs); same edge set as the self-join formulation
+        // the oracle keeps. PageRank.run dedups cross-order repeats.
+        val e = copurchasePairs(s, d, ordered = false)
+          .select(col("a").as("src"), col("b").as("dst"))
         // checkpointEvery=2: adjacent rounds fuse into one job (the
         // broadcast-rate builds share the prior round's shuffle
         // stages), halving per-round driver synchronization — measured
@@ -833,12 +854,8 @@ object AnalyticsQueries {
     // per-round cost is unchanged.
     "p4_personalized_pagerank" -> ((
       (s: SparkSession, d: String) => {
-        val e = t(s, d, "lineitem")
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("pks"))
-          .select(explode(col("pks")).as("src"), col("pks"))
-          .select(col("src"), explode(col("pks")).as("dst"))
-          .where(col("src") =!= col("dst"))
+        val e = copurchasePairs(s, d, ordered = false)
+          .select(col("a").as("src"), col("b").as("dst"))
         val seeds = t(s, d, "part")
           .filter(col("p_brand") === "Brand#4")
           .select(col("p_partkey").as("node"))
@@ -891,12 +908,7 @@ object AnalyticsQueries {
     // count from first principles with the identical orientation rule.
     "p3_triangle_count" -> ((
       (s: SparkSession, d: String) => {
-        val edges = t(s, d, "lineitem")
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("pks"))
-          .select(explode(col("pks")).as("a"), col("pks"))
-          .select(col("a"), explode(col("pks")).as("b"))
-          .where(col("a") < col("b"))
+        val edges = copurchasePairs(s, d, ordered = true)
           .groupBy("a", "b").agg(count(lit(1)).as("w"))
           .filter(col("w") >= 2)
         graft.operators.TriangleCount.run(edges, "a", "b")
@@ -937,24 +949,16 @@ object AnalyticsQueries {
     )),
 
     "q40_copurchase_pairs" -> ((
-      (s: SparkSession, d: String) => {
-        // ordered pairs from per-order part SETS (map-side-combined
-        // collect_set + two narrow explodes) — the same edge set the
-        // keyed self-join produces (the oracle keeps that shape), for
-        // one 600k-row shuffle instead of three. Group sizes are
+      (s: SparkSession, d: String) =>
+        // shared single-shuffle pair derivation; group sizes are
         // bounded by order width, so the fan-out is O(width²) per
-        // order, never O(n²).
-        t(s, d, "lineitem")
-          .groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("pks"))
-          .select(explode(col("pks")).as("part_a"), col("pks"))
-          .select(col("part_a"), explode(col("pks")).as("part_b"))
-          .where(col("part_a") < col("part_b"))
+        // order, never O(n²)
+        copurchasePairs(s, d, ordered = true)
+          .select(col("a").as("part_a"), col("b").as("part_b"))
           .groupBy("part_a", "part_b")
           .agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
-          .limit(20)
-      },
+          .limit(20),
       Some("""WITH li AS (
           SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
         SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_orders
@@ -998,7 +1002,11 @@ object AnalyticsQueries {
           .select(col("user_id"), col("chg_type").as("event_type"),
             col("chg_ts").as("valid_from"),
             lit(null).cast("timestamp").as("valid_to"))
+        // epoch-micros export (q12/q13 driver portability rationale)
         merged.unionByName(appended)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("valid_from")).as("valid_from_us"),
+            unix_micros(col("valid_to")).as("valid_to_us"))
       },
       Some("""WITH e AS (
           SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts
@@ -1031,7 +1039,10 @@ object AnalyticsQueries {
                  c.chg_ts AS valid_from, NULL::TIMESTAMP AS valid_to
           FROM hist h JOIN chg c ON h.user_id = c.user_id
           WHERE h.valid_to IS NULL AND c.chg_type <> h.event_type)
-        SELECT * FROM merged UNION ALL SELECT * FROM appended""")
+        SELECT user_id, event_type,
+               epoch_us(valid_from) AS valid_from_us,
+               epoch_us(valid_to) AS valid_to_us
+        FROM (SELECT * FROM merged UNION ALL SELECT * FROM appended)""")
     )),
 
     // Explicit grouping sets through the engine's SQL surface.
@@ -1141,14 +1152,19 @@ object AnalyticsQueries {
     )),
 
     // JSON extraction from the event payload.
+    // try_cast on BOTH engines: a fractional or non-numeric $.k must
+    // drop the row identically everywhere (a JSON-typed CAST in DuckDB
+    // would ROUND 50.5 to 50 while Spark's string cast nulls/throws)
     "q16_json_props" -> ((
       (s: SparkSession, d: String) =>
         Derived.events(s, d)
           .select(col("event_id"),
-            get_json_object(col("props"), "$.k").cast("long").as("k"))
+            expr("try_cast(get_json_object(props, '$.k') AS LONG)").as("k"))
           .filter(col("k") > 50),
-      Some("""SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
-        FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50""")
+      Some("""SELECT event_id,
+          TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+        WHERE TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) > 50""")
     )),
   )
 }

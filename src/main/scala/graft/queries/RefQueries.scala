@@ -142,13 +142,7 @@ object RefQueries {
           .select("icao24", "flight_status", "next_trajectory"),
       Some(s"""WITH src AS (${Derived.sourceSql})
         SELECT icao24,
-          CASE WHEN is_first_contact = true AND vertical_rate > 0 THEN 'takeoff'
-               WHEN last_contact <> 0
-                    AND (vertical_rate = 0 OR vertical_rate IS NULL)
-                    AND ((flight_trajectory = 'descend' AND velocity < 10)
-                         OR velocity = 0 OR velocity IS NULL)
-               THEN 'landing'
-               ELSE 'other' END AS flight_status,
+          $statusCaseSql AS flight_status,
           CASE WHEN vertical_rate > 0 THEN 'climb'
                WHEN vertical_rate < 0 OR flight_trajectory = 'descend' THEN 'descend'
                ELSE 'other' END AS next_trajectory
@@ -162,14 +156,7 @@ object RefQueries {
           CompleteFlightsJob.classify(Derived.source(s, d))),
       Some(s"""WITH src AS (${Derived.sourceSql}),
         classified AS (
-          SELECT *,
-            CASE WHEN is_first_contact = true AND vertical_rate > 0 THEN 'takeoff'
-                 WHEN last_contact <> 0
-                      AND (vertical_rate = 0 OR vertical_rate IS NULL)
-                      AND ((flight_trajectory = 'descend' AND velocity < 10)
-                           OR velocity = 0 OR velocity IS NULL)
-                 THEN 'landing'
-                 ELSE 'other' END AS flight_status
+          SELECT *, $statusCaseSql AS flight_status
           FROM src)
         SELECT icao24, last_contact, velocity, vertical_rate,
                CASE WHEN flight_status = 'takeoff' THEN flight_last_contact

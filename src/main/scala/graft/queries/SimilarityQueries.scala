@@ -156,18 +156,10 @@ object SimilarityQueries {
     // Embedding-cosine near-duplicate pairs, bucketed by label so the
     // pair generation is an equi-join (n²/k), not a full cross join.
     "s3_neardup_pairs" -> ((
-      (s: SparkSession, d: String) => {
-        val a = emb(s, d).select(col("vec_id").as("id_a"),
-          col("embedding").as("qv"), col("label"))
-        val b = emb(s, d).select(col("vec_id").as("id_b"),
-          col("embedding").as("nv"), col("label"))
-        a.join(b, Seq("label"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("sim", cosineExpr)
-          .filter(col("sim") > 0.35)
+      (s: SparkSession, d: String) =>
+        bucketedCosinePairs(s, d)
           .select(col("label").cast("long").as("label"), col("id_a"),
-            col("id_b"), round(col("sim"), 6).as("sim_r"))
-      },
+            col("id_b"), round(col("sim"), 6).as("sim_r")),
       Some(s"""WITH a AS (SELECT vec_id AS id_a, embedding AS qv, label
             FROM embeddings),
           b AS (SELECT vec_id AS id_b, embedding AS nv, label FROM embeddings),
@@ -253,15 +245,10 @@ object SimilarityQueries {
     // jumping loop. Oracle is an independent recursive-CTE closure.
     "s6_embedding_clusters" -> ((
       (s: SparkSession, d: String) => {
-        val a = emb(s, d).select(col("vec_id").as("id_a"),
-          col("embedding").as("qv"), col("label"))
-        val b = emb(s, d).select(col("vec_id").as("id_b"),
-          col("embedding").as("nv"), col("label"))
-        val pairs = a.join(b, Seq("label"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("sim", cosineExpr)
-          .filter(col("sim") > 0.35)
-          .select("id_a", "id_b")
+        // the SAME verified pairs s3 reports (shared derivation — the
+        // pair query and the cluster query can never disagree on what
+        // a near-dup is)
+        val pairs = bucketedCosinePairs(s, d).select("id_a", "id_b")
         graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
           .select(col("id").as("vec_id"), col("component"))
       },
@@ -295,28 +282,13 @@ object SimilarityQueries {
     // arithmetic is integer (inputs quantized by floor(x*1000), signs
     // are ±1), so Spark and DuckDB agree bit-for-bit with no float
     // summation-order hazard.
+    // Delegates to the SemanticDedup library API (same banding, same
+    // maxHamming): one definition per collision semantics, and the
+    // API's carried-signature shape skips the two candidate-set
+    // join-backs the original inline form paid.
     "s7_srp_lsh" -> ((
-      (s: SparkSession, d: String) => {
-        val sig = srpSignatures(s, d).localCheckpoint(true)
-        val bands = (0 until 4).map { b =>
-          sig.select(col("vec_id"), lit(b).as("band"),
-            shiftright(col("srp"), b * 8).bitwiseAND(0xff).as("bv"))
-        }.reduce(_.unionByName(_))
-        val cand = bands.as("x").join(bands.as("y"),
-            col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-              col("x.vec_id") < col("y.vec_id"))
-          .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-          .distinct()
-        cand
-          .join(sig.select(col("vec_id").as("vec_a"), col("srp").as("fa")),
-            Seq("vec_a"))
-          .join(sig.select(col("vec_id").as("vec_b"), col("srp").as("fb")),
-            Seq("vec_b"))
-          .withColumn("hamming",
-            bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
-          .filter(col("hamming") <= 10)
-          .select("vec_a", "vec_b", "hamming")
-      },
+      (s: SparkSession, d: String) =>
+        graft.operators.SemanticDedup.candidatePairs(emb(s, d)),
       Some(s"""WITH signs AS (
           SELECT i, j,
                  CASE WHEN ('0x' || substr(md5(i || ':' || j), 1, 1))::INT % 2 = 0
@@ -356,37 +328,25 @@ object SimilarityQueries {
     * by any engine with an MD5 function, which is what makes the
     * signature oracle-checkable.
     */
-  private[graft] def srpSign(i: Int, j: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$i:$j".getBytes("UTF-8"))
-    if (((h(0) >> 4) & 1) == 0) 1L else -1L
+  /** Label-bucketed, cosine-verified near-dup pairs at > 0.35 —
+    * ONE derivation shared by s3 (reporting) and s6 (clustering).
+    */
+  private def bucketedCosinePairs(s: SparkSession, d: String) = {
+    val a = emb(s, d).select(col("vec_id").as("id_a"),
+      col("embedding").as("qv"), col("label"))
+    val b = emb(s, d).select(col("vec_id").as("id_b"),
+      col("embedding").as("nv"), col("label"))
+    a.join(b, Seq("label"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosineExpr)
+      .filter(col("sim") > 0.35)
   }
 
-  /** 32-bit SRP signatures: quantize each component to
-    * floor(x*1000) (exact in both engines; integer sums have no
-    * float association hazard), dot against each ±1 plane, take sign
-    * bits. One narrow map over the corpus — no shuffle, no state.
+  /** 32-bit SRP signatures over the bundled corpus — forwards to the
+    * library implementation (operators.SemanticDedup.rawSignatures):
+    * one definition for the API and the oracle-verified query.
     */
   private[graft] def srpSignatures(s: SparkSession, d: String): DataFrame =
-    srpSignaturesDf(emb(s, d), "vec_id", "embedding", 64)
-
-  /** DataFrame-first form over a consumer's own embeddings — the one
-    * `operators.SemanticDedup` exposes. `dims` must equal the vector
-    * length (a shorter sign array would zip to nulls).
-    */
-  private[graft] def srpSignaturesDf(
-      embDf: DataFrame, idCol: String, vecCol: String,
-      dims: Int): DataFrame = {
-    val qv = expr(
-      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
-    val srp = (0 until 32).map { i =>
-      val signs = array((0 until dims).map(j => lit(srpSign(i, j))): _*)
-      val dot = aggregate(
-        zip_with(col("qv"), signs, (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    embDf.withColumn("qv", qv)
-      .select(col(idCol).cast("long").as("vec_id"), srp.as("srp"))
-  }
+    graft.operators.SemanticDedup
+      .rawSignatures(emb(s, d), "vec_id", "embedding", 64)
 }

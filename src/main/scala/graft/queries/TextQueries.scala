@@ -31,13 +31,14 @@ object TextQueries {
     */
   private[graft] val bpePattern = "[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9 ]"
 
-  /** k-salted portable 60-bit hash of a string column (Spark side). */
+  /** k-salted portable 60-bit hash (both engines) — one definition in
+    * graft.functions.PortableHash; these are query-local shorthands.
+    */
   private[graft] def saltedHash(k: Int, c: org.apache.spark.sql.Column) =
-    conv(substring(md5(concat(lit(s"$k:"), c)), 1, 15), 16, 10).cast("long")
+    graft.functions.PortableHash.saltedHash(k, c)
 
-  /** Same hash, DuckDB side. */
   private def saltedHashSql(k: Int, e: String) =
-    s"('0x' || substr(md5('$k:' || $e), 1, 15))::BIGINT"
+    graft.functions.PortableHash.saltedHashSql(k, e)
 
   /** Distinct word-3-gram shingles (falls back to the whole text for
     * very short docs), Spark side as a SQL expression over `w`.
@@ -536,8 +537,13 @@ object TextQueries {
     // target at any scale, with zero coordination between rows.
     "t10_weighted_mix" -> ((
       (s: SparkSession, d: String) => {
+        // try_cast on BOTH engines: a source name outside src<N> must
+        // fall to the 'tail' pool identically everywhere — a plain
+        // cast of the empty non-match would THROW (Spark ANSI, DuckDB)
+        // instead of producing a comparable result
         val pool = when(
-          regexp_extract(col("source"), "^src(\\d+)$", 1).cast("int") < 10,
+          expr("try_cast(regexp_extract(source, '^src([0-9]+)$', 1) AS INT)")
+            < 10,
           "head").otherwise("tail")
         val rate = when(col("pool") === "head", 75).otherwise(25)
         val bucket = pmod(saltedHash(4, col("doc_id").cast("string")), lit(100L))
@@ -561,7 +567,7 @@ object TextQueries {
                            CASE WHEN pool = 'head' THEN 75 ELSE 25 END
                       THEN 1 ELSE 0 END AS selected
           FROM (SELECT doc_id,
-                  CASE WHEN CAST(regexp_extract(source, '^src(\\d+)$$', 1)
+                  CASE WHEN TRY_CAST(regexp_extract(source, '^src([0-9]+)$$', 1)
                             AS INTEGER) < 10
                        THEN 'head' ELSE 'tail' END AS pool
                 FROM documents))
