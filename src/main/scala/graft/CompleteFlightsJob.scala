@@ -64,9 +64,19 @@ object CompleteFlightsJob {
     df.as[Flight]
   }
 
-  /** Full batch transform (reference: complete_flights/transformers.py:155-171). */
+  /** Full batch transform (reference: complete_flights/transformers.py:155-171).
+    *
+    * The classified state feeds BOTH branches, and each branch is
+    * consumed by its own sink action — materialize it once
+    * (localCheckpoint, the repo-wide pattern: persist() would register
+    * a CacheManager entry nothing ever frees across a long micro-batch
+    * loop, while checkpoint blocks are released by the ContextCleaner
+    * once the batch's frames are dropped). The "computed once" in the
+    * scale note above is this materialization, not an automatic
+    * property of two plans derived from one val.
+    */
   def transform(source: DataFrame, metadata: DataFrame): TransformedFlights = {
-    val classified = classify(source)
+    val classified = classify(source).localCheckpoint(true)
     TransformedFlights(
       active = transformActive(classified),
       complete = transformComplete(classified, metadata))

@@ -34,7 +34,11 @@ object RetentionJob {
         else scala.util.Try(
           LocalDate.parse(name.stripPrefix("landed_date="))).toOption
           .filter(_.isBefore(horizon))
-          .map { d => fs.delete(st.getPath, true); d }
+          // only report a partition dropped if the delete actually
+          // succeeded — a false return (object-store race, permission
+          // drift) would otherwise read as success while expired rows
+          // silently outlive the TTL
+          .filter(_ => fs.delete(st.getPath, true))
       }
       .sorted
   }

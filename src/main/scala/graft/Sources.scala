@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, DoubleType, IntegerType, LongType, StringType, StructType}
 
 /** Source/sink edge of the engine — all I/O lives here, the jobs stay
   * pure (reference: src/plugins/common/s3.py:88-117,
@@ -53,10 +53,34 @@ object Sources {
     * (reference: opensky/transformers.py:37-58).
     */
   def statesFromRows(spark: SparkSession, rows: Seq[Seq[Any]]): DataFrame = {
-    val bad = rows.find(_.length != Schemas.states17.length)
-    if (bad.isDefined)
-      throw new InvalidResponseError(
-        s"states row has ${bad.get.length} fields, expected ${Schemas.states17.length}")
+    val fields = Schemas.states17.fields
+    rows.foreach { r =>
+      if (r.length != fields.length)
+        throw new InvalidResponseError(
+          s"states row has ${r.length} fields, expected ${fields.length}")
+      // cell TYPES are part of the decode gate too: an unchecked
+      // mismatch (an Int where the schema says LongType) would pass
+      // createDataFrame lazily and surface as an executor-side
+      // "not a valid external type" crash deep inside the merge job
+      // instead of the decode-time InvalidResponseError promised here
+      var i = 0
+      while (i < fields.length) {
+        val ok = r(i) match {
+          case null => true
+          case _: java.lang.Long => fields(i).dataType == LongType
+          case _: java.lang.Double => fields(i).dataType == DoubleType
+          case _: String => fields(i).dataType == StringType
+          case _: java.lang.Boolean => fields(i).dataType == BooleanType
+          case _: java.lang.Integer => fields(i).dataType == IntegerType
+          case _ => false
+        }
+        if (!ok)
+          throw new InvalidResponseError(
+            s"states cell ${fields(i).name} has ${r(i).getClass.getSimpleName}, " +
+              s"expected ${fields(i).dataType.simpleString}")
+        i += 1
+      }
+    }
     val rdd = spark.sparkContext.parallelize(rows.map(Row.fromSeq))
     spark.createDataFrame(rdd, Schemas.states17)
   }
@@ -115,11 +139,23 @@ object Sources {
     * landing date; partition pruning makes the reference's 365-day TTL a
     * cheap partition-drop instead of a row-level delete
     * (reference: complete_flights/db.py:42-79).
+    *
+    * Empty batches are SKIPPED, like the reference: appending one
+    * would write only _SUCCESS — no part files, no schema — and a
+    * consumer reading the sink before the first real append (or after
+    * retention dropped every partition) would crash with "Unable to
+    * infer schema".
+    *
+    * `landed_date` derives in the SESSION time zone; compute any
+    * retention horizon (RetentionJob.dropExpired's `today`) in the
+    * same zone — every in-repo entry point pins UTC.
     */
   def writeFlights(flights: DataFrame, path: String): Unit =
-    flights
-      .withColumn("landed_date",
-        org.apache.spark.sql.functions.to_date(
-          org.apache.spark.sql.functions.col("landed_at")))
-      .write.mode("append").partitionBy("landed_date").parquet(path)
+    if (!flights.isEmpty) {
+      flights
+        .withColumn("landed_date",
+          org.apache.spark.sql.functions.to_date(
+            org.apache.spark.sql.functions.col("landed_at")))
+        .write.mode("append").partitionBy("landed_date").parquet(path)
+    }
 }
