@@ -383,14 +383,11 @@ object TextQueries {
     // run). Plans as one bounded TakeOrdered — no global sort of the
     // corpus materializes. hash/weight is a single IEEE division,
     // correctly rounded in both engines, so the boundary is portable.
+    // (Delegates to the Sampling library API — same expressions.)
     "t15_weighted_sample" -> ((
       (s: SparkSession, d: String) =>
-        docs(s, d)
-          .withColumn("priority",
-            saltedHash(6, col("doc_id").cast("string")).cast("double") /
-              col("n_chars"))
-          .orderBy(col("priority"), col("doc_id"))
-          .limit(20)
+        graft.operators.Sampling
+          .weightedPriority(docs(s, d), col("n_chars"), n = 20)
           .select("doc_id", "n_chars", "lang"),
       Some(s"""SELECT doc_id, n_chars, lang
         FROM (SELECT doc_id, n_chars, lang,
@@ -600,16 +597,12 @@ object TextQueries {
     // needs one shuffle on the stratum key and prunes with
     // WindowGroupLimit, unlike rand()-based sampleBy which changes
     // membership every run.
+    // (Delegates to the Sampling library API — same expressions.)
     "t6_stratified_sample" -> ((
-      (s: SparkSession, d: String) => {
-        val w = Window.partitionBy("lang", "source")
-          .orderBy(col("hk"), col("doc_id"))
-        docs(s, d)
-          .withColumn("hk", saltedHash(3, col("doc_id").cast("string")))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= 2)
-          .select("lang", "source", "doc_id", "rk")
-      },
+      (s: SparkSession, d: String) =>
+        graft.operators.Sampling
+          .stratified(docs(s, d), Seq("lang", "source"))
+          .select("lang", "source", "doc_id", "rk"),
       Some(s"""SELECT lang, source, doc_id, rk FROM (
           SELECT lang, source, doc_id,
                  row_number() OVER (PARTITION BY lang, source
