@@ -62,18 +62,35 @@ object Bench {
     // measured runs — a transient box-contention spike during either
     // run cannot inflate the committed number (the r4/r5 outliers
     // were exactly this: one slow run recorded as the query's cost).
+    // r6 still showed up-to-8x inflation on SUB-SECOND queries when
+    // BOTH runs landed in the same contention window, so: (a) a GC +
+    // short quiesce before timing each query drains ContextCleaner /
+    // finalizer backlog from the previous query out of the timed
+    // window, and (b) when the two measured runs disagree by >2x the
+    // spike evidently hit one of them — take up to two more runs
+    // until the spread closes (min still wins).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      def measured(): Double = {
+        val t0 = System.nanoTime()
+        run()
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropBlocks()
+        dt
+      }
       val r = try {
         run()
         dropBlocks()
-        val times = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          run()
-          val dt = (System.nanoTime() - t0) / 1e9
-          dropBlocks()
-          dt
+        System.gc()
+        Thread.sleep(50)
+        var times = List(measured(), measured())
+        var extra = 0
+        while (times.max > times.min * 2.0 && extra < 2) {
+          System.gc()
+          Thread.sleep(50)
+          times = measured() :: times
+          extra += 1
         }
         name -> times.min
       } catch {

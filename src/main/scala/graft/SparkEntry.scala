@@ -24,33 +24,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     registry.flatten.collect { case (k, (_, Some(sql))) => k -> sql }.toMap
 
-  /** Why each oracle-less query is rows-only — and which GREEN exact
-    * companion + spec pins its behavior instead. Every query here is
-    * approximate BY CONSTRUCTION: its output depends on an
-    * engine-specific sketch/index state no other engine reproduces, so
-    * a value oracle is impossible in principle, not merely omitted.
-    * Verify prints these; the driver records the rows-only check.
+  /** Why an oracle-less query would be rows-only. EMPTY since round 7:
+    * the four approximate-by-construction queries (HLL q15, approx
+    * percentiles q26, IVF s5, Misra-Gries t9) now emit deterministic
+    * ACCURACY-CONTRACT outputs — exact values both engines compute
+    * plus a pinned error-band/bracket/containment/recall-floor column
+    * derived from the live sketch/index — so every query carries a
+    * full rows+schema+hash oracle. The map stays so Verify keeps
+    * printing rationales if a future approximate query can't be
+    * contract-gated.
     */
-  def noOracleRationale: Map[String, String] = Map(
-    "q15_approx_users_per_type" ->
-      ("HLL sketch counts are engine-specific (register layout/hash). " +
-        "Exact companion: q14_users_per_type (hash-green) on the same " +
-        "grouping; SketchAccuracySpec pins HLL error bound and that " +
-        "lgK=12 shard-union merges EXACTLY equal the whole-table sketch."),
-    "q26_approx_percentiles" ->
-      ("KLL/GK approximate quantiles are engine-specific. Exact " +
-        "companion: q20_value_percentiles (hash-green) computes exact " +
-        "percentile_cont/disc on the same column; SketchAccuracySpec " +
-        "pins the approximation's rank-error bound."),
-    "s5_ivf_topk" ->
-      ("IVF results depend on trained centroids (seeded spherical " +
-        "k-means) — no SQL engine can reproduce the index. Exact " +
-        "companion: s1_cosine_topk (hash-green) is the brute-force " +
-        "answer on the same embeddings; IvfIndexSpec pins recall ≥0.85" +
-        "@5 vs that exact answer on planted clusters."),
-    "t9_freq_items" ->
-      ("Misra-Gries summaries are pass-order- and engine-specific. " +
-        "Exact companion: t5_top_tokens (hash-green) is the exact " +
-        "heavy-hitter list; FreqItemsSpec pins the containment " +
-        "guarantee (every true >1/k-frequent item is returned)."))
+  def noOracleRationale: Map[String, String] = Map.empty
 }

@@ -36,15 +36,17 @@ object Packing {
     // string) — explode over a null array would silently DROP the
     // document, and "every document appears" is the contract
     // downstream token accounting reconciles against
+    // Column API, not expr(s"...") splices — robust to any column
+    // name a caller passes (backtick-needing names included)
+    val chunkSlice = slice(col("__w"), col("chunk_id") * k + 1, lit(k))
     df.withColumn("__w", split(coalesce(col(textCol), lit("")), " "))
       .withColumn("chunk_id",
-        explode(expr(s"sequence(0, (size(__w) - 1) div $k)")))
+        explode(sequence(lit(0),
+          floor((size(col("__w")) - 1) / lit(k.toDouble)).cast("int"))))
       .select(col(idCol),
         col("chunk_id").cast("long").as("chunk_id"),
-        size(expr(s"slice(__w, chunk_id * $k + 1, $k)")).cast("long")
-          .as("chunk_tokens"),
-        expr(s"concat_ws(' ', slice(__w, chunk_id * $k + 1, $k))")
-          .as("chunk_text"))
+        size(chunkSlice).cast("long").as("chunk_tokens"),
+        concat_ws(" ", chunkSlice).as("chunk_text"))
   }
 
   /** Adds (shard, bin) to a chunk frame: documents hash to one of
@@ -66,8 +68,10 @@ object Packing {
         pmod(graft.functions.PortableHash.saltedHash(
           5, col(idCol).cast("string")), lit(shards.toLong)))
       .withColumn("__cum", sum("chunk_tokens").over(w))
+      // floor(x / b) == x div b for the non-negative running sums here
       .withColumn("bin",
-        expr(s"(__cum - chunk_tokens) div $binTokens"))
+        floor((col("__cum") - col("chunk_tokens")) / lit(binTokens.toDouble))
+          .cast("long"))
       .drop("__cum")
   }
 }

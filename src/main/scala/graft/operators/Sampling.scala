@@ -48,6 +48,12 @@ object Sampling {
     * probability proportional to `weight` (probability-proportional-
     * to-size without replacement, Ohlsson/Rosén priority sampling
     * shape). A bounded TakeOrdered: no global sort is materialized.
+    *
+    * Contract: only rows with a non-null, strictly positive weight are
+    * eligible. Null weights would otherwise sort nulls-first (always
+    * selected), zero would divide to Infinity, and negative weights
+    * would invert the priority order — so such rows are filtered out
+    * before ranking rather than silently mis-ranked.
     */
   def weightedPriority(
       df: DataFrame,
@@ -56,7 +62,8 @@ object Sampling {
       idCol: String = "doc_id",
       salt: Int = 6): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
-    df.withColumn("__priority",
+    df.filter(weight.isNotNull && weight > lit(0.0))
+      .withColumn("__priority",
         PortableHash.saltedHash(salt, col(idCol).cast("string"))
           .cast("double") / weight)
       .orderBy(col("__priority"), col(idCol))

@@ -73,8 +73,11 @@ object SemanticDedup {
   private[graft] def rawSignatures(
       embDf: DataFrame, idCol: String, vecCol: String,
       dims: Int): DataFrame = {
-    val qv = expr(
-      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    // Column-based HOF, not expr(s"transform($vecCol, ...)"): splicing
+    // a caller-supplied column name into SQL text breaks (or resolves
+    // the wrong attribute) when the name needs backticks
+    val qv = transform(col(vecCol),
+      x => floor(x.cast("double") * 1000).cast("long"))
     val srp = (0 until 32).map { i =>
       val signs = array((0 until dims).map(j => lit(srpSign(i, j))): _*)
       val dot = aggregate(

@@ -27,8 +27,9 @@ object VectorQuantize {
       df: DataFrame,
       vecCol: String = "embedding"): DataFrame =
     df
-      .withColumn("__xs",
-        expr(s"transform($vecCol, x -> CAST(x AS DOUBLE))"))
+      // Column HOF, not expr(s"transform($vecCol, ...)") — robust to
+      // column names that would need backticks in SQL text
+      .withColumn("__xs", transform(col(vecCol), _.cast("double")))
       .withColumn("scale",
         expr("array_max(transform(__xs, x -> abs(x)))"))
       .withColumn("q", expr(

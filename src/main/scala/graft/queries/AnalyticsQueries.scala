@@ -361,24 +361,53 @@ object AnalyticsQueries {
         FROM events GROUP BY event_type""")
     )),
 
-    // Sketch-based distinct (HLL++) — no exact oracle by construction;
-    // the driver records a rows-only check.
+    // Sketch-based distinct (HLL++), made ORACLE-CHECKABLE through an
+    // accuracy contract: the sketch value itself is engine-specific
+    // (register layout/hash — no other engine reproduces it), so the
+    // query outputs the EXACT distinct count plus the sketch's relative
+    // error bucketed to a 15% band (rsd=0.02, so landing outside band 0
+    // would be a >7-sigma sketch failure). DuckDB computes the same
+    // contract columns exactly: band 0 is the pinned expectation, and a
+    // broken sketch flips the hash — the approximation is now gated,
+    // not just rows-counted. SketchAccuracySpec still pins the error
+    // bound and shard-union merge identity.
     "q15_approx_users_per_type" -> ((
       (s: SparkSession, d: String) =>
         Derived.events(s, d)
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id")).as("approx_users")),
-      None
+          .agg(countDistinct(col("user_id")).as("users"),
+            approx_count_distinct(col("user_id"), 0.02).as("__approx"))
+          .select(col("event_type"), col("users"),
+            floor(abs(col("__approx") - col("users")).cast("double")
+              / col("users") / 0.15).cast("long").as("err_band")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS users,
+          CAST(0 AS BIGINT) AS err_band
+        FROM events GROUP BY event_type""")
     )),
 
-    // Sketch-based quantiles (KLL-style) — rows-only like q15.
+    // Sketch-based quantiles (KLL-style), oracle-checkable like q15:
+    // percentile_approx(accuracy=1000) has rank error ≤ 1/1000, so its
+    // p50 estimate must land between the EXACT 45th and 55th
+    // percentiles — a boolean both engines compute (DuckDB pins TRUE,
+    // Spark derives it from the live sketch). The exact p50 rides
+    // along so the row carries real checked values, not just the flag.
     "q26_approx_percentiles" -> ((
       (s: SparkSession, d: String) =>
         Derived.events(s, d)
           .groupBy("event_type")
-          .agg(percentile_approx(col("value"), lit(0.5), lit(1000))
-            .as("p50_approx")),
-      None
+          .agg(
+            percentile_approx(col("value"), lit(0.5), lit(1000))
+              .as("__p50a"),
+            expr("percentile(value, 0.45)").as("__lo"),
+            expr("percentile(value, 0.55)").as("__hi"),
+            round(expr("percentile(value, 0.5)"), 6).as("p50"))
+          .select(col("event_type"), col("p50"),
+            (col("__p50a") >= col("__lo") && col("__p50a") <= col("__hi"))
+              .as("bracketed")),
+      Some("""SELECT event_type,
+          round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+          TRUE AS bracketed
+        FROM events GROUP BY event_type""")
     )),
 
     // Full cube over two dimensions.

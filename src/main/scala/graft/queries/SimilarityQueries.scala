@@ -174,9 +174,21 @@ object SimilarityQueries {
 
     // Real IVF ANN: k-means centroids (deterministic Lloyd iterations
     // on an id-ordered sample), codegen'd corpus-wide cell assignment,
-    // nprobe-cell probe → broadcast equi-join on cell. Approximate by
-    // construction (no SQL oracle; IvfIndexSpec pins determinism and
-    // recall vs the exact brute force).
+    // nprobe-cell probe → broadcast equi-join on cell. The IVF result
+    // set depends on the trained index (no SQL engine reproduces it),
+    // so the query outputs its RECALL CONTRACT instead: the exact
+    // top-5 per query (s1's brute-force answer, which DuckDB computes
+    // exactly) plus `recall_floor_ok` — the live IVF search must
+    // recover ≥20 of the 50 exact neighbors — which the oracle pins
+    // TRUE. The floor is calibrated to THIS corpus: the sf embeddings
+    // are near-unclustered at top-5 depth (≤16% of exact neighbors
+    // share the query's label), so any nprobe=2-of-8 probe has a
+    // ~25% random-baseline recall (~12.5 hits); the deterministic
+    // index measures 26-31 hits across sf0.001-0.1, so 20 separates a
+    // working index from a regressed one with ≥30% margin on both
+    // sides. A broken assignment/probe now flips the hash instead of
+    // passing a rows-only count. IvfIndexSpec still pins determinism
+    // and the strong (≥0.85) recall on planted clusters.
     "s5_ivf_topk" -> ((
       (s: SparkSession, d: String) => {
         val model = graft.operators.IvfIndex.train(
@@ -190,15 +202,44 @@ object SimilarityQueries {
           "qv", model, nprobe = 2)
         val w = Window.partitionBy("q_id")
           .orderBy(col("sim").desc, col("n_id"))
-        broadcast(queries).join(index, col("probe_cell") === col("cell"))
+        val ivf5 = broadcast(queries)
+          .join(index, col("probe_cell") === col("cell"))
           .filter(col("q_id") =!= col("n_id"))
           .withColumn("sim", cosineExpr)
           .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 3)
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("n_id"))
+        val q = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val c = emb(s, d)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        val exact5 = broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
           .select(col("q_id"), col("n_id"), col("rank"),
             round(col("sim"), 6).as("sim_r"))
+        val hits = exact5.join(ivf5, Seq("q_id", "n_id"), "left_semi")
+          .agg(count(lit(1)).as("__hits"))
+        exact5.crossJoin(broadcast(hits))
+          .select(col("q_id"), col("n_id"), col("rank"), col("sim_r"),
+            (col("__hits") >= 20).as("recall_floor_ok"))
       },
-      None
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+          sims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id),
+          ranked AS (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank
+            FROM sims)
+        SELECT q_id, n_id, rank, round(sim, 6) AS sim_r,
+               TRUE AS recall_floor_ok
+        FROM ranked WHERE rank <= 5""")
     )),
 
     // Bucketed ANN: search only the query's coarse cell (label) —

@@ -572,23 +572,47 @@ object TextQueries {
     )),
 
     // Heavy hitters: single-pass Misra-Gries frequent-items sketch
-    // over (source, lang) — the guarantee is containment (every value
-    // with support > 1/k appears), proven in FreqItemsSpec; output is
-    // approximate and set-valued, so rows-only at the oracle gate.
+    // over (source, lang). The sketch's item SET is pass-order- and
+    // engine-specific (false positives allowed), so it can't be
+    // value-compared — but its GUARANTEE can: every value with support
+    // > 10% must appear. The query therefore outputs the EXACT >10%
+    // heavy hitters (computable in any engine) with an `in_sketch`
+    // containment flag derived from the live Misra-Gries result; the
+    // oracle computes the same exact rows and pins in_sketch TRUE. A
+    // sketch that drops a true heavy hitter now flips the hash instead
+    // of passing a rows-only count. FreqItemsSpec still pins the
+    // containment property on adversarial inputs.
     "t9_freq_items" -> ((
       (s: SparkSession, d: String) => {
-        // Exploded to deterministic (column, item) scalar rows — the raw
-        // freqItems output is one row of array columns, which the
-        // driver's comparator cannot sort (r2 harness error).
         val fi = docs(s, d).stat.freqItems(Array("source", "lang"), 0.1)
-        fi.select(explode(col("source_freqItems")).as("item"))
+        val sketch = fi
+          .select(explode(col("source_freqItems")).as("item"))
           .select(lit("source").as("col_name"), col("item"))
           .unionByName(
             fi.select(explode(col("lang_freqItems")).as("item"))
               .select(lit("lang").as("col_name"), col("item")))
-          .orderBy("col_name", "item")
+        val n = docs(s, d).agg(count(lit(1)).as("__n"))
+        def exactHot(c: String) = docs(s, d)
+          .groupBy(col(c).as("item")).agg(count(lit(1)).as("cnt"))
+          .select(lit(c).as("col_name"), col("item"), col("cnt"))
+        // cnt*10 > n keeps the >10% support test in exact integers
+        exactHot("source").unionByName(exactHot("lang"))
+          .crossJoin(broadcast(n))
+          .filter(col("cnt") * 10 > col("__n"))
+          .join(broadcast(sketch).withColumn("in_sketch", lit(true)),
+            Seq("col_name", "item"), "left")
+          .select(col("col_name"), col("item"), col("cnt"),
+            coalesce(col("in_sketch"), lit(false)).as("in_sketch"))
       },
-      None
+      Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+          hot AS (
+            SELECT 'source' AS col_name, source AS item, count(*) AS cnt
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT 'lang' AS col_name, lang AS item, count(*) AS cnt
+            FROM documents GROUP BY lang)
+        SELECT col_name, item, cnt, TRUE AS in_sketch
+        FROM hot, n WHERE cnt * 10 > n.n""")
     )),
 
     // Deterministic stratified sampling: per (lang, source) stratum,

@@ -107,21 +107,38 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
     // carry the same prior forward and the second rename drop the
     // first job's files. A create-exclusive lock file serializes them
     // (bounded wait, then fail the commit — Spark surfaces the error).
+    // The lock records its owner's jobToken; a lock older than
+    // `lockStealAfterMillis` is presumed orphaned by a dead committer
+    // (e.g. kill -9 between createFile and the finally-delete) and is
+    // stolen, so automated jobs recover without manual intervention.
+    // A live committer holds the lock only for the microseconds of the
+    // manifest read-modify-rename, far below the steal horizon.
     val lock = dir.resolve("_manifest.lock")
     var acquired = false
     var attempts = 0
     while (!acquired && attempts < 100) {
       try {
-        java.nio.file.Files.createFile(lock)
+        java.nio.file.Files.write(lock, jobToken.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
         acquired = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
+          try {
+            val age = System.currentTimeMillis() -
+              java.nio.file.Files.getLastModifiedTime(lock).toMillis
+            if (age > FlightsV2BatchWrite.lockStealAfterMillis)
+              // delete-then-recreate: several stealers may race the
+              // delete, but CREATE_NEW stays the single exclusive step
+              java.nio.file.Files.deleteIfExists(lock)
+          } catch {
+            case _: java.nio.file.NoSuchFileException => () // freed already
+          }
           attempts += 1; Thread.sleep(100)
       }
     }
     if (!acquired) throw new IllegalStateException(
       s"could not acquire $lock after ${attempts} attempts — " +
-        "another committer holds it (or crashed; delete the lock to recover)")
+        "another committer holds it")
     try {
       // append semantics: carry the previously committed files forward;
       // overwrite (truncate) starts the manifest from this job alone
@@ -141,11 +158,30 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
     }
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit =
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case FlightsV2TaskCommit(f, _) =>
       java.nio.file.Files.deleteIfExists(
         java.nio.file.Paths.get(path).resolve(f))
     }
+    // if this job died while holding the manifest lock, free it so the
+    // next committer doesn't have to wait out the steal horizon; only
+    // OUR lock is touched (token check) — a concurrent committer's
+    // live lock stays
+    val lock = java.nio.file.Paths.get(path).resolve("_manifest.lock")
+    try {
+      val owner = new String(
+        java.nio.file.Files.readAllBytes(lock), "UTF-8")
+      if (owner == jobToken) java.nio.file.Files.deleteIfExists(lock)
+    } catch { case _: java.io.IOException => () }
+  }
+}
+
+object FlightsV2BatchWrite {
+  /** A `_manifest.lock` older than this is treated as orphaned by a
+    * dead committer and stolen. Manifest commits hold the lock for
+    * well under a millisecond, so 30 s is conservatively safe.
+    */
+  val lockStealAfterMillis: Long = 30000L
 }
 
 class FlightsV2WriterFactory(

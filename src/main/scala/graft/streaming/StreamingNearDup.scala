@@ -39,7 +39,12 @@ object StreamingNearDup {
   case class BandRow(doc_id: Long, band: Int, bh: String)
   // just the first-admitted doc: buckets live forever (NoTimeout), so
   // every extra field is paid O(admitted docs × bands) in the state
-  // store — a hit counter nobody read used to live here
+  // store — a hit counter nobody read used to live here.
+  // COMPATIBILITY: dropping that `hits` field changed the state-store
+  // encoder schema, so a checkpoint written by a pre-round-6 build
+  // cannot be resumed by this one (state-store schema check fails).
+  // Restart such a stream from a fresh checkpoint, replaying the
+  // source; there is no state-migration path for this gate.
   case class BucketState(firstDoc: Long)
 
   /** (doc_id, band, bh) banded-signature rows for a (doc_id, text)
