@@ -35,11 +35,19 @@ class FreqItemsSpec extends SparkSpecBase {
   test("the query-surface entry runs over the documents corpus") {
     val out = SparkEntry.queries("t9_freq_items")(
       spark, "/root/testdata/sf0.001")
-    // exploded (col_name, item) scalar rows, sorted — the shape the
-    // driver's comparator can canonicalize (arrays crash its sort)
-    assert(out.columns.toSeq == Seq("col_name", "item"))
-    val rows = out.collect().map(r => (r.getString(0), r.getString(1)))
-    assert(rows.exists(_._1 == "source") && rows.exists(_._1 == "lang"))
-    assert(rows.sortBy(identity).toSeq == rows.toSeq, "output must be sorted")
+    // exact heavy hitters (>10% support) with their counts, plus the
+    // containment flag derived from the live Misra-Gries sketch — the
+    // sketch guarantee is that every true heavy hitter is contained.
+    assert(out.columns.toSeq == Seq("col_name", "item", "cnt", "in_sketch"))
+    // only `lang` has values above 10% true support in the corpus;
+    // `source` items that show up in the raw sketch are false
+    // positives, which the exact-side filter correctly drops.
+    val rows = out.collect()
+    assert(rows.exists(_.getString(0) == "lang"), rows.mkString(", "))
+    rows.foreach { r =>
+      assert(r.getBoolean(3),
+        s"heavy hitter ${r.getString(0)}=${r.getString(1)} " +
+          s"(cnt ${r.getLong(2)}) missing from sketch")
+    }
   }
 }

@@ -2,30 +2,35 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** The two sketch queries are rows-only at the oracle gate (their
-  * outputs are approximate by construction); this spec pins what CAN
-  * be guaranteed — the documented error bounds against the exact
-  * answers on the same input.
+/** The sketch queries carry full hash oracles via accuracy-contract
+  * outputs (exact values + a derived error-band/bracket column); this
+  * spec pins the documented error bounds against the exact answers on
+  * the same input, exercising the live sketches directly.
   */
 class SketchAccuracySpec extends SparkSpecBase {
 
   private val dir = "/root/testdata/sf0.01"
 
   test("HLL distinct counts stay within the configured relative error") {
-    val rsd = 0.05 // approx_count_distinct's default rsd
+    // q15's output IS the accuracy contract: err_band =
+    // floor(|approx - exact| / exact / 0.15), derived from the live
+    // sketch. Band 0 means the estimate landed within 15% relative
+    // error — ~7.5 sigma of the configured rsd=0.02, so a non-zero
+    // band is a real regression (wrong column, wrong sketch width),
+    // never sketch noise. Cross-check `users` against q14's exact
+    // counts so the companion column is verified too.
+    val rows = SparkEntry.queries("q15_approx_users_per_type")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 0L,
+        s"${r.getString(0)}: err_band ${r.getLong(2)} != 0")
+    }
     val exact = SparkEntry.queries("q14_users_per_type")(spark, dir)
-      .select("event_type", "users")
-    val approx = SparkEntry.queries("q15_approx_users_per_type")(spark, dir)
-      .select("event_type", "approx_users")
-    val joined = exact.join(approx, "event_type").collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      val e = r.getLong(1).toDouble
-      val a = r.getLong(2).toDouble
-      // 5 sigma of the advertised rsd — fails on a real regression
-      // (wrong column, wrong sketch width), never on sketch noise.
-      assert(math.abs(a - e) / e <= 5 * rsd,
-        s"${r.getString(0)}: approx $a vs exact $e")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"${r.getString(0)}: q15 users ${r.getLong(1)} != q14 exact")
     }
   }
 
