@@ -111,8 +111,12 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
     // `lockStealAfterMillis` is presumed orphaned by a dead committer
     // (e.g. kill -9 between createFile and the finally-delete) and is
     // stolen, so automated jobs recover without manual intervention.
-    // A live committer holds the lock only for the microseconds of the
-    // manifest read-modify-rename, far below the steal horizon.
+    // A live committer normally holds the lock only for the
+    // microseconds of the manifest read-modify-rename, far below the
+    // steal horizon — but a stall (GC pause, FS hiccup, huge prior
+    // manifest) can push it past the horizon, so every step below is
+    // written so that losing the lock mid-commit FAILS this commit
+    // rather than silently dropping the stealer's published files.
     val lock = dir.resolve("_manifest.lock")
     var acquired = false
     var attempts = 0
@@ -126,12 +130,37 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
           try {
             val age = System.currentTimeMillis() -
               java.nio.file.Files.getLastModifiedTime(lock).toMillis
-            if (age > FlightsV2BatchWrite.lockStealAfterMillis)
-              // delete-then-recreate: several stealers may race the
-              // delete, but CREATE_NEW stays the single exclusive step
-              java.nio.file.Files.deleteIfExists(lock)
+            if (age > FlightsV2BatchWrite.lockStealAfterMillis) {
+              // Single-winner steal: ATOMIC_MOVE the stale lock to a
+              // job-unique tombstone. Exactly one racing stealer's
+              // rename succeeds (the rest get NoSuchFileException and
+              // just retry); only the winner deletes. A plain
+              // deleteIfExists here would race: stealer A could
+              // delete-and-recreate between B's age check and B's
+              // delete, and B would then remove A's LIVE lock.
+              val tomb = dir.resolve(s"_manifest.lock.stolen-$jobToken")
+              java.nio.file.Files.move(lock, tomb,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              // rename preserves mtime — re-check it on the tombstone.
+              // If a live committer re-created the lock between our age
+              // check and the rename, we grabbed a FRESH lock by
+              // mistake: put it back (its owner keeps running). If the
+              // restore loses a further race, the displaced owner's
+              // pre-publish ownership check still prevents data loss —
+              // that commit fails instead of dropping files.
+              val tombAge = System.currentTimeMillis() -
+                java.nio.file.Files.getLastModifiedTime(tomb).toMillis
+              if (tombAge > FlightsV2BatchWrite.lockStealAfterMillis)
+                java.nio.file.Files.delete(tomb) // confirmed stale
+              else
+                try java.nio.file.Files.move(tomb, lock,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                catch { case _: java.io.IOException =>
+                  java.nio.file.Files.deleteIfExists(tomb)
+                }
+            }
           } catch {
-            case _: java.nio.file.NoSuchFileException => () // freed already
+            case _: java.io.IOException => () // lost the steal race — retry
           }
           attempts += 1; Thread.sleep(100)
       }
@@ -147,16 +176,49 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
         if (replace || !java.nio.file.Files.exists(prior)) fresh.toSeq
         else java.nio.file.Files.readAllLines(prior)
           .asScala.toSeq.filter(_.nonEmpty) ++ fresh
-      val tmp = dir.resolve("_manifest.tmp")
+      // job-unique tmp name: two committers racing on a shared
+      // `_manifest.tmp` could interleave write/rename and publish a
+      // torn manifest even with the lock correct
+      val tmp = dir.resolve(s"_manifest.tmp-$jobToken")
       java.nio.file.Files.write(tmp,
         lines.mkString("\n").getBytes("UTF-8"))
+      beforePublish()
+      // Ownership re-verification: if we stalled past the steal
+      // horizon, another committer has (correctly) stolen the lock and
+      // may have published a manifest our `lines` doesn't contain —
+      // renaming now would drop its files. Fail this commit instead;
+      // Spark surfaces the error and the caller retries the job.
+      val owner =
+        try new String(java.nio.file.Files.readAllBytes(lock), "UTF-8")
+        catch { case _: java.io.IOException => "" }
+      if (owner != jobToken) {
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"manifest lock for $path was stolen mid-commit (held past " +
+            s"${FlightsV2BatchWrite.lockStealAfterMillis} ms); failing " +
+            "this commit to avoid dropping a concurrent job's files")
+      }
       java.nio.file.Files.move(tmp, dir.resolve("_manifest"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } finally {
-      java.nio.file.Files.deleteIfExists(lock)
+      // token-checked release, like abort(): after a steal, the lock
+      // on disk belongs to someone else — an unconditional delete here
+      // would unlock the stealer's critical section for a third party
+      try {
+        val owner = new String(
+          java.nio.file.Files.readAllBytes(lock), "UTF-8")
+        if (owner == jobToken) java.nio.file.Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
     }
   }
+
+  /** Test seam: invoked after the new manifest content is staged but
+    * before the ownership re-check and publish rename. Race specs
+    * override this to stall a committer deterministically inside the
+    * critical section.
+    */
+  protected def beforePublish(): Unit = ()
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case FlightsV2TaskCommit(f, _) =>
@@ -180,8 +242,12 @@ object FlightsV2BatchWrite {
   /** A `_manifest.lock` older than this is treated as orphaned by a
     * dead committer and stolen. Manifest commits hold the lock for
     * well under a millisecond, so 30 s is conservatively safe.
+    * Overridable via system property for race specs that need the
+    * horizon inside test time.
     */
-  val lockStealAfterMillis: Long = 30000L
+  def lockStealAfterMillis: Long =
+    sys.props.get("graft.flights.lock.steal.ms")
+      .map(_.toLong).getOrElse(30000L)
 }
 
 class FlightsV2WriterFactory(
