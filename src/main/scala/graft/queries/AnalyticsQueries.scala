@@ -378,8 +378,13 @@ object AnalyticsQueries {
           .agg(countDistinct(col("user_id")).as("users"),
             approx_count_distinct(col("user_id"), 0.02).as("__approx"))
           .select(col("event_type"), col("users"),
-            floor(abs(col("__approx") - col("users")).cast("double")
-              / col("users") / 0.15).cast("long").as("err_band")),
+            // guard users=0 (an all-NULL user_id group): the bare
+            // division would yield NULL (non-ANSI div-by-zero) vs the
+            // oracle's pinned 0 — an empty sketch has zero error
+            when(col("users") > 0,
+              floor(abs(col("__approx") - col("users")).cast("double")
+                / col("users") / 0.15).cast("long"))
+              .otherwise(lit(0L)).as("err_band")),
       Some("""SELECT event_type, count(DISTINCT user_id) AS users,
           CAST(0 AS BIGINT) AS err_band
         FROM events GROUP BY event_type""")

@@ -35,6 +35,49 @@ object SimilarityQueries {
        / (sqrt(list_sum([qv[i]::DOUBLE * qv[i]::DOUBLE for i in range(1, len(qv) + 1)]))
           * sqrt(list_sum([nv[i]::DOUBLE * nv[i]::DOUBLE for i in range(1, len(nv) + 1)])))"""
 
+  /** Brute-force exact cosine top-`k` for the first 10 query vectors —
+    * ONE definition of "the exact answer", shared by s1 (the baseline
+    * query), s4's oracle, and s5's recall contract. broadcast(q): the
+    * exact scan is ONE pass over the corpus with the (tiny) query set
+    * broadcast — BroadcastNestedLoopJoin, no corpus shuffle or
+    * replication. This is the correct exact algorithm at any corpus
+    * size; its cost is O(n·q) compute, not a cartesian shuffle.
+    */
+  private def exactTopK(
+      s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val q = emb(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = emb(s, d)
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id"))
+    broadcast(q).crossJoin(c)
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosineExpr)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("rank"),
+        round(col("sim"), 6).as("sim_r"))
+  }
+
+  /** The DuckDB rendering of [[exactTopK]] (k=5) — shared verbatim by
+    * the s1 and s4 oracles and extended by s5's.
+    */
+  private val exactTopKSql =
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+          FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+        sims AS (
+          SELECT q_id, n_id, $cosineSql AS sim
+          FROM q, c WHERE q_id <> n_id),
+        ranked AS (
+          SELECT q_id, n_id, sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY sim DESC, n_id) AS rank
+          FROM sims)
+      SELECT q_id, n_id, rank, round(sim, 6) AS sim_r
+      FROM ranked WHERE rank <= 5"""
+
   val entries: Map[String, (Fn, Option[String])] = Map(
 
     // Symmetric int8 quantization of the embedding corpus
@@ -76,41 +119,11 @@ object SimilarityQueries {
               FROM embeddings)))""")
     )),
 
-    // Brute-force cosine top-5 for the first 10 query vectors.
+    // Brute-force cosine top-5 for the first 10 query vectors —
+    // the shared exactTopK definition (also s5's recall-contract arm).
     "s1_cosine_topk" -> ((
-      (s: SparkSession, d: String) => {
-        val q = emb(s, d).filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-        val c = emb(s, d)
-          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-        val w = Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("n_id"))
-        // broadcast(q): the exact scan is ONE pass over the corpus with
-        // the (tiny) query set broadcast — BroadcastNestedLoopJoin, no
-        // corpus shuffle or replication. This is the correct exact
-        // algorithm at any corpus size; its cost is O(n·q) compute, not
-        // a cartesian shuffle.
-        broadcast(q).crossJoin(c)
-          .filter(col("q_id") =!= col("n_id"))
-          .withColumn("sim", cosineExpr)
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("n_id"), col("rank"),
-            round(col("sim"), 6).as("sim_r"))
-      },
-      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
-            FROM embeddings WHERE vec_id < 10),
-          c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
-          sims AS (
-            SELECT q_id, n_id, $cosineSql AS sim
-            FROM q, c WHERE q_id <> n_id),
-          ranked AS (
-            SELECT q_id, n_id, sim,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY sim DESC, n_id) AS rank
-            FROM sims)
-        SELECT q_id, n_id, rank, round(sim, 6) AS sim_r
-        FROM ranked WHERE rank <= 5""")
+      (s: SparkSession, d: String) => exactTopK(s, d),
+      Some(exactTopKSql)
     )),
 
     // Same result as s1 through a different physical strategy: a typed
@@ -138,19 +151,7 @@ object SimilarityQueries {
             (col("pos") + 1).cast("long").as("rank"),
             round(col("s.score"), 6).as("sim_r"))
       },
-      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
-            FROM embeddings WHERE vec_id < 10),
-          c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
-          sims AS (
-            SELECT q_id, n_id, $cosineSql AS sim
-            FROM q, c WHERE q_id <> n_id),
-          ranked AS (
-            SELECT q_id, n_id, sim,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY sim DESC, n_id) AS rank
-            FROM sims)
-        SELECT q_id, n_id, rank, round(sim, 6) AS sim_r
-        FROM ranked WHERE rank <= 5""")
+      Some(exactTopKSql)
     )),
 
     // Embedding-cosine near-duplicate pairs, bucketed by label so the
@@ -209,37 +210,24 @@ object SimilarityQueries {
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 5)
           .select(col("q_id"), col("n_id"))
-        val q = emb(s, d).filter(col("vec_id") < 10)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-        val c = emb(s, d)
-          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-        val exact5 = broadcast(q).crossJoin(c)
-          .filter(col("q_id") =!= col("n_id"))
-          .withColumn("sim", cosineExpr)
-          .withColumn("rank", row_number().over(w).cast("long"))
-          .filter(col("rank") <= 5)
-          .select(col("q_id"), col("n_id"), col("rank"),
-            round(col("sim"), 6).as("sim_r"))
+        // the SAME exact-answer derivation s1 publishes — one
+        // definition of "exact", computed once per run of this query
+        val exact5 = exactTopK(s, d)
         val hits = exact5.join(ivf5, Seq("q_id", "n_id"), "left_semi")
           .agg(count(lit(1)).as("__hits"))
+        // recall floor 20/50: calibrated on the BUNDLED corpora only
+        // (sf0.001-0.1, where the deterministic index measures 26-31
+        // hits vs a ~12.5-hit random-probe baseline). A regenerated or
+        // much larger embedding corpus changes both sides of that
+        // margin — recalibrate the floor (or derive it from a measured
+        // random baseline) before trusting this contract elsewhere.
         exact5.crossJoin(broadcast(hits))
           .select(col("q_id"), col("n_id"), col("rank"), col("sim_r"),
             (col("__hits") >= 20).as("recall_floor_ok"))
       },
-      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
-            FROM embeddings WHERE vec_id < 10),
-          c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
-          sims AS (
-            SELECT q_id, n_id, $cosineSql AS sim
-            FROM q, c WHERE q_id <> n_id),
-          ranked AS (
-            SELECT q_id, n_id, sim,
-                   row_number() OVER (PARTITION BY q_id
-                     ORDER BY sim DESC, n_id) AS rank
-            FROM sims)
-        SELECT q_id, n_id, rank, round(sim, 6) AS sim_r,
-               TRUE AS recall_floor_ok
-        FROM ranked WHERE rank <= 5""")
+      Some(s"""WITH exact5 AS ($exactTopKSql)
+        SELECT q_id, n_id, rank, sim_r, TRUE AS recall_floor_ok
+        FROM exact5""")
     )),
 
     // Bucketed ANN: search only the query's coarse cell (label) —

@@ -393,7 +393,10 @@ object TextQueries {
         FROM (SELECT doc_id, n_chars, lang,
                 CAST(${saltedHashSql(6, "doc_id::VARCHAR")} AS DOUBLE)
                   / n_chars AS priority
-              FROM documents)
+              FROM documents
+              -- mirror weightedPriority's eligibility contract: null /
+              -- non-positive weights are excluded, not mis-ranked
+              WHERE n_chars IS NOT NULL AND n_chars > 0)
         ORDER BY priority, doc_id LIMIT 20""")
     )),
 
@@ -595,8 +598,13 @@ object TextQueries {
         def exactHot(c: String) = docs(s, d)
           .groupBy(col(c).as("item")).agg(count(lit(1)).as("cnt"))
           .select(lit(c).as("col_name"), col("item"), col("cnt"))
-        // cnt*10 > n keeps the >10% support test in exact integers
+        // cnt*10 > n keeps the >10% support test in exact integers.
+        // NULL items are excluded identically here and in the oracle:
+        // the join on (col_name, item) is null-unsafe, so a NULL heavy
+        // hitter could never match the sketch side and would flip
+        // in_sketch to a spurious false.
         exactHot("source").unionByName(exactHot("lang"))
+          .filter(col("item").isNotNull)
           .crossJoin(broadcast(n))
           .filter(col("cnt") * 10 > col("__n"))
           .join(broadcast(sketch).withColumn("in_sketch", lit(true)),
@@ -612,7 +620,7 @@ object TextQueries {
             SELECT 'lang' AS col_name, lang AS item, count(*) AS cnt
             FROM documents GROUP BY lang)
         SELECT col_name, item, cnt, TRUE AS in_sketch
-        FROM hot, n WHERE cnt * 10 > n.n""")
+        FROM hot, n WHERE cnt * 10 > n.n AND item IS NOT NULL""")
     )),
 
     // Deterministic stratified sampling: per (lang, source) stratum,
