@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` so any heavyweight decoder is initialized once per
   * partition (the Scala twin of a batched pandas UDF).
   *
-  * The decoder itself is STUBBED — this container has no image/audio
-  * libraries — behind the [[MediaDecoder]] interface with a
-  * deterministic fake implementation. Everything around it (schema,
+  * Two decoders ship behind the [[MediaDecoder]] SPI:
+  * [[ImageIoDecoder]] — a REAL decoder (JDK `javax.imageio`, PNG/
+  * JPEG/BMP/GIF) that reads genuine image bytes; and [[StubDecoder]]
+  * — a deterministic fake kept as the default so the m-query oracles
+  * (whose inputs are text bytes standing in for media) stay
+  * reproducible in DuckDB. Everything around the SPI (schema,
   * partition batching, decoder lifecycle, feature plumbing, frame
-  * sampling) is the real production shape: swap [[StubDecoder]] for a
-  * JNI/javacv-backed decoder and nothing else changes.
+  * sampling) is identical for both: swapping in a heavier javacv/JNI
+  * codec changes nothing but the factory argument.
   */
 object MediaPipeline {
 
@@ -37,9 +40,10 @@ object MediaPipeline {
     def meanByte(payload: Array[Byte]): Double
   }
 
-  /** Deterministic stand-in for a real image decoder (??? territory:
-    * a production build plugs e.g. TwelveMonkeys/javacv here). Derives
-    * "dimensions" from payload length and content so tests are stable.
+  /** Deterministic stand-in for a real image decoder. Derives
+    * "dimensions" from payload length and content so the m-query
+    * oracles (inputs are text bytes, not images) are stable and
+    * DuckDB-reproducible.
     */
   final class StubDecoder extends MediaDecoder {
     def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
@@ -51,13 +55,62 @@ object MediaPipeline {
       else payload.foldLeft(0L)((a, b) => a + (b & 0xff)).toDouble / payload.length
   }
 
-  /** Decode + feature-extract, decoder initialized once per partition.
-    * Embarrassingly parallel: no shuffle, scales with input splits.
+  /** REAL image decoder over the JDK's `javax.imageio` (PNG, JPEG,
+    * BMP, GIF readers ship with the JDK — zero added dependencies).
+    * `decodeDims` reads genuine encoded bytes into a raster;
+    * `meanByte` averages the decoded PIXEL SAMPLES (not the compressed
+    * payload bytes), i.e. a real content statistic a quality filter
+    * would gate on. One instance per partition via the factory
+    * argument of [[extractImageFeatures]], exactly like the stub.
     */
-  def extractImageFeatures(media: Dataset[MediaFile]): Dataset[ImageFeatures] = {
+  final class ImageIoDecoder extends MediaDecoder {
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          "payload is not a decodable image (no registered reader)")
+      img
+    }
+    def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
+      val img = read(payload)
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    }
+    def meanByte(payload: Array[Byte]): Double = {
+      val img = read(payload)
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) {
+            sum += raster.getSample(x, y, b)
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h * bands
+      if (n == 0) 0.0 else sum.toDouble / n
+    }
+  }
+
+  /** Decode + feature-extract, decoder initialized once per partition
+    * via `decoderFactory` (construct INSIDE the factory — the decoder
+    * itself never rides the closure). Embarrassingly parallel: no
+    * shuffle, scales with input splits.
+    */
+  def extractImageFeatures(
+      media: Dataset[MediaFile],
+      decoderFactory: () => MediaDecoder = () => new StubDecoder)
+      : Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      val decoder = new StubDecoder // per-partition init (expensive IRL)
+      val decoder = decoderFactory() // per-partition init (expensive IRL)
       rows.map { m =>
         val (w, h, c) = decoder.decodeDims(m.payload)
         val mean = decoder.meanByte(m.payload)

@@ -97,6 +97,52 @@ class MediaPipelineSpec extends SparkSpecBase {
     assert(sizes.sum == 100 && sizes.length == 8 &&
       sizes.count(_ == 16) == 4, s"unexpected batch shape: $sizes")
   }
+
+  /** A real encoded PNG: solid `rgb` fill at the given size. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder decodes genuine PNG bytes: real header dimensions " +
+      "and decoded-pixel mean, through the same partitioned plumbing") {
+    val session = spark
+    import session.implicits._
+    val ds = spark.createDataset(Seq(
+      media(1L, "image", pngBytes(17, 5, 0x0a141e)),   // R10 G20 B30
+      media(2L, "image", pngBytes(64, 32, 0x646464)))) // gray 100
+    val got = MediaPipeline
+      .extractImageFeatures(ds, () => new ImageIoDecoder)
+      .collect().sortBy(_.media_id).toSeq
+    assert(got.map(f => (f.media_id, f.width, f.height, f.channels))
+      == Seq((1L, 17, 5, 3), (2L, 64, 32, 3)))
+    // PNG is lossless: the decoded-sample means are exact
+    assert(math.abs(got(0).mean_byte - 20.0) < 1e-12, got(0))
+    assert(math.abs(got(1).mean_byte - 100.0) < 1e-12, got(1))
+    // the stub derives "dims" from payload LENGTH — parsing the real
+    // header is what separates the two decoders behind the same SPI
+    val stub = MediaPipeline.extractImageFeatures(ds)
+      .collect().sortBy(_.media_id).toSeq
+    assert(stub.map(f => (f.width, f.height))
+      != got.map(f => (f.width, f.height)))
+  }
+
+  test("ImageIoDecoder rejects an undecodable payload with a clear error") {
+    val dec = new ImageIoDecoder
+    val e = intercept[IllegalArgumentException] {
+      dec.decodeDims("definitely not an image".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains("not a decodable image"))
+  }
 }
 
 /** StubModel wrapper counting inits and batch sizes via static state
