@@ -170,4 +170,56 @@ class StreamingNearDupSpec extends SparkSpecBase {
       assert(streamed == expect, s"seed=$seed: $streamed vs $expect")
     }
   }
+
+  test("state-store size is exactly one row per distinct LSH bucket: " +
+      "linear in admitted docs, flat under duplicate-only waves") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // the O(admitted × bands) claim, measured: numRowsTotal from the
+    // state operator's progress metrics, pinned against the batch-side
+    // count of distinct (band, bh) buckets over everything fed so far
+    def expectedBuckets(docs: Seq[(Long, String)]): Long =
+      StreamingNearDup.bandRows(docs.toDF("doc_id", "text"))
+        .select("band", "bh").distinct().count()
+
+    val input = MemoryStream[(Long, String)]
+    val query = StreamingNearDup.gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_state").start()
+    def stateRows(): Long =
+      query.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty =>
+          p.stateOperators.map(_.numRowsTotal).sum
+      }.getOrElse(-1L)
+    try {
+      val perDoc = expectedBuckets(Seq(1L -> text("st1-")))
+      assert(perDoc > 0)
+
+      // wave 1: 5 novel docs
+      val wave1 = (1L to 5L).map(i => i -> text(s"st$i-"))
+      input.addData(wave1: _*)
+      query.processAllAvailable()
+      assert(stateRows() == expectedBuckets(wave1) &&
+        stateRows() == 5 * perDoc,
+        s"state ${stateRows()} != ${5 * perDoc}")
+
+      // wave 2: duplicates ONLY (copies of wave 1) — collisions create
+      // no new buckets and rewrite no owners, so state must not grow
+      input.addData((6L to 10L).map(i => i -> text(s"st${i - 5}-")): _*)
+      query.processAllAvailable()
+      assert(stateRows() == 5 * perDoc,
+        s"duplicate wave grew state to ${stateRows()}")
+
+      // wave 3: 45 more novel docs — 10x the admitted corpus, state
+      // exactly 10x wave 1's: linear in ADMISSIONS, not in rows seen
+      val wave3 = (11L to 55L).map(i => i -> text(s"st$i-"))
+      input.addData(wave3: _*)
+      query.processAllAvailable()
+      assert(stateRows() == expectedBuckets(wave1 ++ wave3) &&
+        stateRows() == 50 * perDoc,
+        s"state ${stateRows()} != ${50 * perDoc} after 10x admissions")
+    } finally query.stop()
+  }
 }
