@@ -27,7 +27,11 @@ object ScaleBench {
     "d7_lsh_verified_jaccard", "d8_dedup_clusters",
     "t19_leakage_safe_split", "p2_pagerank", "q29_salted_join",
     "q40_copurchase_pairs", "s5_ivf_topk",
-    "d12_incremental_dedup", "p3_triangle_count")
+    "d12_incremental_dedup", "p3_triangle_count",
+    // the round-7 accuracy-contract reshapes grew exact companion
+    // arms — re-measured so the exponent table matches shipped plans
+    "q15_approx_users_per_type", "q26_approx_percentiles",
+    "t9_freq_items")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")
@@ -82,6 +86,16 @@ object ScaleBench {
       (col("o_orderkey") + col("c") * 10000000L).as("o_orderkey"),
       col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority")), "orders")
+
+    // events: ids AND users shift per copy (10x rows, 10x distinct
+    // users — the HLL/percentile sketches see genuinely larger
+    // domains, not 10 replays of the same one); event_type and value
+    // distributions are preserved exactly
+    wr(copies(rd("events")).select(
+      (col("event_id") + col("c") * 10000000L).as("event_id"),
+      col("ts"),
+      (col("user_id") + col("c") * 1000000L).as("user_id"),
+      col("event_type"), col("value"), col("props")), "events")
     println(s"[scale] wrote ${F}x tables to $outDir")
   }
 
