@@ -1020,6 +1020,66 @@ object TextQueries {
         WHERE d.doc_id % 4 = 0""")
     )),
 
+    // Bloom ingest gate in front of d12's index join — the constant-
+    // space pre-filter a trillion-doc ingest runs BEFORE touching the
+    // corpus index: a Bloom filter over the corpus side's (band, bh)
+    // bucket keys (built once, O(bits) driver memory, rides the probe
+    // plan as a codegen reference) is probed per incoming band row
+    // with the native bloom_might_contain expression; a doc whose
+    // probes all miss is DEFINITELY not a candidate (Bloom filters
+    // have no false negatives) and can skip the verification join
+    // entirely. The contract output: is_candidate — the EXACT band-
+    // collision flag, the same join d12 runs, which DuckDB reproduces
+    // — plus gate_ok = (not a candidate) OR (the live bloom flagged
+    // it), which the oracle pins TRUE: a bloom that drops a true
+    // candidate (wrong key derivation, wrong hash width) flips the
+    // hash. The false-positive side is pinned by BloomGateSpec (the
+    // realized rate is not SQL-reproducible; the no-false-negative
+    // side is, by construction).
+    "d13_bloom_gate" -> ((
+      (s: SparkSession, d: String) => {
+        // one signature pass feeds the corpus keys, the probe rows,
+        // and the exact side (localCheckpoint, same as d12)
+        val flat = bandedSignatureFlat(docs(s, d)).localCheckpoint(true)
+        val bands = explodedBands(flat)
+        val isNew = pmod(col("doc_id"), lit(4)) === 0
+        val keyed = bands.withColumn("k",
+          concat_ws(":", col("band"), col("bh")))
+        val gated = graft.operators.NearDup.bloomGate(
+          keyed.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+          keyed.filter(isNew),
+          keyCol = "k", expectedItems = 100000L, fpp = 0.03)
+        val perDoc = gated.groupBy("doc_id")
+          .agg(max(col("might_be_dup")).as("__bloom_hit"))
+        val cand = bands.filter(isNew).as("n")
+          .join(bands.filter(pmod(col("doc_id"), lit(4)) =!= 0).as("e"),
+            Seq("band", "bh"), "left_semi")
+          .select("doc_id").distinct()
+          .withColumn("__cand", lit(true))
+        perDoc.join(cand, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__cand"), lit(false)).as("is_candidate"),
+            (!coalesce(col("__cand"), lit(false)) || col("__bloom_hit"))
+              .as("gate_ok"))
+      },
+      Some(s"""WITH sig AS ($minhashSql),
+          bands AS (
+            SELECT doc_id, 0 AS band,
+                   md5(h0::VARCHAR || ',' || h1::VARCHAR) AS bh FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band,
+                   md5(h2::VARCHAR || ',' || h3::VARCHAR) AS bh FROM sig),
+          cand AS (
+            SELECT DISTINCT n.doc_id
+            FROM bands n JOIN bands e ON n.band = e.band AND n.bh = e.bh
+            WHERE n.doc_id % 4 = 0 AND e.doc_id % 4 <> 0)
+        SELECT d.doc_id,
+               (c.doc_id IS NOT NULL) AS is_candidate,
+               TRUE AS gate_ok
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+        LEFT JOIN cand c ON d.doc_id = c.doc_id""")
+    )),
+
     // Leakage-safe split: train/val/test assignment by NEAR-DUP
     // CLUSTER, not by document — a per-doc split (t4) lets two
     // near-identical documents land in train and test, silently
