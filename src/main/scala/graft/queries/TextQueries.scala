@@ -1164,6 +1164,36 @@ object TextQueries {
         FROM tot""")
     )),
 
+    // Length bucketing for batch-efficient training/inference: group
+    // docs into power-of-two length buckets (floor(log2 n_chars) —
+    // computed INTEGER-exactly as length(bin(n))-1; a float log2
+    // rounds 2^k down a bucket in one engine and not the other) and
+    // account the padding waste of batching each bucket to its max:
+    // waste = n·max − Σlen, all in one hash aggregate. The narrow-map
+    // bucket key means NO global sort — the quantile (ntile) version
+    // of this op needs a total order over the corpus, which is the
+    // wrong plan at 100 TB; log buckets bound per-batch waste
+    // (< 2× min length) with a plain groupBy.
+    "t20_length_buckets" -> ((
+      (s: SparkSession, d: String) =>
+        docs(s, d).filter(col("n_chars") > 0)
+          .withColumn("bucket",
+            (length(bin(col("n_chars"))) - 1).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            min("n_chars").as("min_chars"),
+            max("n_chars").as("max_chars"),
+            (max(col("n_chars")) * count(lit(1)) - sum(col("n_chars")))
+              .as("pad_waste")),
+      Some("""SELECT CAST(length(bin(n_chars)) - 1 AS BIGINT) AS bucket,
+            count(*) AS n_docs,
+            min(n_chars) AS min_chars,
+            max(n_chars) AS max_chars,
+            CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT)
+              AS pad_waste
+        FROM documents WHERE n_chars > 0 GROUP BY 1""")
+    )),
+
     // Edit-distance near-dup: the dedup family's third verification
     // geometry (set overlap = Jaccard d7, bit space = SimHash d9,
     // SEQUENCE space = Levenshtein here). Candidate generation is
