@@ -233,6 +233,56 @@ object TextQueries {
           FROM documents)""")
     )),
 
+    // Adaptive per-group quality gating: keep a doc iff its quality
+    // score clears its OWN language's 25th-percentile bar — a fixed
+    // global threshold over-prunes low-resource languages whose score
+    // distribution sits lower. Engine-exact by construction: the
+    // score is integer (stop_hits·1e6 div n_tokens, no float ratio)
+    // and the bar is an ORDER STATISTIC (k-th smallest, k = ceil(n/4))
+    // rather than an interpolated percentile, so the boundary compare
+    // can never flip on a last-ulp difference between engines. Plan:
+    // one narrow scoring map, one per-lang window (distributed sort
+    // within each language partition), threshold rows broadcast back.
+    // A 100 TB corpus wanting a cheaper bar swaps the window for
+    // approx_percentile — same join-back shape.
+    "t21_adaptive_quality_gate" -> ((
+      (s: SparkSession, d: String) => {
+        val scored = graft.operators.TextProfile
+          .withQualityStats(docs(s, d))
+          .select(col("doc_id"), col("lang"),
+            expr("stop_hits * 1000000L div n_tokens").as("score"))
+        val wRank = Window.partitionBy("lang")
+          .orderBy(col("score"), col("doc_id"))
+        val wLang = Window.partitionBy("lang")
+        val thr = scored
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wLang))
+          .filter(col("rn") === expr("(n + 3L) div 4"))
+          .select(col("lang"), col("score").as("q25_threshold"))
+        scored.join(broadcast(thr), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("score"),
+            col("q25_threshold"),
+            (col("score") >= col("q25_threshold")).as("kept"))
+      },
+      Some("""WITH scored AS (
+          SELECT doc_id, lang,
+                 (len(regexp_extract_all(text, '\b(the|a|of|and|to)\b'))
+                    * 1000000)
+                   // len(string_split(text, ' ')) AS score
+          FROM documents),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY score, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM scored),
+        thr AS (
+          SELECT lang, score AS q25_threshold
+          FROM ranked WHERE rn = (n + 3) // 4)
+        SELECT s.doc_id, s.lang, s.score, t.q25_threshold,
+               (s.score >= t.q25_threshold) AS kept
+        FROM scored s JOIN thr t USING (lang)""")
+    )),
+
     // Heuristic n-gram language ID: stopword votes per language + CJK
     // detection, deterministic tie-break by vote order.
     // (Delegates to the TextProfile library API — same expressions.)
