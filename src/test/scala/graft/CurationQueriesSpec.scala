@@ -1,0 +1,56 @@
+package graft
+
+/** Semantic invariants of the round-8 curation queries, beyond the
+  * DuckDB hash oracle: t20's power-of-two bucket bounds (which bound
+  * per-batch padding waste by construction) and t21's adaptive
+  * threshold actually being a member score that keeps ~75% per group.
+  */
+class CurationQueriesSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("t20: every bucket's lengths sit in [2^b, 2^(b+1)) — so padding " +
+      "to the bucket max wastes less than one min-length per doc") {
+    val rows = SparkEntry.queries("t20_length_buckets")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, n, min, max, waste) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))
+      assert(min >= (1L << b) && max < (1L << (b + 1)),
+        s"bucket $b holds lengths outside [2^$b, 2^${b + 1}): $min..$max")
+      // range < 2^b and min >= 2^b → waste per doc < its own length
+      assert(waste <= n * (max - min) && waste < n * min,
+        s"bucket $b: waste $waste violates the power-of-two bound")
+    }
+    // buckets partition the corpus: totals add back up
+    val total = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("n_chars > 0").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
+
+  test("t21: the threshold is a member score and keeps 75%±ties per " +
+      "language; every language contributes") {
+    val rows = SparkEntry.queries("t21_adaptive_quality_gate")(spark, dir)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val byLang = rows.groupBy(_._1)
+    assert(byLang.size >= 4, s"expected several languages, got ${byLang.keys}")
+    byLang.foreach { case (lang, docs) =>
+      val n = docs.length
+      val thr = docs.head._3
+      assert(docs.forall(_._3 == thr), s"$lang: threshold not constant")
+      assert(docs.exists(_._2 == thr),
+        s"$lang: threshold $thr is not a member score (order statistic)")
+      val kept = docs.count(_._4)
+      // exactly the docs at rank >= ceil(n/4) minus ties below; ties
+      // AT the threshold are kept, so kept >= n - ceil(n/4) + 1
+      assert(kept >= n - (n + 3) / 4 + 1 && kept <= n,
+        s"$lang: kept $kept of $n below the 75% floor")
+      assert(docs.forall(d => d._4 == (d._2 >= thr)),
+        s"$lang: kept flag disagrees with the threshold compare")
+    }
+  }
+}

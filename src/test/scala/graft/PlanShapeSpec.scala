@@ -197,4 +197,33 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
       s"band retrieval must plan as an equi-join:\n$s")
   }
+
+  test("length bucketing is one hash aggregate — no sort, no join, " +
+      "one exchange") {
+    val s = planOf("t20_length_buckets").toString
+    assert(s.contains("HashAggregate"), s)
+    assert(!s.contains("Join") && !s.contains("Window"),
+      s"bucketing needs no join or window:\n$s")
+    assert(s.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"one hash exchange (plus AQE read) is the whole cost:\n$s")
+  }
+
+  test("adaptive quality gate: per-lang window stays partitioned and " +
+      "the threshold join-back broadcasts") {
+    val plan = finalPlan(planOf("t21_adaptive_quality_gate"))
+    val s = plan.toString
+    assert(!s.contains("SinglePartition"),
+      s"the ranking window must stay lang-partitioned:\n$s")
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"the 5-row threshold table must broadcast back:\n$s")
+  }
+
+  test("the bloom gate probes with the codegen'd expression and keeps " +
+      "the exact-candidate check an equi-join") {
+    val s = finalPlan(planOf("d13_bloom_gate")).toString
+    assert(s.contains("bloom_might_contain"),
+      s"probe must be the native expression:\n$s")
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"candidate check must plan as an equi-join:\n$s")
+  }
 }
