@@ -226,4 +226,13 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
       s"candidate check must plan as an equi-join:\n$s")
   }
+
+  test("the PQ search scans codes with the fused ADC expression and " +
+      "fetches rerank vectors through an equi-join") {
+    val s = finalPlan(planOf("s9_pq_rerank")).toString
+    assert(s.contains("pq_adc_distance"),
+      s"ADC scan must be the native expression:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"no cartesian anywhere in the PQ pipeline:\n$s")
+  }
 }
