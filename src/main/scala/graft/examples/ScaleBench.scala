@@ -31,7 +31,9 @@ object ScaleBench {
     // the round-7 accuracy-contract reshapes grew exact companion
     // arms — re-measured so the exponent table matches shipped plans
     "q15_approx_users_per_type", "q26_approx_percentiles",
-    "t9_freq_items")
+    "t9_freq_items",
+    // round-8 additions: bloom gate, adaptive quality gate, PQ+rerank
+    "d13_bloom_gate", "t21_adaptive_quality_gate", "s9_pq_rerank")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")

@@ -131,16 +131,22 @@ object PqIndex {
 
   /** Corpus-wide encoding — a codegen'd narrow map: m static argmin
     * calls per row over the normalized vector's slices. Zero-norm
-    * vectors encode to null (no direction to quantize).
+    * vectors encode to null (no direction to quantize). The
+    * normalization is materialized in its own projection first: the m
+    * slices and the null check all reference that one column, so the
+    * HOF normalization runs once per row, not m+1 times (Catalyst
+    * won't collapse a multiply-referenced non-cheap expression back
+    * into its consumers).
     */
   def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
-    val vn = normalized(vecCol)
     val codes = array((0 until model.m).map { s =>
       VectorExprs.nearest_cell(
-        slice(vn, s * model.dsub + 1, model.dsub),
+        slice(col("__pq_vn"), s * model.dsub + 1, model.dsub),
         typedlit(model.codebooks(s).map(_.toSeq).toSeq))
     }: _*)
-    df.withColumn("codes", when(vn.isNotNull, codes))
+    df.withColumn("__pq_vn", normalized(vecCol))
+      .withColumn("codes", when(col("__pq_vn").isNotNull, codes))
+      .drop("__pq_vn")
   }
 
   /** ADC score of an ALREADY-NORMALIZED query column (see

@@ -259,8 +259,13 @@ object SimilarityQueries {
     // agreement, and the recall measurements.
     "s9_pq_rerank" -> ((
       (s: SparkSession, d: String) => {
+        // sampleLimit 20k: 16 centroids x 8 subspaces need far fewer
+        // samples than IVF's cells, and the cap binds at EVERY bundled
+        // sf — training cost is constant across the measured scale
+        // range, leaving the linear ADC scan as the only data term
         val model = graft.operators.PqIndex.train(
-          emb(s, d), "vec_id", "embedding", m = 8, k = 16, iters = 3)
+          emb(s, d), "vec_id", "embedding", m = 8, k = 16, iters = 3,
+          sampleLimit = 20000)
         val coded = graft.operators.PqIndex.encode(
             emb(s, d), "embedding", model)
           .select(col("vec_id").as("n_id"), col("codes"))

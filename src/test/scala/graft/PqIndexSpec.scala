@@ -89,7 +89,10 @@ class PqIndexSpec extends SparkSpecBase {
       "neighbors (calibration for the s9 contract)") {
     Seq("sf0.001", "sf0.01").foreach { sf =>
       val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
-      val model = PqIndex.train(e, "vec_id", "embedding", m = 8, k = 16, iters = 3)
+      // same sampleLimit as the s9 query — calibration must measure
+      // the codebooks the query actually trains
+      val model = PqIndex.train(e, "vec_id", "embedding", m = 8, k = 16,
+        iters = 3, sampleLimit = 20000)
       val coded = PqIndex.encode(e, "embedding", model)
         .select(col("vec_id").as("n_id"), col("codes"))
       val q = e.filter(col("vec_id") < 10)
