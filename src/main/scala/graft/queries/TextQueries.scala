@@ -137,10 +137,11 @@ object TextQueries {
     * pipeline (d4/d7/…) and the STREAMING near-dup gate, so the two
     * surfaces can never disagree on what a band collision is.
     */
-  private[graft] def bandedSignatureFlat(df: DataFrame): DataFrame =
-    withMinhashSignature(df).select(col("doc_id"),
+  private[graft] def bandedSignatureFlat(
+      df: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    withMinhashSignature(df).select(col("doc_id") +: (keep.map(col) ++ Seq(
       md5(concat_ws(",", col("h0"), col("h1"))).as("bh0"),
-      md5(concat_ws(",", col("h2"), col("h3"))).as("bh1"))
+      md5(concat_ws(",", col("h2"), col("h3"))).as("bh1"))): _*)
 
   /** Fan the flat form out to (doc_id, band, bh) rows — as a
     * two-branch union, NOT `explode(array(struct…))`: generator-input
@@ -151,16 +152,22 @@ object TextQueries {
     * signature once (2× a single pass — the streaming gate's price
     * for statelessness).
     */
-  private[graft] def explodedBands(flat: DataFrame): DataFrame =
-    flat.select(col("doc_id"), lit(0).as("band"), col("bh0").as("bh"))
-      .union(flat.select(col("doc_id"), lit(1).as("band"),
-        col("bh1").as("bh")))
+  private[graft] def explodedBands(
+      flat: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    flat.select(Seq(col("doc_id"), lit(0).as("band"),
+        col("bh0").as("bh")) ++ keep.map(col): _*)
+      .union(flat.select(Seq(col("doc_id"), lit(1).as("band"),
+        col("bh1").as("bh")) ++ keep.map(col): _*))
 
-  /** (doc_id, band, bh) banded-signature rows for a (doc_id, text)
-    * frame — batch or streaming.
+  /** (doc_id, band, bh[, keep…]) banded-signature rows for a
+    * (doc_id, text[, keep…]) frame — batch or streaming. `keep`
+    * columns ride along per band row (the streaming horizon gate
+    * carries its event-time column this way — a join-back would be a
+    * stream-stream self-join).
     */
-  private[graft] def bandedSignature(df: DataFrame): DataFrame =
-    explodedBands(bandedSignatureFlat(df))
+  private[graft] def bandedSignature(
+      df: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    explodedBands(bandedSignatureFlat(df, keep), keep)
 
   /** LSH candidate pairs (Spark side), shared by d4 and the d7
     * verification stage.

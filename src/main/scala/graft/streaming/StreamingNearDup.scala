@@ -89,4 +89,89 @@ object StreamingNearDup {
           out.result().iterator
       }
   }
+
+  /** One row per (incoming doc, colliding band) with event time. */
+  case class BandRowTs(
+      doc_id: Long, band: Int, bh: String, ts: java.sql.Timestamp)
+
+  /** Bucket owner + its event time, for horizon eviction. */
+  case class BucketStateTs(firstDoc: Long, firstTsMillis: Long)
+
+  /** The SLIDING-HORIZON variant of [[gate]]: a document only counts
+    * as a duplicate of one admitted within `horizon` of the
+    * watermark, and buckets idle past the horizon are EVICTED — state
+    * is O(docs admitted within the horizon) instead of O(all docs
+    * ever), which is what lets the gate run forever on an unbounded
+    * stream whose corpus identity ages out (news dedup, crawl
+    * recency windows).
+    *
+    * The semantic is OWNER-AGE based, applied identically in two
+    * places: an arrival is a duplicate iff the bucket's owner was
+    * admitted within `horizon` of the arrival's event time (checked
+    * inline, so correctness never depends on timer firing latency),
+    * and the EventTimeTimeout that garbage-collects the bucket is
+    * armed once at claim time to ownerTs + horizon (collisions do not
+    * extend it — they're already not duplicates beyond that point).
+    * An arrival past the owner's horizon re-claims the bucket as the
+    * new owner. The input needs an event-time column `ts` with a
+    * watermark already applied (the caller chooses lateness).
+    */
+  def gateWithHorizon(
+      docs: DataFrame,
+      horizon: java.time.Duration): Dataset[BandFlag] = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val horizonMs = horizon.toMillis
+    require(horizonMs > 0, "horizon must be positive")
+    // ts rides the banding as a kept column — joining it back would
+    // be a stream-stream self-join (watermarks, state, latency); the
+    // signature derivation is a stateless per-row map either way
+    graft.queries.TextQueries
+      .bandedSignature(docs, keep = Seq("ts"))
+      .as[BandRowTs]
+      .groupByKey(r => (r.band, r.bh))
+      .flatMapGroupsWithState[BucketStateTs, BandFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((band, bh), rows, state) =>
+          if (state.hasTimedOut) {
+            // the owner's horizon passed: forget the bucket
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.doc_id))
+            val before = state.getOption
+            var cur = before
+            val out = Seq.newBuilder[BandFlag]
+            sorted.foreach { r =>
+              cur match {
+                case Some(s) if s.firstDoc == r.doc_id =>
+                  () // replay of the owner: not a self-collision
+                case Some(s)
+                    if r.ts.getTime - s.firstTsMillis <= horizonMs =>
+                  out += BandFlag(r.doc_id, band, bh, s.firstDoc)
+                case _ =>
+                  // bucket empty, or its owner aged out relative to
+                  // this arrival: (re-)claim it
+                  cur = Some(BucketStateTs(r.doc_id, r.ts.getTime))
+              }
+            }
+            // write state only when (re-)claimed, but RE-ARM the
+            // timeout on EVERY invocation: fMGWS clears a group's
+            // timer whenever the function runs for it, so a collision
+            // that didn't re-set the timestamp would silently disarm
+            // eviction (observed: buckets surviving forever).
+            cur.foreach { s =>
+              if (cur != before) state.update(s)
+              // a claim whose horizon already sits behind the
+              // watermark would be rejected (no timeouts in the
+              // past) — clamp to just above it; the bucket then
+              // evicts on the next trigger
+              state.setTimeoutTimestamp(math.max(
+                s.firstTsMillis + horizonMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
 }

@@ -222,4 +222,60 @@ class StreamingNearDupSpec extends SparkSpecBase {
         s"state ${stateRows()} != ${50 * perDoc} after 10x admissions")
     } finally query.stop()
   }
+
+  test("horizon gate: duplicates flag only against an owner admitted " +
+      "within the horizon; aged-out buckets re-claim and state evicts") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val query = StreamingNearDup.gateWithHorizon(
+        input.toDF().toDF("doc_id", "text", "ts")
+          .withWatermark("ts", "0 seconds"),
+        java.time.Duration.ofSeconds(10))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_horizon").start()
+    def flags() = spark.table("neardup_horizon")
+      .select("doc_id", "dup_of").distinct()
+      .as[(Long, Long)].collect().toSet
+    def stateRows(): Long =
+      query.recentProgress.reverse.collectFirst {
+        case p if p.stateOperators.nonEmpty =>
+          p.stateOperators.map(_.numRowsTotal).sum
+      }.getOrElse(-1L)
+    try {
+      // t+0: A admitted; t+5 (inside horizon): copy flags against A
+      input.addData((1L, text("ha-"), ts(0)))
+      query.processAllAvailable()
+      input.addData((2L, text("ha-"), ts(5)))
+      query.processAllAvailable()
+      assert(flags() == Set((2L, 1L)), s"got ${flags()}")
+
+      // t+20 (past A's horizon): the same content does NOT flag — it
+      // re-claims the bucket as the new owner...
+      input.addData((3L, text("ha-"), ts(20)))
+      query.processAllAvailable()
+      assert(flags() == Set((2L, 1L)), s"aged-out owner still flagged: ${flags()}")
+
+      // ...and a copy within the NEW owner's horizon flags against IT
+      input.addData((4L, text("ha-"), ts(25)))
+      query.processAllAvailable()
+      assert(flags() == Set((2L, 1L), (4L, 3L)), s"got ${flags()}")
+
+      // advance the watermark far past every horizon with an
+      // unrelated doc: the old buckets evict — state is bounded by
+      // the horizon's admissions, not by history
+      input.addData((5L, text("hb-"), ts(100)))
+      query.processAllAvailable()
+      input.addData((6L, text("hc-"), ts(101)))
+      query.processAllAvailable()
+      val after = stateRows()
+      // only the t+100/t+101 claims can still be live (2 bands each)
+      assert(after <= 4,
+        s"aged-out buckets were not evicted: $after state rows")
+    } finally query.stop()
+  }
 }
