@@ -38,6 +38,12 @@ object MediaPipeline {
   trait MediaDecoder extends Serializable {
     def decodeDims(payload: Array[Byte]): (Int, Int, Int)
     def meanByte(payload: Array[Byte]): Double
+    /** Dims + mean in ONE call — the feature-extraction hot path uses
+      * this; override it when a single decode can serve both (a real
+      * codec pays a full decode per method otherwise).
+      */
+    def decodeFeatures(payload: Array[Byte]): ((Int, Int, Int), Double) =
+      (decodeDims(payload), meanByte(payload))
   }
 
   /** Deterministic stand-in for a real image decoder. Derives
@@ -76,8 +82,16 @@ object MediaPipeline {
       val img = read(payload)
       (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
     }
-    def meanByte(payload: Array[Byte]): Double = {
+    // one decode serves both features — decodeDims + meanByte each
+    // pay a full PNG/JPEG decode, doubling the dominant per-row cost
+    override def decodeFeatures(
+        payload: Array[Byte]): ((Int, Int, Int), Double) = {
       val img = read(payload)
+      ((img.getWidth, img.getHeight, img.getColorModel.getNumComponents),
+        meanOf(img))
+    }
+    def meanByte(payload: Array[Byte]): Double = meanOf(read(payload))
+    private def meanOf(img: java.awt.image.BufferedImage): Double = {
       val raster = img.getRaster
       val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
       var sum = 0L
@@ -112,8 +126,7 @@ object MediaPipeline {
     media.mapPartitions { rows =>
       val decoder = decoderFactory() // per-partition init (expensive IRL)
       rows.map { m =>
-        val (w, h, c) = decoder.decodeDims(m.payload)
-        val mean = decoder.meanByte(m.payload)
+        val ((w, h, c), mean) = decoder.decodeFeatures(m.payload)
         ImageFeatures(m.media_id, w, h, c, mean,
           math.round(mean / 16.0))
       }

@@ -42,6 +42,27 @@ object IvfIndex {
     * @param sampleLimit training-sample bound (orderBy(id).limit —
     *                    a TakeOrdered, safe at any corpus size)
     */
+  /** df + `outCol` = unit-normalized double copy of `vecCol`, null
+    * for zero-norm rows (a zero vector has no direction; and under
+    * ANSI mode — Spark 4 default — x/0 would throw mid-job, so the
+    * when() keeps the division off those rows even though the
+    * projection can evaluate before any filter). The norm is
+    * materialized as its OWN column first so the per-element division
+    * references a bound attribute: the inline formulation embeds the
+    * O(d) norm aggregate inside the transform lambda, which
+    * interpreted HOF evaluation re-runs PER ELEMENT — O(d²) per row
+    * on corpus-wide paths.
+    */
+  private[operators] def unitNormalized(
+      df: DataFrame, vecCol: String, outCol: String): DataFrame = {
+    val raw = col(vecCol).cast(ArrayType(DoubleType))
+    df.withColumn("__unorm",
+        sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x)))
+      .withColumn(outCol,
+        when(col("__unorm") > 0, transform(raw, x => x / col("__unorm"))))
+      .drop("__unorm")
+  }
+
   def train(
       df: DataFrame,
       idCol: String,
@@ -50,19 +71,13 @@ object IvfIndex {
       iters: Int,
       sampleLimit: Int = 100000): Model = {
     require(k > 0 && iters >= 0)
-    val raw = col(vecCol).cast(ArrayType(DoubleType))
-    val norm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
-    // Zero-norm vectors are excluded from TRAINING: under ANSI mode
-    // (Spark 4 default) x/0 throws mid-job, and under legacy mode it
-    // yields nulls that silently poison seeds and Lloyd sums. A zero
-    // vector has no direction, so it cannot inform spherical
-    // centroids — the when() keeps the division off those rows
-    // entirely (the projection can evaluate before the filter), and
-    // the filter drops them from the sample. assign/probe still
-    // handle such corpus rows (deterministic first-cell assignment).
-    val sample = df
-      .select(col(idCol).as("id"),
-        when(norm > 0, transform(raw, x => x / norm)).as("v"))
+    // Zero-norm vectors are excluded from TRAINING (see
+    // unitNormalized); assign/probe still handle such corpus rows
+    // (deterministic first-cell assignment).
+    val sample = unitNormalized(
+        df.select(col(idCol).as("id"), col(vecCol).as("__vec")),
+        "__vec", "v")
+      .select("id", "v")
       .filter(col("v").isNotNull)
       .orderBy("id").limit(sampleLimit)
       .cache()

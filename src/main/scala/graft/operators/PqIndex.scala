@@ -45,17 +45,18 @@ object PqIndex {
   /** Unit-normalized double vector, null for zero-norm rows (which
     * have no direction — same exclusion IvfIndex.train applies, and
     * under ANSI mode the guarded when() keeps x/0 from throwing).
-    * Callers on the QUERY side must project this BEFORE any join so
-    * the normalization is evaluated once per query row, never per
-    * (query, corpus) pair.
+    * QUERY-SIDE ONLY: the norm aggregate sits inside the transform
+    * lambda here, which interpreted HOF evaluation re-runs per
+    * element (O(d²) per row) — fine for a handful of query vectors
+    * projected before a join, wrong for a corpus pass. Corpus-wide
+    * paths (train/encode) use [[IvfIndex.unitNormalized]], which
+    * materializes the norm as its own column first.
     */
   def normalizedVec(vec: Column): Column = {
     val raw = vec.cast(ArrayType(DoubleType))
     val norm = sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x))
     when(norm > 0, transform(raw, x => x / norm))
   }
-
-  private def normalized(vecCol: String): Column = normalizedVec(col(vecCol))
 
   /** Train all `m` codebooks. One job per Lloyd iteration: subvectors
     * explode to (id, sub, v) rows, every row argmins against ITS
@@ -72,8 +73,10 @@ object PqIndex {
       iters: Int = 3,
       sampleLimit: Int = 100000): Model = {
     require(m > 0 && k > 0 && iters >= 0)
-    val sample = df
-      .select(col(idCol).as("id"), normalized(vecCol).as("v"))
+    val sample = IvfIndex.unitNormalized(
+        df.select(col(idCol).as("id"), col(vecCol).as("__vec")),
+        "__vec", "v")
+      .select("id", "v")
       .filter(col("v").isNotNull)
       .orderBy("id").limit(sampleLimit)
       .cache()
@@ -82,6 +85,14 @@ object PqIndex {
     val dim = sample.head().getSeq[Double](1).length
     require(dim % m == 0,
       s"vector dim $dim must divide into m=$m subspaces")
+    // a ragged (shorter) vector would null-pad the zip_with fold and
+    // the null elements would unbox to silent 0.0s in the means —
+    // fail with the offending length instead (same guard as IvfIndex)
+    val badLen = sample.filter(size(col("v")) =!= dim).limit(1)
+      .select(size(col("v"))).collect()
+    require(badLen.isEmpty,
+      s"PqIndex: vectors must all have length $dim, found ${
+        badLen.headOption.map(_.getInt(0)).getOrElse(-1)}")
     val dsub = dim / m
 
     // (id, sub, subvector) rows — the per-iteration working set
@@ -144,7 +155,7 @@ object PqIndex {
         slice(col("__pq_vn"), s * model.dsub + 1, model.dsub),
         typedlit(model.codebooks(s).map(_.toSeq).toSeq))
     }: _*)
-    df.withColumn("__pq_vn", normalized(vecCol))
+    IvfIndex.unitNormalized(df, vecCol, "__pq_vn")
       .withColumn("codes", when(col("__pq_vn").isNotNull, codes))
       .drop("__pq_vn")
   }

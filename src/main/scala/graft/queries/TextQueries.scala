@@ -258,6 +258,11 @@ object TextQueries {
           .withQualityStats(docs(s, d))
           .select(col("doc_id"), col("lang"),
             expr("stop_hits * 1000000L div n_tokens").as("score"))
+          // NULL scores (null text) must be excluded identically in
+          // both engines: Spark windows sort nulls FIRST ascending,
+          // DuckDB sorts them LAST, so a null row would shift the
+          // order statistic differently on each side
+          .filter(col("score").isNotNull)
         val wRank = Window.partitionBy("lang")
           .orderBy(col("score"), col("doc_id"))
         val wLang = Window.partitionBy("lang")
@@ -276,7 +281,8 @@ object TextQueries {
                  (len(regexp_extract_all(text, '\b(the|a|of|and|to)\b'))
                     * 1000000)
                    // len(string_split(text, ' ')) AS score
-          FROM documents),
+          FROM documents
+          WHERE text IS NOT NULL),
         ranked AS (
           SELECT *, row_number() OVER (PARTITION BY lang
                       ORDER BY score, doc_id) AS rn,

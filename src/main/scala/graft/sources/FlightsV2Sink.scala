@@ -114,9 +114,17 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
     // A live committer normally holds the lock only for the
     // microseconds of the manifest read-modify-rename, far below the
     // steal horizon — but a stall (GC pause, FS hiccup, huge prior
-    // manifest) can push it past the horizon, so every step below is
+    // manifest) can push it past the horizon, so the steps below are
     // written so that losing the lock mid-commit FAILS this commit
     // rather than silently dropping the stealer's published files.
+    // Honest limit: plain file primitives have no atomic
+    // compare-and-rename, so check-then-act windows of a few
+    // microseconds remain (ownership re-check → publish rename;
+    // token read → release delete). Reaching one requires a SECOND
+    // independent >30s stall inside that window after already
+    // stalling past the horizon once; the design goal is that every
+    // practically reachable interleaving degrades to a failed commit,
+    // never to silent file loss.
     val lock = dir.resolve("_manifest.lock")
     var acquired = false
     var attempts = 0
@@ -144,20 +152,20 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
               // rename preserves mtime — re-check it on the tombstone.
               // If a live committer re-created the lock between our age
               // check and the rename, we grabbed a FRESH lock by
-              // mistake: put it back (its owner keeps running). If the
-              // restore loses a further race, the displaced owner's
-              // pre-publish ownership check still prevents data loss —
-              // that commit fails instead of dropping files.
+              // mistake. Do NOT move it back: on POSIX, ATOMIC_MOVE is
+              // rename(2), which silently REPLACES an existing target,
+              // so a restore racing a third committer's CREATE_NEW
+              // could clobber that live lock and let its pre-publish
+              // ownership check pass against the wrong token — silent
+              // manifest loss. Deleting the tombstone instead merely
+              // fails the displaced owner's commit at its ownership
+              // re-check: a spurious, SAFE failure, never data loss.
               val tombAge = System.currentTimeMillis() -
                 java.nio.file.Files.getLastModifiedTime(tomb).toMillis
               if (tombAge > FlightsV2BatchWrite.lockStealAfterMillis)
                 java.nio.file.Files.delete(tomb) // confirmed stale
               else
-                try java.nio.file.Files.move(tomb, lock,
-                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-                catch { case _: java.io.IOException =>
-                  java.nio.file.Files.deleteIfExists(tomb)
-                }
+                java.nio.file.Files.deleteIfExists(tomb)
             }
           } catch {
             case _: java.io.IOException => () // lost the steal race — retry
