@@ -30,7 +30,20 @@ object CorpusPipelineDemo {
       .drop("n_word_tokens", "len_chars")
     println(s"[corpus] after quality gate:    ${gated.count()}")
 
-    // 2. exact dedup on normalized fingerprint (keep min doc_id)
+    // 2. exact dedup on normalized fingerprint (keep min doc_id).
+    // At ingest scale a Bloom gate fronts this step: rows the filter
+    // clears are DEFINITELY novel (no false negatives) and skip the
+    // dedup join entirely, shrinking its input to ~true dups + fpp of
+    // the batch. Shown against a simulated prior corpus (the even-id
+    // half) with the odd-id half arriving as the new batch — the
+    // pass-through count is the join input the gate leaves.
+    val prior = gated.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = gated.filter(pmod(col("doc_id"), lit(2)) === 1)
+    val bloomed = graft.operators.NearDup.bloomGate(
+      prior, batch, keyCol = "text", expectedItems = 100000L)
+    println(s"[corpus] bloom gate: " +
+      s"${bloomed.filter(col("might_be_dup")).count()} of " +
+      s"${bloomed.count()} batch rows still need the dedup join")
     val exact = graft.operators.NearDup.exactDedup(gated)
     println(s"[corpus] after exact dedup:     ${exact.count()}")
 
