@@ -71,8 +71,19 @@ object MediaPipeline {
     */
   final class ImageIoDecoder extends MediaDecoder {
     private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
-      val img = javax.imageio.ImageIO.read(
+      // Wrap the in-memory payload explicitly: the ImageIO.read(
+      // InputStream) convenience overload defaults to a
+      // FileCacheImageInputStream, which spools every payload to a
+      // java.io.tmpdir temp file and unlinks it — per-ROW disk I/O in
+      // the partition hot path (and an outright failure on a
+      // read-only tmpdir). The bytes are already fully in memory.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
+      val img =
+        try javax.imageio.ImageIO.read(iis)
+        // read() closes the stream itself on success; a second close on
+        // an ImageInputStreamImpl throws, so swallow only that
+        finally { try iis.close() catch { case _: java.io.IOException => () } }
       if (img == null)
         throw new IllegalArgumentException(
           "payload is not a decodable image (no registered reader)")
@@ -91,7 +102,32 @@ object MediaPipeline {
         meanOf(img))
     }
     def meanByte(payload: Array[Byte]): Double = meanOf(read(payload))
-    private def meanOf(img: java.awt.image.BufferedImage): Double = {
+    /** Indexed/palette images (GIF, palette PNG, 1-bit PNG) decode to a
+      * raster whose single band holds palette INDICES, not intensities —
+      * averaging it directly would report a 2-color white GIF as
+      * mean≈1, not ≈255, and disagree with the 3/4 channels the
+      * ColorModel advertises. Expand any such image to a component
+      * raster (one band per color component) before averaging, so
+      * mean_byte is always over actual pixel intensities and the band
+      * count matches `decodeDims`' channel count.
+      */
+    private def componentView(
+        img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+      if (img.getRaster.getNumBands == img.getColorModel.getNumComponents)
+        img
+      else {
+        val t =
+          if (img.getColorModel.hasAlpha)
+            java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
+          else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+        val conv = new java.awt.image.BufferedImage(
+          img.getWidth, img.getHeight, t)
+        val g = conv.createGraphics()
+        try g.drawImage(img, 0, 0, null) finally g.dispose()
+        conv
+      }
+    private def meanOf(src: java.awt.image.BufferedImage): Double = {
+      val img = componentView(src)
       val raster = img.getRaster
       val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
       var sum = 0L

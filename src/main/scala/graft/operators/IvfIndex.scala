@@ -30,18 +30,6 @@ object IvfIndex {
     def asColumn: Column = typedlit(centroids.map(_.toSeq).toSeq)
   }
 
-  /** Deterministic spherical k-means (Lloyd iterations over an
-    * id-ordered sample, unit-normalized vectors and centroids). Unit
-    * centroids make squared-L2 argmin ≡ cosine argmax — even for
-    * UN-normalized corpus vectors, since |v|² is constant across cells
-    * — so [[assign]]/[[probe]] need no per-vector normalization and
-    * the index serves cosine search natively.
-    *
-    * @param df          corpus with an id column and a vector column
-    *                    (`array<float>` or `array<double>`)
-    * @param sampleLimit training-sample bound (orderBy(id).limit —
-    *                    a TakeOrdered, safe at any corpus size)
-    */
   /** df + `outCol` = unit-normalized double copy of `vecCol`, null
     * for zero-norm rows (a zero vector has no direction; and under
     * ANSI mode — Spark 4 default — x/0 would throw mid-job, so the
@@ -63,6 +51,18 @@ object IvfIndex {
       .drop("__unorm")
   }
 
+  /** Deterministic spherical k-means (Lloyd iterations over an
+    * id-ordered sample, unit-normalized vectors and centroids). Unit
+    * centroids make squared-L2 argmin ≡ cosine argmax — even for
+    * UN-normalized corpus vectors, since |v|² is constant across cells
+    * — so [[assign]]/[[probe]] need no per-vector normalization and
+    * the index serves cosine search natively.
+    *
+    * @param df          corpus with an id column and a vector column
+    *                    (`array<float>` or `array<double>`)
+    * @param sampleLimit training-sample bound (orderBy(id).limit —
+    *                    a TakeOrdered, safe at any corpus size)
+    */
   def train(
       df: DataFrame,
       idCol: String,

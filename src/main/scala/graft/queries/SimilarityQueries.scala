@@ -60,10 +60,11 @@ object SimilarityQueries {
         round(col("sim"), 6).as("sim_r"))
   }
 
-  /** The DuckDB rendering of [[exactTopK]] (k=5) — shared verbatim by
-    * the s1 and s4 oracles and extended by s5's.
+  /** The DuckDB rendering of [[exactTopK]] — shared verbatim by the s1
+    * and s4 oracles and extended by s5's/s9's. Takes the SAME `k` so
+    * the two sides cannot silently diverge on the cut depth.
     */
-  private val exactTopKSql =
+  private def exactTopKSql(k: Int = 5): String =
     s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
           FROM embeddings WHERE vec_id < 10),
         c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
@@ -76,7 +77,7 @@ object SimilarityQueries {
                    ORDER BY sim DESC, n_id) AS rank
           FROM sims)
       SELECT q_id, n_id, rank, round(sim, 6) AS sim_r
-      FROM ranked WHERE rank <= 5"""
+      FROM ranked WHERE rank <= $k"""
 
   val entries: Map[String, (Fn, Option[String])] = Map(
 
@@ -123,7 +124,7 @@ object SimilarityQueries {
     // the shared exactTopK definition (also s5's recall-contract arm).
     "s1_cosine_topk" -> ((
       (s: SparkSession, d: String) => exactTopK(s, d),
-      Some(exactTopKSql)
+      Some(exactTopKSql())
     )),
 
     // Same result as s1 through a different physical strategy: a typed
@@ -151,7 +152,7 @@ object SimilarityQueries {
             (col("pos") + 1).cast("long").as("rank"),
             round(col("s.score"), 6).as("sim_r"))
       },
-      Some(exactTopKSql)
+      Some(exactTopKSql())
     )),
 
     // Embedding-cosine near-duplicate pairs, bucketed by label so the
@@ -234,7 +235,7 @@ object SimilarityQueries {
           .select(col("q_id"), col("n_id"), col("rank"), col("sim_r"),
             (col("__hits") >= 20).as("recall_floor_ok"))
       },
-      Some(s"""WITH exact5 AS ($exactTopKSql)
+      Some(s"""WITH exact5 AS (${exactTopKSql()})
         SELECT q_id, n_id, rank, sim_r, TRUE AS recall_floor_ok
         FROM exact5""")
     )),
@@ -309,7 +310,7 @@ object SimilarityQueries {
           .select(col("q_id"), col("n_id"), col("rank"), col("sim_r"),
             (col("__hits") >= 15).as("pq_recall_floor_ok"))
       },
-      Some(s"""WITH exact5 AS ($exactTopKSql)
+      Some(s"""WITH exact5 AS (${exactTopKSql()})
         SELECT q_id, n_id, rank, sim_r, TRUE AS pq_recall_floor_ok
         FROM exact5""")
     )),

@@ -150,22 +150,32 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
               java.nio.file.Files.move(lock, tomb,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
               // rename preserves mtime — re-check it on the tombstone.
-              // If a live committer re-created the lock between our age
-              // check and the rename, we grabbed a FRESH lock by
-              // mistake. Do NOT move it back: on POSIX, ATOMIC_MOVE is
-              // rename(2), which silently REPLACES an existing target,
-              // so a restore racing a third committer's CREATE_NEW
-              // could clobber that live lock and let its pre-publish
-              // ownership check pass against the wrong token — silent
-              // manifest loss. Deleting the tombstone instead merely
-              // fails the displaced owner's commit at its ownership
-              // re-check: a spurious, SAFE failure, never data loss.
+              // If the age check and the rename raced another stealer
+              // (stale lock deleted + fresh lock CREATE_NEWed in
+              // between), the file we moved is a committer's LIVE lock,
+              // and deleting it would unlock that committer's critical
+              // section for a third party. RESTORE it with a
+              // NON-replacing move: if the name is still free, the
+              // owner gets its lock back untouched (content and mtime
+              // preserved) and never notices. If a third committer
+              // CREATE_NEWed in the meantime, the restore throws and we
+              // just drop the tombstone — the displaced owner then
+              // fails at its pre-publish ownership re-check: a
+              // spurious, SAFE failure, never silent file loss. (A
+              // replacing ATOMIC_MOVE restore would be WORSE than
+              // deleting: it could clobber that third lock and let the
+              // wrong committer pass its ownership check.)
               val tombAge = System.currentTimeMillis() -
                 java.nio.file.Files.getLastModifiedTime(tomb).toMillis
               if (tombAge > FlightsV2BatchWrite.lockStealAfterMillis)
                 java.nio.file.Files.delete(tomb) // confirmed stale
-              else
-                java.nio.file.Files.deleteIfExists(tomb)
+              else {
+                try java.nio.file.Files.move(tomb, lock) // no REPLACE
+                catch {
+                  case _: java.io.IOException =>
+                    java.nio.file.Files.deleteIfExists(tomb)
+                }
+              }
             }
           } catch {
             case _: java.io.IOException => () // lost the steal race — retry

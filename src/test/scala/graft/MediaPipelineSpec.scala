@@ -136,6 +136,34 @@ class MediaPipelineSpec extends SparkSpecBase {
       != got.map(f => (f.width, f.height)))
   }
 
+  test("ImageIoDecoder averages pixel INTENSITIES for indexed/palette " +
+      "images, not palette indices") {
+    // A 2-color palette GIF, all pixels white: the raster's single band
+    // holds palette index 1 everywhere, so averaging raw samples would
+    // report mean≈1 — the component expansion must report ≈255 on the
+    // same 3 channels the ColorModel advertises.
+    // (16x16, not smaller: the JDK GIF codec corrupts the last row of
+    // an 8x4 single-color frame — a round-trip LZW edge case, verified
+    // independently of this decoder)
+    val img = new java.awt.image.BufferedImage(
+      16, 16, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+      new java.awt.image.IndexColorModel(1, 2,
+        Array[Byte](0, -1), Array[Byte](0, -1), Array[Byte](0, -1)))
+    val g = img.createGraphics()
+    try {
+      g.setColor(java.awt.Color.WHITE)
+      g.fillRect(0, 0, 16, 16)
+    } finally g.dispose()
+    assert(img.getRaster.getSample(0, 0, 0) == 1) // index, not intensity
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val dec = new ImageIoDecoder
+    val ((w, h, c), mean) = dec.decodeFeatures(bos.toByteArray)
+    assert((w, h, c) == (16, 16, 3), s"dims ($w,$h,$c)")
+    assert(math.abs(mean - 255.0) < 1e-12, s"mean_byte $mean")
+    assert(math.abs(dec.meanByte(bos.toByteArray) - 255.0) < 1e-12)
+  }
+
   test("ImageIoDecoder rejects an undecodable payload with a clear error") {
     val dec = new ImageIoDecoder
     val e = intercept[IllegalArgumentException] {
