@@ -147,6 +147,7 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
               // delete-and-recreate between B's age check and B's
               // delete, and B would then remove A's LIVE lock.
               val tomb = dir.resolve(s"_manifest.lock.stolen-$jobToken")
+              beforeSteal()
               java.nio.file.Files.move(lock, tomb,
                 java.nio.file.StandardCopyOption.ATOMIC_MOVE)
               // rename preserves mtime — re-check it on the tombstone.
@@ -237,6 +238,13 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
     * critical section.
     */
   protected def beforePublish(): Unit = ()
+
+  /** Test seam: invoked after the stale-age check passes but before
+    * the tombstone move — the exact window where a racing stealer can
+    * have already replaced the stale lock with a fresh live one. Race
+    * specs override this to force that interleaving deterministically.
+    */
+  protected def beforeSteal(): Unit = ()
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     messages.collect { case FlightsV2TaskCommit(f, _) =>

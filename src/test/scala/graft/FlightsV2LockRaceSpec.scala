@@ -84,6 +84,60 @@ class FlightsV2LockRaceSpec extends SparkSpecBase {
       s"steal left lock/tombstone residue: ${residue(dir)}")
   }
 
+  test("a stealer that raced a faster stealer RESTORES the fresh lock " +
+      "it grabbed — the winner keeps mutual exclusion, the loser retries") {
+    val dir = tmpDir()
+    Files.createDirectories(Paths.get(dir))
+    val lock = Paths.get(dir).resolve("_manifest.lock")
+    // a dead committer's stale lock
+    Files.write(lock, "deadbeef".getBytes("UTF-8"))
+    Files.setLastModifiedTime(lock,
+      FileTime.fromMillis(System.currentTimeMillis() - 60000L))
+
+    // Committer B passes the age check on the stale lock; in the window
+    // before its tombstone move, a faster stealer wins the steal and
+    // CREATE_NEWs its own fresh lock ("victor"). B's ATOMIC_MOVE then
+    // grabs that LIVE lock — the interleaving where a delete instead of
+    // a restore would unlock victor's critical section for a third
+    // party and spuriously fail victor's ownership re-check.
+    val swapped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    class RacedStealer extends FlightsV2BatchWrite(
+        dir, schema, replace = false) {
+      override protected def beforeSteal(): Unit =
+        if (swapped.compareAndSet(false, true)) {
+          Files.delete(lock)
+          Files.write(lock, "victor".getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW)
+        }
+    }
+    @volatile var bFailure: Throwable = null
+    val b = new Thread(() => {
+      try new RacedStealer()
+        .commit(Array(FlightsV2TaskCommit("part-b-0.jsonl", 1L)))
+      catch { case t: Throwable => bFailure = t }
+    })
+    b.start()
+    // B must RESTORE victor's lock with its token intact, not delete it
+    val deadline = System.currentTimeMillis() + 10000
+    var restored = false
+    while (!restored && System.currentTimeMillis() < deadline) {
+      restored = swapped.get && Files.exists(lock) &&
+        (try new String(Files.readAllBytes(lock), "UTF-8") == "victor"
+         catch { case _: java.io.IOException => false })
+      if (!restored) Thread.sleep(20)
+    }
+    assert(restored,
+      "raced stealer deleted (or never restored) the live lock it grabbed")
+    // victor finishes and releases; B then acquires and commits normally
+    Files.delete(lock)
+    b.join(60000)
+    assert(bFailure == null, s"raced stealer must retry, not fail: $bFailure")
+    assert(manifestEntries(dir) == Seq("part-b-0.jsonl"),
+      s"manifest after raced steal: ${manifestEntries(dir)}")
+    assert(residue(dir).isEmpty,
+      s"residue after raced steal: ${residue(dir)}")
+  }
+
   test("a committer stalled past the steal horizon fails its commit " +
       "instead of dropping the stealer's files") {
     val dir = tmpDir()
