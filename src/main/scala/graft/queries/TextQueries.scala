@@ -1257,6 +1257,59 @@ object TextQueries {
         FROM documents WHERE n_chars > 0 GROUP BY 1""")
     )),
 
+    // Self-trained bigram-LM predictability — the CCNet/KenLM
+    // LM-quality-filter slot, reduced to engine-portable arithmetic.
+    // The LM is trained ON the corpus itself: bigram counts c12 and
+    // left-position unigram counts c1 (c1 = Σ_w2 c12, so p = c12/c1 is
+    // a proper conditional MLE — no smoothing needed when scoring the
+    // training corpus, every bigram has c12 ≥ 1). Each document scores
+    // pred_q = Σ floor(c12·1e6 / c1) over its bigram OCCURRENCES: high
+    // = templated/predictable text the LM expects, low = novel prose —
+    // the conditional-probability complement of t16's doc-frequency
+    // novelty. True perplexity is a monotone transform (−avg log p) of
+    // the same sufficient statistics; it is deliberately NOT emitted:
+    // IEEE 754 guarantees correct rounding only for +,−,·,/,sqrt, so a
+    // Σ floor(ln ...) could flip an integer between engines' libm,
+    // while c12·1e6 (exact in double, far below 2^53) followed by one
+    // correctly-rounded division is bit-identical by construction.
+    // Scale shape: two map-side-combinable gram aggregates, one
+    // equi-join of doc bigrams onto the (distinct-gram-sized) count
+    // tables, one per-doc aggregate — no cross-doc pair work anywhere.
+    // Single-token docs have no bigrams and drop out on both sides.
+    "t22_bigram_lm" -> ((
+      (s: SparkSession, d: String) => {
+        val bg = docs(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .filter(size(col("w")) >= 2) // sequence(1,0) would DESCEND
+          .select(col("doc_id"), explode(expr(
+              "transform(sequence(1, size(w) - 1), " +
+                "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        val cu = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+        bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(floor(col("c12") * lit(1000000.0) / col("c1")))
+              .cast("long").as("pred_q"))
+      },
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        bg AS (
+          SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+          FROM (SELECT doc_id,
+                  unnest([{'w1': w[i], 'w2': w[i+1]}
+                          for i in range(1, len(w))]) AS b
+                FROM t)),
+        cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        cu AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(CAST(floor(c12 * 1000000.0 / c1) AS BIGINT))
+                 AS BIGINT) AS pred_q
+        FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+        GROUP BY doc_id""")
+    )),
+
     // Edit-distance near-dup: the dedup family's third verification
     // geometry (set overlap = Jaccard d7, bit space = SimHash d9,
     // SEQUENCE space = Levenshtein here). Candidate generation is

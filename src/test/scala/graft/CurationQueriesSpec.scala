@@ -30,6 +30,29 @@ class CurationQueriesSpec extends SparkSpecBase {
     assert(rows.map(_.getLong(1)).sum == total)
   }
 
+  test("t22: pred_q is a quantized conditional probability — at most " +
+      "1e6 per bigram, one row per multi-token doc, n_bigrams exact") {
+    val rows = SparkEntry.queries("t22_bigram_lm")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, q) =>
+      // each term floor(c12·1e6/c1) is in [0, 1e6] since 1 ≤ c12 ≤ c1
+      assert(n >= 1 && q >= 0 && q <= n * 1000000L,
+        s"doc $id: pred_q $q outside [0, ${n}e6]")
+    }
+    // exhaustive coverage: exactly the docs with ≥2 whitespace tokens,
+    // each contributing exactly tokens−1 bigrams
+    val exp = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS t")
+      .filter("t >= 2").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(rows.length == exp.size,
+      s"${rows.length} scored docs vs ${exp.size} multi-token docs")
+    rows.foreach { case (id, n, _) =>
+      assert(n == exp(id) - 1L, s"doc $id: $n bigrams, ${exp(id)} tokens")
+    }
+  }
+
   test("t21: the threshold is a member score and keeps 75%±ties per " +
       "language; every language contributes") {
     val rows = SparkEntry.queries("t21_adaptive_quality_gate")(spark, dir)
