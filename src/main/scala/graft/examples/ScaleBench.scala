@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * clones, adding ~45 cross-copy pairs per doc — a quadratic artifact
   * of the synthetic data, not of the operator under test.)
   *
-  * Usage: runMain graft.examples.ScaleBench gen|bench [outDir]
+  * Usage: runMain graft.examples.ScaleBench gen|bench [outDir] [target…]
+  * (trailing target names restrict the bench to those queries — for
+  * re-measuring a new target against already-generated 10× data
+  * without repeating the full study)
   */
 object ScaleBench {
 
@@ -32,8 +35,10 @@ object ScaleBench {
     // arms — re-measured so the exponent table matches shipped plans
     "q15_approx_users_per_type", "q26_approx_percentiles",
     "t9_freq_items",
-    // round-8 additions: bloom gate, adaptive quality gate, PQ+rerank
-    "d13_bloom_gate", "t21_adaptive_quality_gate", "s9_pq_rerank")
+    // round-8 additions: bloom gate, adaptive quality gate, PQ+rerank,
+    // bigram-LM predictability
+    "d13_bloom_gate", "t21_adaptive_quality_gate", "s9_pq_rerank",
+    "t22_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")
@@ -47,7 +52,7 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     if (mode == "gen") gen(spark, baseDir, scaledDir)
-    else bench(spark, baseDir, scaledDir)
+    else bench(spark, baseDir, scaledDir, args.drop(2).toSet)
     spark.stop()
   }
 
@@ -102,7 +107,8 @@ object ScaleBench {
   }
 
   private def bench(
-      spark: SparkSession, baseDir: String, scaledDir: String): Unit = {
+      spark: SparkSession, baseDir: String, scaledDir: String,
+      only: Set[String] = Set.empty): Unit = {
     def dropBlocks(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
@@ -125,7 +131,7 @@ object ScaleBench {
     // JVM-wide warmup (same rationale as Bench)
     spark.range(1000000).selectExpr("sum(id)").collect()
     println(f"${"query"}%-26s ${"t(1x)/s"}%9s ${"t(10x)/s"}%9s ${"exponent"}%9s")
-    targets.foreach { name =>
+    targets.filter(n => only.isEmpty || only(n)).foreach { name =>
       val t1 = measure(name, baseDir)
       val t10 = measure(name, scaledDir)
       val exp = math.log10(t10 / t1)
