@@ -227,6 +227,19 @@ class PlanShapeSpec extends SparkSpecBase {
       s"candidate check must plan as an equi-join:\n$s")
   }
 
+  test("the bigram LM trains and scores through hash-partial aggregates " +
+      "and equi-joins — no pair explosion, no global sort") {
+    val plan = finalPlan(planOf("t22_bigram_lm"))
+    val s = plan.toString
+    assert(!s.contains("NestedLoop") && !s.contains("CartesianProduct"),
+      s"count-table lookups must stay equi-joins:\n$s")
+    assert(!s.contains("Sort "), s"nothing here needs a sort:\n$s")
+    // the gram aggregates must combine map-side: partial_count before
+    // the exchange, not a raw-row shuffle of every bigram occurrence
+    assert(s.contains("partial_count"),
+      s"gram counts must aggregate map-side:\n$s")
+  }
+
   test("the PQ search scans codes with the fused ADC expression and " +
       "fetches rerank vectors through an equi-join") {
     val s = finalPlan(planOf("s9_pq_rerank")).toString
