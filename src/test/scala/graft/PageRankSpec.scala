@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import graft.operators.PageRank
 
 /** Fixed-point PageRank: hand-computed goldens, determinism, and the
@@ -75,5 +76,102 @@ class PageRankSpec extends SparkSpecBase {
     // round 1: a=150000 (+0 from c), b=0+85%·1000000=850000, c=0
     // round 2: a=150000, b=85%·150000=127500, c=85%·850000=722500
     assert(r == Map("a" -> 150000L, "b" -> 127500L, "c" -> 722500L), s"$r")
+  }
+
+  // ---- the broadcastNodeLimit=0 degradation path: past the node
+  // limit the rate join must fall back to a plain shuffled equi-join
+  // (no broadcast exchange anywhere) and produce bit-identical ranks.
+  // Runs the same co-purchase edge derivation p2/p4 use, on real
+  // sf0.001 lineitem, so the fallback is proven on the production
+  // query shape, not a toy chain.
+
+  private def copurchaseEdges = {
+    import SparkTestSession.spark.implicits._
+    val li = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" =!= $"b.pk")
+      .select($"a.pk".as("src"), $"b.pk".as("dst"))
+  }
+
+  private def assertNoBroadcastRounds(plans: Seq[String]): Unit =
+    plans.foreach { p =>
+      assert(!p.contains("BroadcastExchange") &&
+          !p.contains("BroadcastHashJoin") &&
+          !p.contains("BroadcastNestedLoop"),
+        s"fallback path must not plan any broadcast:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"fallback rate join must be a shuffled equi-join:\n$p")
+    }
+
+  /** Run `body` with AQE's runtime broadcast conversion disabled, so
+    * the fallback genuinely EXECUTES shuffled joins (on tiny test data
+    * AQE would otherwise re-plan the small rate side back to a
+    * broadcast — at real scale, where the fallback matters, the rate
+    * table is past every threshold and no such conversion happens).
+    * The explicit broadcast() hint on the under-limit path is
+    * unaffected: hints override thresholds.
+    */
+  private def withRuntimeBroadcastDisabled[A](body: => A): A = {
+    val conf = spark.conf
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k))
+    keys.foreach(conf.set(_, "-1"))
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("broadcastNodeLimit=0 degrades p2 to a shuffled equi-join " +
+      "with bit-identical ranks") {
+    withRuntimeBroadcastDisabled {
+      val e = copurchaseEdges
+      val viaBroadcast = PageRank
+        .run(e, "src", "dst", iterations = 3, checkpointEvery = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // capture each round's plan string EAGERLY: the hook fires before
+      // the round executes, so the snapshot is the static plan — after
+      // execution AQE finalizes the same QueryExecution in place
+      val plans = scala.collection.mutable.Buffer[String]()
+      val viaShuffle = PageRank
+        .run(e, "src", "dst", iterations = 3, checkpointEvery = 2,
+          broadcastNodeLimit = 0L,
+          inspectRound = df =>
+            plans += df.queryExecution.executedPlan.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaShuffle == viaBroadcast,
+        "shuffled fallback must reproduce the broadcast-path ranks exactly")
+      assert(plans.size == 3)
+      assertNoBroadcastRounds(plans.toSeq)
+    }
+  }
+
+  test("broadcastNodeLimit=0 degrades p4 (seeded) identically") {
+    withRuntimeBroadcastDisabled {
+      val e = copurchaseEdges
+      val seeds = spark.read
+        .parquet("/root/testdata/sf0.001/part.parquet")
+        .filter(col("p_brand") === "Brand#4")
+        .select(col("p_partkey").as("node"))
+      val viaBroadcast = PageRank
+        .run(e, "src", "dst", iterations = 3, checkpointEvery = 2,
+          seeds = Some(seeds))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val plans = scala.collection.mutable.Buffer[String]()
+      val viaShuffle = PageRank
+        .run(e, "src", "dst", iterations = 3, checkpointEvery = 2,
+          broadcastNodeLimit = 0L, seeds = Some(seeds),
+          inspectRound = df =>
+            plans += df.queryExecution.executedPlan.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaShuffle == viaBroadcast,
+        "seeded shuffled fallback must reproduce the broadcast-path ranks")
+      assertNoBroadcastRounds(plans.toSeq)
+    }
   }
 }
