@@ -41,14 +41,25 @@ object IvfIndex {
     * interpreted HOF evaluation re-runs PER ELEMENT — O(d²) per row
     * on corpus-wide paths.
     */
+  /** A working-column name guaranteed absent from `df`: a fixed name
+    * like `__unorm` would silently overwrite (and then drop) a
+    * same-named caller column — encode()/unitNormalized are
+    * public-facing via the operator APIs, so the caller's schema is
+    * not ours to assume.
+    */
+  private[operators] def freshName(df: DataFrame, base: String): String =
+    Iterator.iterate(base)(_ + "_")
+      .dropWhile(df.columns.contains).next()
+
   private[operators] def unitNormalized(
       df: DataFrame, vecCol: String, outCol: String): DataFrame = {
     val raw = col(vecCol).cast(ArrayType(DoubleType))
-    df.withColumn("__unorm",
+    val norm = freshName(df, "__unorm")
+    df.withColumn(norm,
         sqrt(aggregate(raw, lit(0.0), (acc, x) => acc + x * x)))
       .withColumn(outCol,
-        when(col("__unorm") > 0, transform(raw, x => x / col("__unorm"))))
-      .drop("__unorm")
+        when(col(norm) > 0, transform(raw, x => x / col(norm))))
+      .drop(norm)
   }
 
   /** Deterministic spherical k-means (Lloyd iterations over an
@@ -152,9 +163,10 @@ object IvfIndex {
             (c, v) => (c - v) * (c - v)),
           lit(0.0), (acc, x) => acc + x).as("d"),
         i.as("cell")))
-    df.withColumn("__cells",
+    val cells = freshName(df, "__cells")
+    df.withColumn(cells,
         slice(array_sort(dists), 1, nprobe).getField("cell"))
-      .withColumn("probe_cell", explode(col("__cells")))
-      .drop("__cells")
+      .withColumn("probe_cell", explode(col(cells)))
+      .drop(cells)
   }
 }

@@ -150,14 +150,15 @@ object PqIndex {
     * into its consumers).
     */
   def encode(df: DataFrame, vecCol: String, model: Model): DataFrame = {
+    val vn = IvfIndex.freshName(df, "__pq_vn")
     val codes = array((0 until model.m).map { s =>
       VectorExprs.nearest_cell(
-        slice(col("__pq_vn"), s * model.dsub + 1, model.dsub),
+        slice(col(vn), s * model.dsub + 1, model.dsub),
         typedlit(model.codebooks(s).map(_.toSeq).toSeq))
     }: _*)
-    IvfIndex.unitNormalized(df, vecCol, "__pq_vn")
-      .withColumn("codes", when(col("__pq_vn").isNotNull, codes))
-      .drop("__pq_vn")
+    IvfIndex.unitNormalized(df, vecCol, vn)
+      .withColumn("codes", when(col(vn).isNotNull, codes))
+      .drop(vn)
   }
 
   /** ADC score of an ALREADY-NORMALIZED query column (see

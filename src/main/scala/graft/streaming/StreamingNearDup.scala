@@ -113,8 +113,12 @@ object StreamingNearDup {
     * armed once at claim time to ownerTs + horizon (collisions do not
     * extend it — they're already not duplicates beyond that point).
     * An arrival past the owner's horizon re-claims the bucket as the
-    * new owner. The input needs an event-time column `ts` with a
-    * watermark already applied (the caller chooses lateness).
+    * new owner — and so does an arrival whose event time PRECEDES the
+    * owner's (an out-of-order, within-lateness arrival is the earlier
+    * document: it becomes the owner rather than being attributed as a
+    * duplicate of a doc admitted later in event time). The input needs
+    * an event-time column `ts` with a watermark already applied (the
+    * caller chooses lateness).
     */
   def gateWithHorizon(
       docs: DataFrame,
@@ -147,11 +151,18 @@ object StreamingNearDup {
                 case Some(s) if s.firstDoc == r.doc_id =>
                   () // replay of the owner: not a self-collision
                 case Some(s)
-                    if r.ts.getTime - s.firstTsMillis <= horizonMs =>
+                    if r.ts.getTime >= s.firstTsMillis &&
+                      r.ts.getTime - s.firstTsMillis <= horizonMs =>
+                  // duplicate of an owner admitted AT OR BEFORE the
+                  // arrival, within horizon — owner-before-arrival is
+                  // part of the contract, so a negative delta never
+                  // attributes an arrival to a LATER-admitted doc
                   out += BandFlag(r.doc_id, band, bh, s.firstDoc)
                 case _ =>
-                  // bucket empty, or its owner aged out relative to
-                  // this arrival: (re-)claim it
+                  // bucket empty, its owner aged out relative to this
+                  // arrival, or the arrival PRECEDES the owner in
+                  // event time (a within-lateness out-of-order
+                  // arrival IS the earlier document): (re-)claim it
                   cur = Some(BucketStateTs(r.doc_id, r.ts.getTime))
               }
             }

@@ -36,6 +36,18 @@ class IvfIndexSpec extends SparkSpecBase {
     assert(cells.length >= 4, cells.mkString(","))
   }
 
+  test("probe and normalization never clobber caller columns named " +
+      "like their temporaries") {
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 1)
+    val withClash = emb.limit(5)
+      .withColumn("__cells", lit("mine"))
+      .withColumn("__unorm", lit(7))
+    val out = IvfIndex.probe(withClash, "embedding", model, nprobe = 2)
+    assert(out.columns.contains("__cells") && out.columns.contains("__unorm"))
+    val r = out.select("__cells", "__unorm").head()
+    assert(r.getString(0) == "mine" && r.getInt(1) == 7)
+  }
+
   private def ivfTopK(
       k: Int, nprobe: Int, topk: Int,
       corpus: DataFrame = emb, nQueries: Int = 10): DataFrame = {

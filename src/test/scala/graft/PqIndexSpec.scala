@@ -39,6 +39,17 @@ class PqIndexSpec extends SparkSpecBase {
       .head().isNullAt(0))
   }
 
+  test("encode never clobbers caller columns named like its temporaries") {
+    val model = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16, iters = 1)
+    val withClash = emb
+      .withColumn("__pq_vn", lit("mine"))
+      .withColumn("__unorm", lit(7))
+    val out = PqIndex.encode(withClash, "embedding", model)
+    assert(out.columns.contains("__pq_vn") && out.columns.contains("__unorm"))
+    val r = out.select("__pq_vn", "__unorm").head()
+    assert(r.getString(0) == "mine" && r.getInt(1) == 7)
+  }
+
   test("the native ADC expression matches a naive Scala reference") {
     val session = spark
     import session.implicits._

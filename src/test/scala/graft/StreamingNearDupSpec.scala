@@ -278,4 +278,41 @@ class StreamingNearDupSpec extends SparkSpecBase {
         s"aged-out buckets were not evicted: $after state rows")
     } finally query.stop()
   }
+
+  test("horizon gate: a within-lateness out-of-order arrival re-claims " +
+      "the bucket instead of flagging against a later-admitted owner") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val t0 = 1700000000000L
+    def ts(offsetSec: Long) = new java.sql.Timestamp(t0 + offsetSec * 1000)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // 30s lateness so an arrival 2s behind the owner is late-but-kept
+    val query = StreamingNearDup.gateWithHorizon(
+        input.toDF().toDF("doc_id", "text", "ts")
+          .withWatermark("ts", "30 seconds"),
+        java.time.Duration.ofSeconds(10))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_ooo").start()
+    def flags() = spark.table("neardup_ooo")
+      .select("doc_id", "dup_of").distinct()
+      .as[(Long, Long)].collect().toSet
+    try {
+      // t+5: doc 1 claims the bucket
+      input.addData((1L, text("oo-"), ts(5)))
+      query.processAllAvailable()
+      // t+3, arriving AFTER doc 1: precedes the owner in event time —
+      // it IS the earlier document, so it re-claims (no flag against
+      // the later-admitted doc 1)
+      input.addData((2L, text("oo-"), ts(3)))
+      query.processAllAvailable()
+      assert(flags() == Set.empty,
+        s"out-of-order arrival attributed to a later owner: ${flags()}")
+      // t+4: within the NEW owner's horizon — flags against doc 2
+      input.addData((3L, text("oo-"), ts(4)))
+      query.processAllAvailable()
+      assert(flags() == Set((3L, 2L)), s"got ${flags()}")
+    } finally query.stop()
+  }
 }
