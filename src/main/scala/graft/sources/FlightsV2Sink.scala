@@ -128,7 +128,18 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
     val lock = dir.resolve("_manifest.lock")
     var acquired = false
     var attempts = 0
-    while (!acquired && attempts < 100) {
+    // The retry budget must OUTLAST the steal horizon: an orphaned
+    // lock bearing a dead owner's token (e.g. re-created by the
+    // raced-steal restore path below after its live owner moved on)
+    // only becomes stealable once its age crosses the horizon, so a
+    // wait shorter than the horizon could exhaust its retries against
+    // a lock nobody will ever release — a liveness failure one more
+    // sleep would have resolved. Horizon + a few sleeps of margin,
+    // floored at 10 s for spec-shrunk horizons.
+    val sleepMs = 100L
+    val deadline = System.currentTimeMillis() + math.max(10000L,
+      FlightsV2BatchWrite.lockStealAfterMillis + 10 * sleepMs)
+    while (!acquired && System.currentTimeMillis() < deadline) {
       try {
         java.nio.file.Files.write(lock, jobToken.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
@@ -181,12 +192,12 @@ class FlightsV2BatchWrite(path: String, schema: StructType,
           } catch {
             case _: java.io.IOException => () // lost the steal race — retry
           }
-          attempts += 1; Thread.sleep(100)
+          attempts += 1; Thread.sleep(sleepMs)
       }
     }
     if (!acquired) throw new IllegalStateException(
-      s"could not acquire $lock after ${attempts} attempts — " +
-        "another committer holds it")
+      s"could not acquire $lock after ${attempts} attempts (waited " +
+        "past the steal horizon) — another committer holds it live")
     try {
       // append semantics: carry the previously committed files forward;
       // overwrite (truncate) starts the manifest from this job alone

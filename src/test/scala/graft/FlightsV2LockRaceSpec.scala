@@ -138,6 +138,35 @@ class FlightsV2LockRaceSpec extends SparkSpecBase {
       s"residue after raced steal: ${residue(dir)}")
   }
 
+  test("a FRESHLY orphaned lock is stolen within one commit attempt: " +
+      "the acquire budget outlasts the steal horizon") {
+    // A lock bearing a dead owner's token with a current mtime (the
+    // raced-steal restore path can produce exactly this) only ages
+    // past the horizon after `steal.ms`. With a horizon LONGER than
+    // the old fixed 10 s retry budget, the old loop exhausted its
+    // retries and failed; the budget must instead outlast the horizon
+    // so the orphan is stolen inside this same commit attempt.
+    val dir = tmpDir()
+    Files.createDirectories(Paths.get(dir))
+    val prev = sys.props.get("graft.flights.lock.steal.ms")
+    sys.props("graft.flights.lock.steal.ms") = "11000"
+    try {
+      val lock = Paths.get(dir).resolve("_manifest.lock")
+      Files.write(lock, "deadbeef".getBytes("UTF-8")) // fresh mtime
+      new FlightsV2BatchWrite(dir, schema, replace = false)
+        .commit(Array(FlightsV2TaskCommit("part-o-0.jsonl", 1L)))
+      assert(manifestEntries(dir) == Seq("part-o-0.jsonl"),
+        s"manifest after orphan steal: ${manifestEntries(dir)}")
+      assert(residue(dir).isEmpty,
+        s"residue after orphan steal: ${residue(dir)}")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.flights.lock.steal.ms") = v
+        case None => sys.props -= "graft.flights.lock.steal.ms"
+      }
+    }
+  }
+
   test("a committer stalled past the steal horizon fails its commit " +
       "instead of dropping the stealer's files") {
     val dir = tmpDir()
