@@ -155,6 +155,22 @@ object NearDup {
     * the probe is a narrow map. Nothing here grows with the batch.
     * Keys are `xxhash64(content)` so the probe is allocation-free.
     *
+    * NULL keys are definitively novel on BOTH sides: the equi-join
+    * this gate fronts (d12's batch-vs-index join) can never match a
+    * NULL key, so corpus NULLs never enter the filter and a NULL-key
+    * batch row probes `might_be_dup = false` — without this,
+    * xxhash64's seed-hash-for-NULL would make every NULL-key batch
+    * row collide with any corpus NULL as if they shared a value.
+    *
+    * SIZING: `expectedItems` must be >= the corpus's DISTINCT key
+    * count. Undersizing saturates the filter's bits and the realized
+    * false-positive rate climbs toward 1 — the gate then degrades to
+    * pass-through (every row proceeds to the verification join:
+    * correct, since the no-false-negative side never depends on
+    * sizing, but the pre-filtering benefit is gone). Size from a
+    * cheap upper bound (row count / approx_count_distinct) and round
+    * up; overestimating only costs bits.
+    *
     * Returns `batch` plus a `might_be_dup` boolean.
     */
   def bloomGate(
@@ -166,10 +182,12 @@ object NearDup {
     require(expectedItems > 0, s"expectedItems must be positive")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
     val filter = corpus
+      .filter(col(keyCol).isNotNull)
       .select(xxhash64(col(keyCol)).as("__bloom_key"))
       .stat.bloomFilter("__bloom_key", expectedItems, fpp)
     batch.withColumn("might_be_dup",
-      graft.functions.BloomExprs.bloom_might_contain(
-        filter, xxhash64(col(keyCol))))
+      col(keyCol).isNotNull &&
+        graft.functions.BloomExprs.bloom_might_contain(
+          filter, xxhash64(col(keyCol))))
   }
 }

@@ -1105,17 +1105,23 @@ object TextQueries {
         // and the exact side (localCheckpoint, same as d12)
         val flat = bandedSignatureFlat(docs(s, d)).localCheckpoint(true)
         val bands = explodedBands(flat)
+        // THE corpus/new-batch split, defined once: the bloom side,
+        // the probe side, and the exact-candidate side must agree on
+        // it — drift between them would silently weaken the gate's
+        // no-false-negative oracle (gate_ok would still read TRUE for
+        // docs the bloom never saw the corpus keys of)
         val isNew = pmod(col("doc_id"), lit(4)) === 0
+        val isCorpus = !isNew
         val keyed = bands.withColumn("k",
           concat_ws(":", col("band"), col("bh")))
         val gated = graft.operators.NearDup.bloomGate(
-          keyed.filter(pmod(col("doc_id"), lit(4)) =!= 0),
+          keyed.filter(isCorpus),
           keyed.filter(isNew),
           keyCol = "k", expectedItems = 100000L, fpp = 0.03)
         val perDoc = gated.groupBy("doc_id")
           .agg(max(col("might_be_dup")).as("__bloom_hit"))
         val cand = bands.filter(isNew).as("n")
-          .join(bands.filter(pmod(col("doc_id"), lit(4)) =!= 0).as("e"),
+          .join(bands.filter(isCorpus).as("e"),
             Seq("band", "bh"), "left_semi")
           .select("doc_id").distinct()
           .withColumn("__cand", lit(true))

@@ -57,6 +57,59 @@ class BloomGateSpec extends SparkSpecBase {
     assert(sent < 140 && sent >= 40, s"gate passed $sent of 140 rows")
   }
 
+  test("an UNDERSIZED filter saturates to pass-through: fp rate climbs " +
+      "toward 1 but false negatives stay impossible") {
+    val session = spark
+    import session.implicits._
+    // 10,000 distinct corpus keys crammed into a filter sized for 100
+    // (100x undersized): the bit array saturates
+    val corpus = (1 to 10000).map(i => s"sat corpus $i").toDF("text")
+    val novel = (1 to 2000).map(i => s"sat novel $i").toDF("text")
+    val members = NearDup.bloomGate(corpus, corpus,
+      expectedItems = 100L, fpp = 0.03)
+    // the no-false-negative side never depends on sizing
+    assert(members.filter(!col("might_be_dup")).count() == 0,
+      "saturation produced a false negative")
+    // the degradation mode is PASS-THROUGH, not data loss: nearly all
+    // novel rows flag and simply proceed to the verification join
+    val fp = NearDup.bloomGate(corpus, novel,
+      expectedItems = 100L, fpp = 0.03)
+      .filter(col("might_be_dup")).count()
+    assert(fp > 1800, s"expected a saturated filter (fp→1), got $fp/2000")
+    // …and the d12-style composition downstream is still exact: the
+    // dup set after gating equals the ungated dup set
+    val batch = ((1 to 30).map(i => (i.toLong, s"sat corpus ${i * 100}")) ++
+      (31L to 60L).map(id => (id, s"sat fresh $id"))).toDF("id", "text")
+    val gated = NearDup.bloomGate(corpus, batch, expectedItems = 100L)
+    val dedupAll = batch.join(corpus, Seq("text"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    val dedupGated = gated.filter(col("might_be_dup"))
+      .join(corpus, Seq("text"), "left_semi")
+      .select("id").as[Long].collect().toSet
+    assert(dedupAll == dedupGated && dedupAll == (1L to 30L).toSet,
+      "saturated gate changed the dup set")
+  }
+
+  test("NULL keys are definitively novel on both sides — never a " +
+      "sentinel-value collision") {
+    val session = spark
+    import session.implicits._
+    // corpus WITH a NULL key: without the isNotNull guards, xxhash64's
+    // seed-hash-for-NULL would enter the filter and every NULL-key
+    // batch row would flag might_be_dup
+    val corpus = (Seq(Some("shared x")) ++ Seq(Option.empty[String]))
+      .toDF("text")
+    val batch = Seq((1L, Some("shared x")), (2L, Option.empty[String]),
+      (3L, Some("novel y"))).toDF("id", "text")
+    val got = NearDup.bloomGate(corpus, batch, expectedItems = 100L)
+      .select("id", "might_be_dup").as[(Long, Boolean)].collect().toMap
+    assert(got(1L), "a real member key must flag")
+    assert(!got(2L), "a NULL key can never match an equi-join — must not flag")
+    // and the column is a plain boolean (no null leaking through)
+    assert(NearDup.bloomGate(corpus, batch, expectedItems = 100L)
+      .filter(col("might_be_dup").isNull).count() == 0)
+  }
+
   test("a null probe key evaluates to null, not a crash or a flag") {
     val session = spark
     import session.implicits._
