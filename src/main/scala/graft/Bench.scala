@@ -69,6 +69,13 @@ object Bench {
     // window, and (b) when the two measured runs disagree by >2x the
     // spike evidently hit one of them — take up to two more runs
     // until the spread closes (min still wins).
+    // Self-labeling health: each query's FINAL spread (max/min of its
+    // measured runs, after any retries) says whether its committed min
+    // was taken from a quiet box. A spread the retry loop could not
+    // close below 2x means contention hit every run of that query —
+    // the artifact flags itself so a later reader doesn't have to
+    // re-derive the contention story from round-over-round deltas.
+    val finalSpreads = scala.collection.mutable.Map[String, Double]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def run(): Unit =
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -92,6 +99,7 @@ object Bench {
           times = measured() :: times
           extra += 1
         }
+        finalSpreads(name) = times.max / times.min
         name -> times.min
       } catch {
         case e: Throwable =>
@@ -107,8 +115,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val worstSpread =
+      if (finalSpreads.isEmpty) 1.0 else finalSpreads.values.max
+    val contended = worstSpread > 2.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        f""""contended":$contended,"spread":$worstSpread%.2f,"sf":"$sfDir"}"""
     // Full JSON also lands in a file the driver/judge can read whole —
     // r2's 72-query stdout line was tail-truncated in capture, losing
     // the d*/m* timings and the total.
