@@ -293,6 +293,47 @@ object MediaPipeline {
       .as[MediaFile]
   }
 
+  /** Deterministic PNG fixtures synthesized from doc ids — REAL encoded
+    * PNG bytes (JDK `ImageIO.write`), not text stand-ins. Pixel (x,y)
+    * of doc `id` is the gray value `(id*31 + x*7 + y*13) % 256` in a
+    * `(8 + id%16) x (8 + (id/7)%16)` RGB image. Because PNG is
+    * lossless, decoding these bytes with [[ImageIoDecoder]] must
+    * reproduce the formula's pixel statistics exactly — which a SQL
+    * oracle can recompute from `doc_id` alone without any image
+    * library. Synthesis is per-partition map work: no shuffle, scales
+    * with input splits, encoder state per row (ImageIO writers are not
+    * thread-safe to share).
+    */
+  def pngFixtures(
+      spark: SparkSession, dir: String, everyNth: Int = 5): Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .where(pmod(col("doc_id"), lit(everyNth)) === 0)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = (8 + id % 16).toInt
+          val h = (8 + (id / 7) % 16).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          MediaFile(id, "image", bos.toByteArray)
+        }
+      }
+  }
+
   /** Feature table as a DataFrame for the query/oracle surface. */
   def imageFeaturesDf(spark: SparkSession, dir: String): DataFrame =
     extractImageFeatures(fromDocuments(spark, dir)).toDF()

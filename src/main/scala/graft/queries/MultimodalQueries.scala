@@ -86,6 +86,41 @@ object MultimodalQueries {
         FROM documents""")
     )),
 
+    // REAL image decode, oracle-pinned: synthesized PNG bytes (see
+    // MediaPipeline.pngFixtures — pixel formula derivable from doc_id)
+    // are decoded by the production javax.imageio decoder, and DuckDB
+    // recomputes the expected dimensions and EXACT pixel-sample sum
+    // from the formula over a generated (x,y) grid. PNG is lossless,
+    // so any decoder drift (wrong raster band handling, premultiplied
+    // alpha, palette expansion) flips the integer sum — no float
+    // rounding in the contract. pixel_sum is recovered from the
+    // decoder's mean: mean*n carries ~1e-9 absolute error for these
+    // sizes, far under the 0.5 round() recovers through.
+    "m7_png_decode" -> ((
+      (s: SparkSession, d: String) =>
+        MediaPipeline.extractImageFeatures(
+            MediaPipeline.pngFixtures(s, d),
+            () => new MediaPipeline.ImageIoDecoder).toDF()
+          .select(col("media_id"),
+            col("width"), col("height"), col("channels"),
+            round(col("mean_byte") * col("width") * col("height")
+              * col("channels")).cast("long").as("pixel_sum")),
+      Some("""WITH ids AS (
+            SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 7) % 16 AS h
+            FROM documents WHERE doc_id % 5 = 0)
+        SELECT i.doc_id AS media_id,
+            CAST(i.w AS INTEGER) AS width,
+            CAST(i.h AS INTEGER) AS height,
+            3 AS channels,
+            CAST(3 * sum((i.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256)
+                 AS BIGINT) AS pixel_sum
+        FROM ids i,
+             (SELECT unnest(range(0, 24)) AS x) gx,
+             (SELECT unnest(range(0, 24)) AS y) gy
+        WHERE gx.x < i.w AND gy.y < i.h
+        GROUP BY 1, 2, 3, 4""")
+    )),
+
     // flatMap frame sampling: every 4th 256-byte frame of "video" rows.
     "m3_frame_samples" -> ((
       (s: SparkSession, d: String) =>

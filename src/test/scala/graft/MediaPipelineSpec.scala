@@ -164,6 +164,26 @@ class MediaPipelineSpec extends SparkSpecBase {
     assert(math.abs(dec.meanByte(bos.toByteArray) - 255.0) < 1e-12)
   }
 
+  test("pngFixtures round-trip: decoding the synthesized PNGs through " +
+      "ImageIoDecoder reproduces the pixel formula exactly") {
+    val fixtures = MediaPipeline.pngFixtures(spark, "/root/testdata/sf0.001")
+    val feats = MediaPipeline
+      .extractImageFeatures(fixtures, () => new ImageIoDecoder)
+      .collect().sortBy(_.media_id)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val id = f.media_id
+      val (w, h) = ((8 + id % 16).toInt, (8 + (id / 7) % 16).toInt)
+      assert((f.width, f.height, f.channels) == (w, h, 3), f)
+      // lossless codec: the decoded-sample sum is the formula's sum,
+      // bit-exactly (each RGB pixel carries 3 identical gray samples)
+      val expectSum = (for { y <- 0 until h; x <- 0 until w }
+        yield (id * 31 + x * 7 + y * 13) % 256).sum * 3
+      val gotSum = math.round(f.mean_byte * w * h * 3)
+      assert(gotSum == expectSum, s"media $id: $gotSum != $expectSum")
+    }
+  }
+
   test("ImageIoDecoder rejects an undecodable payload with a clear error") {
     val dec = new ImageIoDecoder
     val e = intercept[IllegalArgumentException] {
