@@ -1149,6 +1149,71 @@ object TextQueries {
         LEFT JOIN cand c ON d.doc_id = c.doc_id""")
     )),
 
+    // Exact-SUBSTRING dedup (the Lee et al. "Deduplicating Training
+    // Data Makes Language Models Better" method): a fixed-width token
+    // window (8 words) duplicated ANYWHERE in the corpus — other docs
+    // or a repeat within the same doc — marks its position, and a doc
+    // whose duplicated-window coverage reaches 20% is flagged for
+    // removal. This is the dedup family member the doc-level methods
+    // (d1 exact, d4/d7 MinHash, d5 SimHash, d10/d11) cannot express:
+    // boilerplate headers/footers and quoted passages duplicate
+    // SUBSTRINGS of otherwise-unique documents.
+    //
+    // Shape at scale: one tokenize pass produces ~token-count window
+    // rows carrying only (doc_id, 60-bit window hash) — 16 bytes per
+    // row into TWO map-side-combinable hash aggregates (global window
+    // counts; per-doc duplicated-position counts) and one left-semi
+    // equi-join on the hash. No sorts, no all-pairs; the windows pass
+    // is localCheckpoint'd so both consumers share one scan (d12's
+    // pattern). Coverage compares as integer cross-multiplication
+    // (dup*5 >= n), not division.
+    "d14_substring_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val base = docs(s, d).withColumn("w", split(col("text"), " "))
+        val wins = base.filter(size(col("w")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 7), " +
+              "i -> concat_ws(' ', slice(w, i, 8)))")).as("win"))
+          .select(col("doc_id"), saltedHash(13, col("win")).as("wh"))
+          .localCheckpoint(true)
+        val dupKeys = wins.groupBy("wh")
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+          .select("wh")
+        val dup = wins.join(dupKeys, Seq("wh"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
+        base
+          .select(col("doc_id"),
+            greatest(size(col("w")) - 7, lit(0)).cast("long")
+              .as("n_windows"))
+          .join(dup, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_windows"),
+            coalesce(col("dup_windows"), lit(0L)).as("dup_windows"))
+          .withColumn("flagged",
+            col("n_windows") > 0 &&
+              col("dup_windows") * 5 >= col("n_windows"))
+      },
+      Some(s"""WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          wins AS (
+            SELECT doc_id,
+                   unnest([${saltedHashSql(13,
+                     "array_to_string(w[i:i+7], ' ')")}
+                           for i in range(1, len(w) - 6)]) AS wh
+            FROM base WHERE len(w) >= 8),
+          dupkeys AS (
+            SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+          dup AS (
+            SELECT doc_id, count(*) AS dup_windows
+            FROM wins WHERE wh IN (SELECT wh FROM dupkeys)
+            GROUP BY doc_id)
+        SELECT b.doc_id,
+               greatest(len(b.w) - 7, 0)::BIGINT AS n_windows,
+               coalesce(d.dup_windows, 0)::BIGINT AS dup_windows,
+               (len(b.w) >= 8 AND
+                coalesce(d.dup_windows, 0) * 5 >= len(b.w) - 7) AS flagged
+        FROM base b LEFT JOIN dup d USING (doc_id)""")
+    )),
+
     // Leakage-safe split: train/val/test assignment by NEAR-DUP
     // CLUSTER, not by document — a per-doc split (t4) lets two
     // near-identical documents land in train and test, silently
