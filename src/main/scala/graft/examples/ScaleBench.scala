@@ -17,14 +17,27 @@ import org.apache.spark.sql.functions._
   * clones, adding ~45 cross-copy pairs per doc — a quadratic artifact
   * of the synthetic data, not of the operator under test.)
   *
-  * Usage: runMain graft.examples.ScaleBench gen|bench [outDir] [target…]
+  * Usage:
+  *   runMain graft.examples.ScaleBench gen [outDir] [baseDir] [unit]
+  *   runMain graft.examples.ScaleBench bench [dir10] [target…]
+  *   runMain graft.examples.ScaleBench bench100 <dir10> <dir100> [target…]
   * (trailing target names restrict the bench to those queries — for
   * re-measuring a new target against already-generated 10× data
   * without repeating the full study)
+  *
+  * The second decade nests the generator: `gen /tmp/graft-scale/sf10
+  * /tmp/graft-scale/sf1 10000000` replicates the 10× derivative again
+  * with a 10×-larger id-shift unit, so the three keyspaces stay
+  * mutually disjoint (level-1 doc ids reach ~9e6 + n; level-2 copies
+  * shift by c·1e7) and level-2 word suffixes (`_c1_c2`) can't collide
+  * with level-1's (`_c`). `bench100` then measures the heavy families
+  * at 1×/10×/100× and reports the per-decade exponents — the "do the
+  * sub-1 exponents HOLD across two decades" question that one decade
+  * cannot answer.
   */
 object ScaleBench {
 
-  private val F = 10 // scale factor between the two measured points
+  private val F = 10 // scale factor between adjacent measured points
 
   private val targets = Seq(
     "d7_lsh_verified_jaccard", "d8_dedup_clusters",
@@ -38,11 +51,20 @@ object ScaleBench {
     // round-8 additions: bloom gate, adaptive quality gate, PQ+rerank,
     // bigram-LM predictability
     "d13_bloom_gate", "t21_adaptive_quality_gate", "s9_pq_rerank",
-    "t22_bigram_lm")
+    "t22_bigram_lm",
+    // round-9: personalized PR joins the study (seed table now scales)
+    "p4_personalized_pagerank")
+
+  /** The two-decade subset: the heaviest iterative/join families whose
+    * 100×-survival claim the 10× study could only extrapolate.
+    */
+  private val heavyTargets = Seq(
+    "p2_pagerank", "p4_personalized_pagerank", "s9_pq_rerank",
+    "d7_lsh_verified_jaccard", "d8_dedup_clusters",
+    "t19_leakage_safe_split")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")
-    val scaledDir = args.lift(1).getOrElse("/tmp/graft-scale/sf1")
     val baseDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -51,16 +73,30 @@ object ScaleBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (mode == "gen") gen(spark, baseDir, scaledDir)
-    else bench(spark, baseDir, scaledDir, args.drop(2).toSet)
+    mode match {
+      case "gen" =>
+        val outDir = args.lift(1).getOrElse("/tmp/graft-scale/sf1")
+        gen(spark, args.lift(2).getOrElse(baseDir), outDir,
+          args.lift(3).map(_.toLong).getOrElse(1000000L))
+      case "bench100" =>
+        bench100(spark, baseDir, args(1), args(2), args.drop(3).toSet)
+      case _ =>
+        val scaledDir = args.lift(1).getOrElse("/tmp/graft-scale/sf1")
+        bench(spark, baseDir, scaledDir, args.drop(2).toSet)
+    }
     spark.stop()
   }
 
   private def copies(df: DataFrame): DataFrame =
     df.withColumn("c", explode(sequence(lit(0L), lit(F - 1L))))
 
-  private def gen(
-      spark: SparkSession, baseDir: String, outDir: String): Unit = {
+  /** Disjoint-keyspace ×10 replication of `baseDir` into `outDir`.
+    * `unit` is the id-shift per copy for the ~1e6-keyspace ids
+    * (doc/vec/part/user); order/event keys shift by `10*unit`. Nest by
+    * feeding a generated dir back in with a 10×-larger unit.
+    */
+  private def gen(spark: SparkSession, baseDir: String, outDir: String,
+      unit: Long): Unit = {
     def rd(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
     def wr(df: DataFrame, t: String) =
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
@@ -68,7 +104,7 @@ object ScaleBench {
     // per-copy word suffix → disjoint shingle spaces; copy 0 keeps the
     // original text byte-for-byte
     wr(copies(rd("documents")).select(
-      (col("doc_id") + col("c") * 1000000L).as("doc_id"),
+      (col("doc_id") + col("c") * unit).as("doc_id"),
       when(col("c") === 0L, col("text"))
         .otherwise(array_join(
           transform(split(col("text"), " "),
@@ -78,19 +114,28 @@ object ScaleBench {
       "documents")
 
     wr(copies(rd("embeddings")).select(
-      (col("vec_id") + col("c") * 1000000L).as("vec_id"),
+      (col("vec_id") + col("c") * unit).as("vec_id"),
       col("embedding"), col("label")), "embeddings")
 
     wr(copies(rd("lineitem")).select(
-      (col("l_orderkey") + col("c") * 10000000L).as("l_orderkey"),
-      (col("l_partkey") + col("c") * 1000000L).as("l_partkey"),
+      (col("l_orderkey") + col("c") * (unit * 10)).as("l_orderkey"),
+      (col("l_partkey") + col("c") * unit).as("l_partkey"),
       col("l_suppkey"), col("l_linenumber"), col("l_quantity"),
       col("l_extendedprice"), col("l_discount"), col("l_tax"),
       col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
       "lineitem")
 
+    // part shifts in lockstep with l_partkey, so the co-purchase graph
+    // keeps a dimension row per node and p4's Brand#4 seed set grows
+    // with the graph (a fixed seed set over a 10× graph would measure
+    // seed-locality, not the operator's data term)
+    wr(copies(rd("part")).select(
+      (col("p_partkey") + col("c") * unit).as("p_partkey"),
+      col("p_name"), col("p_brand"), col("p_type"),
+      col("p_size"), col("p_retailprice")), "part")
+
     wr(copies(rd("orders")).select(
-      (col("o_orderkey") + col("c") * 10000000L).as("o_orderkey"),
+      (col("o_orderkey") + col("c") * (unit * 10)).as("o_orderkey"),
       col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority")), "orders")
 
@@ -99,43 +144,80 @@ object ScaleBench {
     // domains, not 10 replays of the same one); event_type and value
     // distributions are preserved exactly
     wr(copies(rd("events")).select(
-      (col("event_id") + col("c") * 10000000L).as("event_id"),
+      (col("event_id") + col("c") * (unit * 10)).as("event_id"),
       col("ts"),
-      (col("user_id") + col("c") * 1000000L).as("user_id"),
+      (col("user_id") + col("c") * unit).as("user_id"),
       col("event_type"), col("value"), col("props")), "events")
-    println(s"[scale] wrote ${F}x tables to $outDir")
+    println(s"[scale] wrote ${F}x tables from $baseDir to $outDir (unit=$unit)")
+  }
+
+  private def dropBlocks(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    spark.catalog.clearCache()
+  }
+
+  /** Bench's timing protocol: per-query codegen warmup run, block drop
+    * between runs, min of 2 measured runs.
+    */
+  private def measure(
+      spark: SparkSession, name: String, dir: String): Double = {
+    val fn = graft.SparkEntry.queries(name)
+    def run(): Unit =
+      fn(spark, dir).write.format("noop").mode("overwrite").save()
+    run(); dropBlocks(spark) // warmup: codegen + JIT
+    val times = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      run()
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropBlocks(spark)
+      dt
+    }
+    times.min
   }
 
   private def bench(
       spark: SparkSession, baseDir: String, scaledDir: String,
       only: Set[String] = Set.empty): Unit = {
-    def dropBlocks(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-    }
-    def measure(name: String, dir: String): Double = {
-      val fn = graft.SparkEntry.queries(name)
-      def run(): Unit =
-        fn(spark, dir).write.format("noop").mode("overwrite").save()
-      run(); dropBlocks() // warmup: codegen + JIT
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        run()
-        val dt = (System.nanoTime() - t0) / 1e9
-        dropBlocks()
-        dt
-      }
-      times.min
-    }
     // JVM-wide warmup (same rationale as Bench)
     spark.range(1000000).selectExpr("sum(id)").collect()
     println(f"${"query"}%-26s ${"t(1x)/s"}%9s ${"t(10x)/s"}%9s ${"exponent"}%9s")
     targets.filter(n => only.isEmpty || only(n)).foreach { name =>
-      val t1 = measure(name, baseDir)
-      val t10 = measure(name, scaledDir)
+      val t1 = measure(spark, name, baseDir)
+      val t10 = measure(spark, name, scaledDir)
       val exp = math.log10(t10 / t1)
       println(f"$name%-26s $t1%9.2f $t10%9.2f $exp%9.2f")
+    }
+  }
+
+  /** Two-decade study: 1× → 10× → 100×, per-decade exponents. A plan
+    * whose 10× exponent was sub-1 only because fixed costs dominated
+    * shows its true data term in the second decade — exp₂ is the
+    * honest transfer claim for "would survive 100 TB".
+    *
+    * Shuffle partitions stay at 32 (= the box's cores) at every
+    * decade. We MEASURED the alternative: 256 partitions at the 100×
+    * point made the verification/CC family ~65% SLOWER (d7 104→171 s,
+    * d8 119→198 s) — on a fixed 32-thread box the per-partition data
+    * still fits (≲300 MB of exploded intermediate per partition at
+    * 100×), so extra partitions only buy task-launch overhead and a
+    * 256×256 shuffle-file explosion. Partition count should track
+    * executor cores (which on a real cluster grow WITH the data), not
+    * data bytes on a fixed box.
+    */
+  private def bench100(
+      spark: SparkSession, baseDir: String, dir10: String, dir100: String,
+      only: Set[String] = Set.empty): Unit = {
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    println(f"${"query"}%-26s ${"t(1x)/s"}%9s ${"t(10x)/s"}%9s " +
+      f"${"t(100x)/s"}%10s ${"exp 1->10"}%9s ${"exp 10->100"}%11s")
+    heavyTargets.filter(n => only.isEmpty || only(n)).foreach { name =>
+      val t1 = measure(spark, name, baseDir)
+      val t10 = measure(spark, name, dir10)
+      val t100 = measure(spark, name, dir100)
+      val e1 = math.log10(t10 / t1)
+      val e2 = math.log10(t100 / t10)
+      println(f"$name%-26s $t1%9.2f $t10%9.2f $t100%10.2f $e1%9.2f $e2%11.2f")
     }
   }
 }
