@@ -53,6 +53,20 @@ object TextQueries {
        ELSE list_distinct([array_to_string(w[i:i+2], ' ')
               for i in range(1, len(w) - 1)]) END"""
 
+  /** THE 8-token substring-dedup window, defined once for d14
+    * (coverage flag) and d15 (removal rewrite): drift between their
+    * window or hash derivations would make d15 remove spans d14 never
+    * flagged. Spark side enumerates windows as a higher-order
+    * transform over the token array; the DuckDB side hashes the
+    * identical window string with the identical portable salted hash.
+    */
+  private val winTransformExpr =
+    """transform(sequence(1, size(w) - 7),
+         i -> concat_ws(' ', slice(w, i, 8)))"""
+
+  private val winHashSql =
+    saltedHashSql(13, "array_to_string(w[i:i+7], ' ')")
+
   /** Same shingles without the distinct pass — for consumers that are
     * duplicate-invariant (minhash).
     */
@@ -1171,9 +1185,8 @@ object TextQueries {
       (s: SparkSession, d: String) => {
         val base = docs(s, d).withColumn("w", split(col("text"), " "))
         val wins = base.filter(size(col("w")) >= 8)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(w) - 7), " +
-              "i -> concat_ws(' ', slice(w, i, 8)))")).as("win"))
+          .select(col("doc_id"),
+            explode(expr(winTransformExpr)).as("win"))
           .select(col("doc_id"), saltedHash(13, col("win")).as("wh"))
           .localCheckpoint(true)
         val dupKeys = wins.groupBy("wh")
@@ -1196,8 +1209,7 @@ object TextQueries {
             SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           wins AS (
             SELECT doc_id,
-                   unnest([${saltedHashSql(13,
-                     "array_to_string(w[i:i+7], ' ')")}
+                   unnest([$winHashSql
                            for i in range(1, len(w) - 6)]) AS wh
             FROM base WHERE len(w) >= 8),
           dupkeys AS (
@@ -1212,6 +1224,76 @@ object TextQueries {
                (len(b.w) >= 8 AND
                 coalesce(d.dup_windows, 0) * 5 >= len(b.w) - 7) AS flagged
         FROM base b LEFT JOIN dup d USING (doc_id)""")
+    )),
+
+    // d14's OUTPUT stage — the full Lee et al. pipeline rewrites the
+    // corpus rather than dropping whole docs: every token covered by
+    // at least one duplicated 8-token window is removed and the doc
+    // re-assembled (boilerplate excised, unique prose kept). Same
+    // windows pass and global dup-key aggregate as d14 (one
+    // definition: winTransformExpr / winHashSql); the extra work is
+    // per-doc and array-local — duplicated POSITIONS collect per doc
+    // (bounded by doc length, not corpus size), expand to a covered-
+    // index set with one higher-order flatten, and an index-aware
+    // filter keeps the uncovered tokens. No extra shuffles beyond
+    // d14's two aggregates + semi-join, one broadcast-sized join back
+    // to the corpus scan; cleaned text is hash-compared against the
+    // oracle byte-for-byte.
+    "d15_substring_removal" -> ((
+      (s: SparkSession, d: String) => {
+        val base = docs(s, d).withColumn("w", split(col("text"), " "))
+        val wins = base.filter(size(col("w")) >= 8)
+          .select(col("doc_id"), posexplode(expr(winTransformExpr)))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"),
+            saltedHash(13, col("col")).as("wh"))
+          .localCheckpoint(true)
+        val dupKeys = wins.groupBy("wh")
+          .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 2)
+          .select("wh")
+        val dupPos = wins.join(dupKeys, Seq("wh"), "left_semi")
+          .groupBy("doc_id").agg(collect_list(col("pos")).as("ps"))
+        base.join(dupPos, Seq("doc_id"), "left")
+          .withColumn("ps",
+            coalesce(col("ps"), array().cast("array<int>")))
+          .withColumn("covered", expr(
+            "array_distinct(flatten(transform(ps, p -> sequence(p, p + 7))))"))
+          .withColumn("kept", expr(
+            "filter(w, (t, i) -> NOT array_contains(covered, i + 1))"))
+          .select(col("doc_id"),
+            size(col("w")).cast("long").as("n_tokens"),
+            (size(col("w")) - size(col("kept"))).cast("long")
+              .as("n_removed"),
+            array_join(col("kept"), " ").as("cleaned_text"))
+      },
+      Some(s"""WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          wins AS (
+            SELECT doc_id,
+                   unnest(range(1, len(w) - 6)) AS pos,
+                   unnest([$winHashSql
+                           for i in range(1, len(w) - 6)]) AS wh
+            FROM base WHERE len(w) >= 8),
+          dupkeys AS (
+            SELECT wh FROM wins GROUP BY wh HAVING count(*) >= 2),
+          dpos AS (
+            SELECT doc_id, list(pos) AS ps
+            FROM wins WHERE wh IN (SELECT wh FROM dupkeys)
+            GROUP BY doc_id),
+          cov AS (
+            SELECT b.doc_id, b.w,
+                   list_distinct(flatten(
+                     [range(p, p + 8) for p in coalesce(d.ps, [])]))
+                     AS covered
+            FROM base b LEFT JOIN dpos d USING (doc_id))
+        SELECT doc_id, len(w)::BIGINT AS n_tokens,
+               (len(w) - len(kept))::BIGINT AS n_removed,
+               -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+               -- array_join; a fully-excised doc must compare as ''
+               coalesce(array_to_string(kept, ' '), '') AS cleaned_text
+        FROM (SELECT doc_id, w,
+                [w[i] for i in range(1, len(w) + 1)
+                 if NOT list_contains(covered, i)] AS kept
+              FROM cov)""")
     )),
 
     // Leakage-safe split: train/val/test assignment by NEAR-DUP

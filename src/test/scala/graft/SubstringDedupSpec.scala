@@ -51,4 +51,19 @@ class SubstringDedupSpec extends SparkSpecBase {
       4L -> ((17L, 2L, false)), // within-doc repeat found, below 20%
       5L -> ((0L, 0L, false))))
   }
+
+  test("d15 removal rewrite: every token covered by a duplicated " +
+      "window is excised, the rest survive in order") {
+    val got = SparkEntry.queries("d15_substring_removal")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === Map(
+      1L -> ((12L, 8L, toks("a", 4))),        // shared run excised
+      2L -> ((12L, 8L, "b1 b2 b3 b4")),       // mid-doc run excised
+      3L -> ((12L, 0L, toks("c", 12))),       // untouched
+      4L -> ((24L, 16L, toks("e", 8))),       // both self-repeat copies go
+      5L -> ((3L, 0L, "e1 e2 e3"))))          // sub-window doc untouched
+  }
 }
