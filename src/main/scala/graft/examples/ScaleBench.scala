@@ -53,7 +53,9 @@ object ScaleBench {
     "d13_bloom_gate", "t21_adaptive_quality_gate", "s9_pq_rerank",
     "t22_bigram_lm",
     // round-9: personalized PR joins the study (seed table now scales)
-    "p4_personalized_pagerank")
+    "p4_personalized_pagerank",
+    // round-9: substring dedup flag + removal rewrite
+    "d14_substring_dedup", "d15_substring_removal")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.
