@@ -55,7 +55,9 @@ object ScaleBench {
     // round-9: personalized PR joins the study (seed table now scales)
     "p4_personalized_pagerank",
     // round-9: substring dedup flag + removal rewrite
-    "d14_substring_dedup", "d15_substring_removal")
+    "d14_substring_dedup", "d15_substring_removal",
+    // round-9: DSIR importance selection
+    "t23_dsir_select")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

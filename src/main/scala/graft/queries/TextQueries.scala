@@ -1463,6 +1463,104 @@ object TextQueries {
         GROUP BY doc_id""")
     )),
 
+    // DSIR-style importance selection (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): from
+    // a raw pool, pick the docs whose hashed-token-bucket distribution
+    // looks most like a small curated target corpus (sources
+    // src0/src1 stand in for the target domain). Engine-portable
+    // surrogate of the DSIR log-likelihood ratio: each token
+    // occurrence in bucket b contributes
+    // floor((c_t[b]+1)·1e6 / (c_r[b]+1)) — the add-one-smoothed
+    // target-vs-raw frequency ratio in ppm. The log form is
+    // deliberately avoided (libm portability — t22's argument), and
+    // the corpus-constant normalizers DSIR divides by drop out of the
+    // per-token MEAN (mean_ppm = dsir_q·1e6 div n_tokens) the gate
+    // ranks on. Selection = top ceil(n/4) per language by
+    // (mean_ppm desc, doc_id) — DSIR's deterministic top-k variant
+    // (Gumbel resampling is a seeded-noise add on the same ranking).
+    // Scale shape: ONE map-side-combinable aggregate into ≤1024
+    // bucket groups yields BOTH counts, that 1024-row table
+    // broadcasts onto the token stream, one per-doc aggregate — and
+    // the per-lang top-k WITHOUT sorting a whole language in one
+    // task (t21's window would): a (lang, mean_ppm) histogram
+    // (≤ 1e6+1 rows per lang BY CONSTRUCTION, data-size-independent)
+    // carries the cumulative/threshold windows, and the only
+    // full-data window partitions by (lang, mean_ppm) — tie-group
+    // sized. selected ⟺ above + rank-within-tie ≤ k reproduces
+    // exactly the top-k by (mean_ppm desc, doc_id) the oracle's
+    // plain row_number computes. Exactness bounds: the ratio is
+    // exact while (c_t+1)·1e6 < 2^53 (per-bucket target counts under
+    // ~9e9 — raise the bucket count past 1024 before that); mean_ppm
+    // is exact while dsir_q·1e6 fits int64 (docs under ~9M tokens).
+    "t23_dsir_select" -> ((
+      (s: SparkSession, d: String) => {
+        val isTarget = col("source").isin("src0", "src1")
+        val toks = docs(s, d)
+          .select(col("doc_id"), col("lang"), isTarget.as("tgt"),
+            explode(split(col("text"), " ")).as("tok"))
+          .withColumn("bucket", pmod(saltedHash(17, col("tok")), lit(1024L)))
+        val counts = toks.groupBy("bucket")
+          .agg(sum(when(col("tgt"), 1L).otherwise(0L)).as("c_t"),
+            count(lit(1)).as("c_r"))
+        val scored = toks.filter(!col("tgt"))
+          .join(broadcast(counts), Seq("bucket"))
+          .groupBy("doc_id", "lang")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(floor((col("c_t") + 1) * lit(1000000.0) / (col("c_r") + 1))
+              .cast("long")).as("dsir_q"))
+          .withColumn("mean_ppm", expr("dsir_q * 1000000L div n_tokens"))
+        val hist = scored.groupBy("lang", "mean_ppm")
+          .agg(count(lit(1)).as("cnt"))
+        val wCum = Window.partitionBy("lang")
+          .orderBy(col("mean_ppm").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wLang = Window.partitionBy("lang")
+        val cum = hist
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("nl", sum(col("cnt")).over(wLang))
+          .select(col("lang"), col("mean_ppm"),
+            (col("cum") - col("cnt")).as("above"),
+            expr("(nl + 3L) div 4").as("k"))
+        val wTie = Window.partitionBy("lang", "mean_ppm").orderBy("doc_id")
+        scored.join(broadcast(cum), Seq("lang", "mean_ppm"))
+          .withColumn("rnb", row_number().over(wTie))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("dsir_q"), col("mean_ppm"),
+            (col("above") + col("rnb") <= col("k")).as("selected"))
+      },
+      Some(s"""WITH toks AS (
+            SELECT doc_id, lang, (source IN ('src0','src1')) AS tgt,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM documents),
+          bt AS (
+            SELECT doc_id, lang, tgt,
+                   ${saltedHashSql(17, "tok")} % 1024 AS bucket
+            FROM toks),
+          counts AS (
+            SELECT bucket, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS c_t,
+                   count(*) AS c_r
+            FROM bt GROUP BY bucket),
+          scored AS (
+            SELECT doc_id, lang, count(*) AS n_tokens,
+                   CAST(sum(CAST(floor((c_t + 1) * 1000000.0 / (c_r + 1))
+                     AS BIGINT)) AS BIGINT) AS dsir_q
+            FROM bt JOIN counts USING (bucket)
+            WHERE NOT tgt
+            GROUP BY doc_id, lang),
+          r AS (
+            SELECT doc_id, lang, n_tokens, dsir_q,
+                   CAST(dsir_q * 1000000 // n_tokens AS BIGINT) AS mean_ppm
+            FROM scored),
+          rk AS (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                        ORDER BY mean_ppm DESC, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS nl
+            FROM r)
+        SELECT doc_id, lang, n_tokens, dsir_q, mean_ppm,
+               (rn <= (nl + 3) // 4) AS selected
+        FROM rk""")
+    )),
+
     // Edit-distance near-dup: the dedup family's third verification
     // geometry (set overlap = Jaccard d7, bit space = SimHash d9,
     // SEQUENCE space = Levenshtein here). Candidate generation is

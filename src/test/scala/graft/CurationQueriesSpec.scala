@@ -53,6 +53,36 @@ class CurationQueriesSpec extends SparkSpecBase {
     }
   }
 
+  test("t23: selection is exactly the per-language top-ceil(n/4) of the " +
+      "raw pool by (mean_ppm desc, doc_id) — a true order statistic") {
+    val rows = SparkEntry.queries("t23_dsir_select")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    // scored pool = exactly the non-target docs; targets never score
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .filter("source NOT IN ('src0','src1')")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_._1).toSet == raw,
+      s"scored ${rows.length} docs vs ${raw.size} raw-pool docs")
+    rows.foreach { case (id, _, n, q, ppm, _) =>
+      assert(ppm == q * 1000000L / n, s"doc $id: mean_ppm $ppm != $q e6/$n")
+    }
+    rows.groupBy(_._2).foreach { case (lang, docs) =>
+      val k = (docs.length + 3) / 4
+      val sel = docs.filter(_._6)
+      assert(sel.length == k,
+        s"$lang: selected ${sel.length}, expected ceil(${docs.length}/4)=$k")
+      // dominance: every selected row orders before every unselected one
+      val worstSel = sel.map(d => (-d._5, d._1)).max
+      docs.filterNot(_._6).foreach { d =>
+        assert(Ordering[(Long, Long)].lt(worstSel, (-d._5, d._1)),
+          s"$lang: unselected doc ${d._1} (ppm ${d._5}) outranks a " +
+            s"selected one")
+      }
+    }
+  }
+
   test("t21: the threshold is a member score and keeps 75%±ties per " +
       "language; every language contributes") {
     val rows = SparkEntry.queries("t21_adaptive_quality_gate")(spark, dir)
