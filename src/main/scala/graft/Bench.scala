@@ -25,7 +25,13 @@ object Bench {
 
     // Warmup: JIT/codegen + file-listing caches, not counted.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    // Guarded: a broken entry query must cost one warmup, never the
+    // whole bench artifact (r10: an unguarded failure here zeroed the
+    // round's only performance measurement).
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] entry warmup failed: ${e.getMessage}")
+    }
     // Global HEAVY warmup: the alphabetically-first measured query
     // (d10) otherwise runs while C2 is still compiling Spark's
     // shuffle/codegen machinery — its single per-query warmup run is

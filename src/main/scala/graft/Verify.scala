@@ -20,13 +20,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer[String]()
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -54,5 +56,15 @@ object Verify {
         System.err.println(s"[verify] no-oracle $name: $why")
       }
     spark.stop()
+    // Loud-failure gate: a declared query that errs must redden the
+    // round, not shrink it (r10: 27 queries silently vanished from the
+    // artifact and the remaining 80/80 read as all-green). Nonzero exit
+    // + an unmissable summary line make the shrink machine-checkable.
+    val written = selected.size - failed.size
+    System.err.println(
+      s"[verify] written $written/${selected.size}" +
+        (if (failed.nonEmpty) s", FAILED: ${failed.sorted.mkString(", ")}"
+         else ""))
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -12,17 +12,72 @@ import org.apache.spark.sql.functions._
   */
 object Derived {
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
-
-  /** `events` with its TIMESTAMP(NANOS) column (read as long nanos via
-    * spark.sql.legacy.parquet.nanosAsLong) converted to a micros-precision
-    * TimestampType — integer division, because a double round-trip would
-    * lose precision at 1e18 nanos.
+  /** Load-bearing columns per corpus table — the names every query in
+    * the surface assumes exist. Checked at the corpus boundary so an
+    * environmental drift (driver regenerates testdata with a renamed /
+    * dropped column) surfaces as ONE named diagnosis instead of a
+    * 27-query AnalysisException hunt (the round-10 failure mode, there
+    * for a TYPE drift — `events.ts` handles types in [[events]]).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private val requiredColumns: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value"),
+    "documents" -> Seq("doc_id", "text", "lang", "source"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    requiredColumns.get(name).foreach { req =>
+      val missing = req.filterNot(df.columns.contains)
+      if (missing.nonEmpty)
+        throw new IllegalArgumentException(
+          s"corpus table '$name' ($dir/$name.parquet) lacks required " +
+            s"column(s) ${missing.mkString(", ")}; found schema: " +
+            df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
+              .mkString(", "))
+    }
+    df
+  }
+
+  /** `events` normalized so `ts` is always a micros-precision
+    * TimestampType regardless of the physical parquet encoding the
+    * corpus generator used:
+    *
+    *  - TIMESTAMP(NANOS): read as BIGINT nanos via
+    *    spark.sql.legacy.parquet.nanosAsLong → integer-divide to micros
+    *    (a double round-trip would lose precision at 1e18 nanos).
+    *  - TIMESTAMP(MICROS/MILLIS) with or without timezone: cast to
+    *    TimestampType — instant-preserving under the forced UTC session.
+    *
+    * Branching on the actual column type (instead of hard-coding one
+    * historical encoding) keeps every downstream query schema-identical
+    * across corpus regenerations.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = table(spark, dir, "events")
+    import org.apache.spark.sql.types._
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: expected BIGINT (nanos) or TIMESTAMP, found $other " +
+            s"in $dir/events.parquet")
+    }
+  }
 
   /** Snapshot-shaped table (icao24, last_contact, velocity,
     * vertical_rate) from even event ids; every 7th key withheld so the

@@ -25,6 +25,16 @@ object TextQueries {
   private def docs(s: SparkSession, d: String) =
     Derived.table(s, d, "documents")
 
+  /** THE corpus/new-batch split for the incremental-ingest family
+    * (d12 admission join, d13 bloom/probe/exact sides), defined ONCE:
+    * doc_id % 4 = 0 is the deterministic stand-in for "snapshot N+1".
+    * All sides must agree on it — drift would silently weaken d13's
+    * no-false-negative oracle (gate_ok would still read TRUE for docs
+    * the bloom never saw the corpus keys of). The DuckDB oracles
+    * replicate it literally as `doc_id % 4 = 0` / `<> 0`.
+    */
+  private val isNewBatch = pmod(col("doc_id"), lit(4)) === 0
+
   /** BPE-ish pre-tokenizer: letter runs, digit chunks of at most 3,
     * single non-alphanumeric marks. No lookarounds — Java regex and
     * RE2 segment identically (t17 + its spec).
@@ -1068,9 +1078,9 @@ object TextQueries {
         // (localCheckpoint, not persist — see lshCandidatePairsDf)
         val flat = bandedSignatureFlat(docs(s, d)).localCheckpoint(true)
         val bands = explodedBands(flat)
-        val isNew = pmod(col("doc_id"), lit(4)) === 0
+        val isNew = isNewBatch
         val hits = bands.filter(isNew).as("n")
-          .join(bands.filter(pmod(col("doc_id"), lit(4)) =!= 0).as("e"),
+          .join(bands.filter(!isNewBatch).as("e"),
             Seq("band", "bh"))
           .groupBy(col("n.doc_id").as("doc_id"))
           .agg(min(col("e.doc_id")).as("dup_of"))
@@ -1119,13 +1129,10 @@ object TextQueries {
         // and the exact side (localCheckpoint, same as d12)
         val flat = bandedSignatureFlat(docs(s, d)).localCheckpoint(true)
         val bands = explodedBands(flat)
-        // THE corpus/new-batch split, defined once: the bloom side,
-        // the probe side, and the exact-candidate side must agree on
-        // it — drift between them would silently weaken the gate's
-        // no-false-negative oracle (gate_ok would still read TRUE for
-        // docs the bloom never saw the corpus keys of)
-        val isNew = pmod(col("doc_id"), lit(4)) === 0
-        val isCorpus = !isNew
+        // corpus/new-batch split: the single isNewBatch definition —
+        // bloom, probe, and exact-candidate sides all derive from it
+        val isNew = isNewBatch
+        val isCorpus = !isNewBatch
         val keyed = bands.withColumn("k",
           concat_ws(":", col("band"), col("bh")))
         val gated = graft.operators.NearDup.bloomGate(
