@@ -879,6 +879,48 @@ object AnalyticsQueries {
         FROM events""")
     )),
 
+    // Incremental (materialized-view) aggregate maintenance
+    // (operators.IncrementalAgg): the snapshot side (¾ of orders) is
+    // summarized once into a group-cardinality MV, the delta batch
+    // (¼) is summarized alone, and the published report is the MERGE
+    // of the two summaries — history is never rescanned. The oracle
+    // is the full recompute over ALL orders, so the hash pins the
+    // algebra merge(partial(A), partial(B)) == partial(A ∪ B)
+    // cross-engine. Money is quantized to integer cents BEFORE
+    // summing (floor(x·100 + 0.5) — identical IEEE steps in both
+    // engines) so the sum is associative and the merge law is exact,
+    // not approximate. avg is derived by integer division at the end.
+    "q45_incremental_agg" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.operators.IncrementalAgg
+        val keys = Seq("o_orderstatus", "o_orderpriority")
+        val o = t(s, d, "orders").select(
+          col("o_orderstatus"), col("o_orderpriority"),
+          expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)")
+            .as("cents"),
+          col("o_orderkey"))
+        val snapshot = o.filter(pmod(col("o_orderkey"), lit(4)) =!= 0)
+        val delta = o.filter(pmod(col("o_orderkey"), lit(4)) === 0)
+        val mv = IncrementalAgg.partial(snapshot, keys, "cents")
+        IncrementalAgg
+          .merge(Seq(mv, IncrementalAgg.partial(delta, keys, "cents")), keys)
+          .select(col("o_orderstatus"), col("o_orderpriority"),
+            col("cnt"), col("sum_v").as("sum_cents"),
+            col("min_v").as("min_cents"), col("max_v").as("max_cents"),
+            expr("sum_v div cnt").as("avg_cents"))
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+            CAST(count(*) AS BIGINT) AS cnt,
+            CAST(sum(cents) AS BIGINT) AS sum_cents,
+            CAST(min(cents) AS BIGINT) AS min_cents,
+            CAST(max(cents) AS BIGINT) AS max_cents,
+            CAST(sum(cents) // count(*) AS BIGINT) AS avg_cents
+          FROM (SELECT o_orderstatus, o_orderpriority,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                FROM orders)
+          GROUP BY 1, 2""")
+    )),
+
     // PERSONALIZED (topic-sensitive) PageRank: only seed parts (one
     // brand) receive the damped reset mass, so rank measures proximity
     // to the seed topic through the co-purchase graph — "what else is

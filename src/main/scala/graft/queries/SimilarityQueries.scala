@@ -366,22 +366,51 @@ object SimilarityQueries {
         graft.operators.ConnectedComponents.run(pairs, "id_a", "id_b")
           .select(col("id").as("vec_id"), col("component"))
       },
-      Some(s"""WITH RECURSIVE pairs AS (
-          SELECT id_a, id_b FROM (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   a.embedding AS qv, b.embedding AS nv
-            FROM embeddings a JOIN embeddings b ON a.label = b.label
-            WHERE a.vec_id < b.vec_id)
-          WHERE $cosineSql > 0.35),
-        e AS (SELECT id_a AS a, id_b AS b FROM pairs
-              UNION
-              SELECT id_b AS a, id_a AS b FROM pairs),
-        reach(v, comp) AS (
-          SELECT a, a FROM e
-          UNION
-          SELECT e.b, r.comp FROM reach r JOIN e ON r.v = e.a)
+      Some(s"""WITH RECURSIVE $ccClosureSql
         SELECT v AS vec_id, min(comp) AS component
         FROM reach GROUP BY v""")
+    )),
+
+    // SemDeDup-style pruning decision (Abbas et al. 2023, arXiv:
+    // 2303.09540): the final admit/drop verdict of semantic dedup.
+    // s3's verified pairs → s6's connected components → keep ONE
+    // canonical per cluster (the minimum vec_id — the component label
+    // itself, so no extra pass computes the representative) and point
+    // every dropped vector at its canonical via dup_of. Vectors in no
+    // cluster are kept. Same non-all-pairs shape as s6 (label-bucketed
+    // cosine + O(log diameter) pointer jumping); the only addition is
+    // a group-cardinality left join back onto the id column of the
+    // corpus — a narrow broadcast at any corpus:cluster ratio. The
+    // oracle extends s6's recursive closure (shared SQL prefix — the
+    // two queries cannot drift onto different cluster definitions).
+    "s10_semdedup_prune" -> ((
+      (s: SparkSession, d: String) => {
+        val pairs = bucketedCosinePairs(s, d).select("id_a", "id_b")
+        val comps = graft.operators.ConnectedComponents
+          .run(pairs, "id_a", "id_b")
+          .select(col("id").as("vec_id"), col("component"))
+        emb(s, d).select("vec_id")
+          .join(comps, Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            when(col("component").isNull
+              || col("component") === col("vec_id"), 1L)
+              .otherwise(0L).as("kept"),
+            when(col("component").isNotNull
+              && col("component") =!= col("vec_id"), col("component"))
+              .otherwise(lit(null).cast("long")).as("dup_of"))
+      },
+      Some(s"""WITH RECURSIVE $ccClosureSql,
+          comp AS (
+            SELECT v AS vec_id, min(comp) AS component
+            FROM reach GROUP BY v)
+        SELECT em.vec_id,
+               CAST(CASE WHEN c.component IS NULL
+                           OR c.component = em.vec_id
+                         THEN 1 ELSE 0 END AS BIGINT) AS kept,
+               CAST(CASE WHEN c.component IS NOT NULL
+                           AND c.component <> em.vec_id
+                         THEN c.component END AS BIGINT) AS dup_of
+        FROM embeddings em LEFT JOIN comp c ON em.vec_id = c.vec_id""")
     )),
 
     // Signed-random-projection LSH (SimHash for embeddings): 32
@@ -442,8 +471,30 @@ object SimilarityQueries {
     * by any engine with an MD5 function, which is what makes the
     * signature oracle-checkable.
     */
+  /** The recursive connected-components closure over the verified
+    * near-dup pairs, as DuckDB CTE bodies (caller opens `WITH
+    * RECURSIVE` and reads `reach(v, comp)`): ONE rendering of "what a
+    * cluster is", shared by the s6 and s10 oracles exactly as
+    * [[bucketedCosinePairs]] is shared by their Spark sides.
+    */
+  private def ccClosureSql: String = s"""pairs AS (
+          SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.embedding AS qv, b.embedding AS nv
+            FROM embeddings a JOIN embeddings b ON a.label = b.label
+            WHERE a.vec_id < b.vec_id)
+          WHERE $cosineSql > 0.35),
+        e AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs),
+        reach(v, comp) AS (
+          SELECT a, a FROM e
+          UNION
+          SELECT e.b, r.comp FROM reach r JOIN e ON r.v = e.a)"""
+
   /** Label-bucketed, cosine-verified near-dup pairs at > 0.35 —
-    * ONE derivation shared by s3 (reporting) and s6 (clustering).
+    * ONE derivation shared by s3 (reporting), s6 (clustering), and
+    * s10 (pruning).
     */
   private def bucketedCosinePairs(s: SparkSession, d: String) = {
     val a = emb(s, d).select(col("vec_id").as("id_a"),
