@@ -921,6 +921,122 @@ object AnalyticsQueries {
           GROUP BY 1, 2""")
     )),
 
+    // Incremental DISTINCT-count maintenance: q45's story for the one
+    // aggregate that has no exact mergeable state — n_distinct over
+    // history can only be maintained by a mergeable SKETCH. Per-batch
+    // Datasketches HLL sketches (hll_sketch_agg, lgK=12 ≈ 1.6% rsd)
+    // are built for the snapshot and the delta separately, merged with
+    // hll_union_agg (the associative MV-update step — history never
+    // rescanned), and the merged estimate is contract-checked against
+    // the exact distinct over everything: err_band =
+    // floor(relative_error / 0.10) is 0 for every group unless the
+    // MERGED sketch drifts past 10% (≈6σ for lgK=12) — the oracle pins
+    // 0, so a broken union (wrong lgK, re-counted overlap, dropped
+    // registers) flips the hash. The exact count rides along as the
+    // checked value. At 100 TB the per-group state is 4 KB regardless
+    // of user cardinality, and merge cost is group-cardinality, not
+    // history.
+    "q46_incremental_distinct" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = Derived.events(s, d)
+          .select(col("event_type"), col("user_id"), col("event_id"))
+        val snapshot = ev.filter(pmod(col("event_id"), lit(4)) =!= 0)
+        val delta = ev.filter(pmod(col("event_id"), lit(4)) === 0)
+        def sketch(batch: DataFrame) = batch.groupBy("event_type")
+          .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+        val merged = sketch(snapshot).unionByName(sketch(delta))
+          .groupBy("event_type")
+          .agg(hll_union_agg(col("sk")).as("sk"))
+          .select(col("event_type"),
+            hll_sketch_estimate(col("sk")).as("__est"))
+        ev.groupBy("event_type")
+          .agg(countDistinct(col("user_id")).as("users"))
+          .join(merged, Seq("event_type"))
+          .select(col("event_type"), col("users"),
+            when(col("users") > 0,
+              floor(abs(col("__est") - col("users")).cast("double")
+                / col("users") / 0.10).cast("long"))
+              .otherwise(lit(0L)).as("err_band"))
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS users,
+            CAST(0 AS BIGINT) AS err_band
+          FROM events GROUP BY event_type""")
+    )),
+
+    // MV CHANGESET (CDC emission): the downstream half of incremental
+    // maintenance — after an update cycle, publish WHAT CHANGED in the
+    // summary table as an insert/update/delete row stream (the feed a
+    // downstream cache, search index, or reverse-ETL consumer applies).
+    // Old state = the snapshot summary; new state = the summary after
+    // rows arrived (delta) AND rows were retired (the %7 retirement
+    // slice), so all three verbs genuinely occur. The diff is one
+    // full-outer join of two group-cardinality summaries on the group
+    // key — never a fact-table join; unchanged groups are filtered
+    // out so the changeset is proportional to churn, not to the MV.
+    // Key includes a customer bucket (~thousands of groups) so I/U/D
+    // all appear at test scale.
+    "q47_mv_changeset" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.operators.IncrementalAgg
+        val keys = Seq("o_orderstatus", "cust_bucket")
+        val o = t(s, d, "orders").select(
+          col("o_orderstatus"),
+          pmod(col("o_custkey"), lit(1000)).as("cust_bucket"),
+          expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)")
+            .as("cents"),
+          col("o_orderkey"))
+        val oldMv = IncrementalAgg.partial(
+          o.filter(pmod(col("o_orderkey"), lit(4)) =!= 0), keys, "cents")
+        val newMv = IncrementalAgg.partial(
+          o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0), keys, "cents")
+        oldMv.as("o").join(newMv.as("n"),
+          col("o.o_orderstatus") === col("n.o_orderstatus")
+            && col("o.cust_bucket") === col("n.cust_bucket"), "full_outer")
+          .select(
+            coalesce(col("o.o_orderstatus"), col("n.o_orderstatus"))
+              .as("o_orderstatus"),
+            coalesce(col("o.cust_bucket"), col("n.cust_bucket"))
+              .as("cust_bucket"),
+            when(col("o.cnt").isNull, "I")
+              .when(col("n.cnt").isNull, "D")
+              .when(col("o.cnt") =!= col("n.cnt")
+                || col("o.sum_v") =!= col("n.sum_v")
+                || col("o.min_v") =!= col("n.min_v")
+                || col("o.max_v") =!= col("n.max_v"), "U")
+              .otherwise("=").as("op"),
+            col("n.cnt").as("cnt"), col("n.sum_v").as("sum_cents"))
+          .filter(col("op") =!= "=")
+      },
+      Some("""WITH o AS (
+            SELECT o_orderstatus, o_custkey % 1000 AS cust_bucket,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                   o_orderkey
+            FROM orders),
+          oldmv AS (
+            SELECT o_orderstatus, cust_bucket, count(*) AS cnt,
+                   CAST(sum(cents) AS BIGINT) AS sum_v,
+                   min(cents) AS min_v, max(cents) AS max_v
+            FROM o WHERE o_orderkey % 4 <> 0 GROUP BY 1, 2),
+          newmv AS (
+            SELECT o_orderstatus, cust_bucket, count(*) AS cnt,
+                   CAST(sum(cents) AS BIGINT) AS sum_v,
+                   min(cents) AS min_v, max(cents) AS max_v
+            FROM o WHERE o_orderkey % 7 <> 0 GROUP BY 1, 2)
+        SELECT * FROM (
+          SELECT coalesce(a.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+                 coalesce(a.cust_bucket, b.cust_bucket) AS cust_bucket,
+                 CASE WHEN a.cnt IS NULL THEN 'I'
+                      WHEN b.cnt IS NULL THEN 'D'
+                      WHEN a.cnt <> b.cnt OR a.sum_v <> b.sum_v
+                        OR a.min_v <> b.min_v OR a.max_v <> b.max_v THEN 'U'
+                      ELSE '=' END AS op,
+                 b.cnt AS cnt, b.sum_v AS sum_cents
+          FROM oldmv a FULL OUTER JOIN newmv b
+            ON a.o_orderstatus = b.o_orderstatus
+           AND a.cust_bucket = b.cust_bucket)
+        WHERE op <> '='""")
+    )),
+
     // PERSONALIZED (topic-sensitive) PageRank: only seed parts (one
     // brand) receive the damped reset mass, so rank measures proximity
     // to the seed topic through the co-purchase graph — "what else is
