@@ -1037,6 +1037,206 @@ object AnalyticsQueries {
         WHERE op <> '='""")
     )),
 
+    // Incremental JOIN-view maintenance (operators.IncrementalJoin):
+    // the fact (orders) and the dimension (customer) BOTH receive a
+    // delta batch, and the maintained enriched view is
+    // V_old ∪ (ΔA ⨝ B_new) ∪ (A_old ⨝ ΔB) — the delta-rule partition
+    // that never re-joins the two histories. The oracle is the plain
+    // full join of the complete tables, so the hash pins
+    // delta-maintained ≡ full-recompute cross-engine (a double-counted
+    // ΔA⨝ΔB term, or a missed one, changes the row multiset and flips
+    // the hash). At 100 TB: V_old is the stored materialization
+    // (append-only), each maintenance term broadcasts its delta into
+    // the one big-table scan, and history ⨝ history never runs.
+    "q48_incremental_join" -> ((
+      (s: SparkSession, d: String) => {
+        import graft.operators.IncrementalJoin
+        val a = t(s, d, "orders").select(
+          col("o_custkey").as("custkey"), col("o_orderkey"),
+          col("o_orderstatus"))
+        val b = t(s, d, "customer").select(
+          col("c_custkey").as("custkey"), col("c_mktsegment"))
+        val (aOld, aDelta) = (a.filter(pmod(col("o_orderkey"), lit(4)) =!= 0),
+          a.filter(pmod(col("o_orderkey"), lit(4)) === 0))
+        val (bOld, bDelta) = (b.filter(pmod(col("custkey"), lit(5)) =!= 0),
+          b.filter(pmod(col("custkey"), lit(5)) === 0))
+        // Stand-in for the stored materialization: at scale this is a
+        // parquet read of the MV table, not a recompute.
+        val vOld = aOld.join(bOld, Seq("custkey"))
+        IncrementalJoin.view(vOld, aOld, aDelta, bOld, bDelta,
+            Seq("custkey"))
+          .select(col("custkey"), col("o_orderkey"), col("o_orderstatus"),
+            col("c_mktsegment"))
+      },
+      Some("""SELECT c.c_custkey AS custkey, o.o_orderkey,
+            o.o_orderstatus, c.c_mktsegment
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""")
+    )),
+
+    // Time-series RESAMPLING: regularize each event_type's stream onto
+    // a dense 10-minute grid — the missing-bin repair every downstream
+    // window/forecast/anomaly job assumes has already happened. The
+    // spine is sequence(min_bin, max_bin) per series (explode of a
+    // group-cardinality aggregate — spine size is TIME-SPAN bounded,
+    // independent of fact cardinality, so at 100 TB it is still
+    // types × bins rows); observed bins left-join onto it, and gaps
+    // take the last observed sum via LOCF. The carry-forward uses the
+    // portable two-window trick — grp = running count of non-null
+    // observations, fill = max over (series, grp) — pure ANSI in both
+    // engines, no IGNORE NULLS (Spark and DuckDB disagree on that
+    // syntax). Window partitions are one series' bins: span-bounded,
+    // never data-bounded. 10-minute bins (not hourly) so the gate-scale
+    // corpus genuinely exercises the gap path (~60% of bins empty at
+    // sf0.01; hourly would be dense and test nothing).
+    "q49_gap_fill" -> ((
+      (s: SparkSession, d: String) => {
+        val binned = Derived.events(s, d).select(
+          col("event_type"),
+          expr("unix_micros(ts) div 600000000").as("bin"),
+          expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)").as("cents"))
+        val observed = binned.groupBy("event_type", "bin")
+          .agg(sum(col("cents")).as("sum_cents"), count(lit(1)).as("cnt"))
+        val spine = observed.groupBy("event_type")
+          .agg(min(col("bin")).as("b0"), max(col("bin")).as("b1"))
+          .select(col("event_type"),
+            explode(sequence(col("b0"), col("b1"))).as("bin"))
+        val wRun = Window.partitionBy("event_type").orderBy("bin")
+        val joined = spine.join(observed, Seq("event_type", "bin"), "left")
+          .withColumn("grp", count(col("sum_cents")).over(wRun))
+        val wGrp = Window.partitionBy("event_type", "grp")
+        joined.select(col("event_type"), col("bin"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          max(col("sum_cents")).over(wGrp).as("filled_sum_cents"),
+          col("sum_cents").isNull.as("is_gap"))
+      },
+      Some("""WITH observed AS (
+            SELECT event_type, epoch_us(ts) // 600000000 AS bin,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS sum_cents,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2),
+          spine AS (
+            SELECT event_type, unnest(generate_series(b0, b1)) AS bin
+            FROM (SELECT event_type, min(bin) AS b0, max(bin) AS b1
+                  FROM observed GROUP BY 1)),
+          j AS (
+            SELECT s.event_type, s.bin, o.sum_cents,
+                   coalesce(o.cnt, 0) AS cnt
+            FROM spine s LEFT JOIN observed o
+              ON s.event_type = o.event_type AND s.bin = o.bin),
+          g AS (
+            SELECT *, count(sum_cents) OVER (PARTITION BY event_type
+                        ORDER BY bin) AS grp
+            FROM j)
+        SELECT event_type, bin, CAST(cnt AS BIGINT) AS cnt,
+               CAST(max(sum_cents) OVER (PARTITION BY event_type, grp)
+                 AS BIGINT) AS filled_sum_cents,
+               (sum_cents IS NULL) AS is_gap
+        FROM g""")
+    )),
+
+    // Data-quality AUDIT (the dbt-test / Deequ expectation-check
+    // shape): declared rules — key uniqueness, referential integrity,
+    // accepted ranges, freshness, not-null — each reduced to one
+    // (rule, total, violations, pass) row. Every rule is a map-side-
+    // combinable conditional aggregate: one scan per fact table
+    // produces ALL its rules via stack() over a single-row aggregate
+    // (no per-rule rescans), RI is a broadcast left join + null count
+    // (never an anti-join recount of the same scan). Rules are chosen
+    // so the live corpus exercises BOTH verdicts (freshness and the
+    // events range genuinely fail; uniqueness/RI/not-null pass) — an
+    // audit that can only say "pass" tests nothing. At 100 TB the
+    // output is rule-cardinality rows from one pass over each table.
+    "q50_dq_audit" -> ((
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        val li = t(s, d, "lineitem")
+        val ev = Derived.events(s, d)
+        val docs = t(s, d, "documents")
+        val r1 = o.agg(count(lit(1)).as("total"),
+            (count(lit(1)) - countDistinct(col("o_orderkey")))
+              .as("violations"))
+          .select(lit("orders_orderkey_unique").as("rule"),
+            col("total"), col("violations"))
+        val r2 = o.select(col("o_custkey"))
+          .join(broadcast(c.select(col("c_custkey").as("o_custkey"),
+            lit(1).as("__hit"))), Seq("o_custkey"), "left")
+          .agg(count(lit(1)).as("total"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L))
+              .as("violations"))
+          .select(lit("orders_custkey_ref_customer").as("rule"),
+            col("total"), col("violations"))
+        val r34 = li.agg(count(lit(1)).as("total"),
+            sum(when(col("l_quantity").isNull
+              || col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+              .otherwise(0L)).as("v_qty"),
+            sum(when(col("l_shipdate")
+              >= lit("1999-01-01").cast("timestamp"), 1L)
+              .otherwise(0L)).as("v_fresh"))
+          .select(col("total"), expr(
+            """stack(2, 'lineitem_quantity_range', v_qty,
+               'lineitem_shipdate_fresh', v_fresh) AS (rule, violations)"""))
+          .select(col("rule"), col("total"), col("violations"))
+        val r5 = ev.agg(count(lit(1)).as("total"),
+            sum(when(col("value").isNull
+              || col("value") < 0 || col("value") > 250, 1L)
+              .otherwise(0L)).as("violations"))
+          .select(lit("events_value_range").as("rule"),
+            col("total"), col("violations"))
+        val r6 = docs.agg(count(lit(1)).as("total"),
+            sum(when(col("text").isNull, 1L).otherwise(0L))
+              .as("violations"))
+          .select(lit("documents_text_not_null").as("rule"),
+            col("total"), col("violations"))
+        Seq(r1, r2, r34, r5, r6).reduce(_.unionByName(_))
+          .select(col("rule"), col("total"), col("violations"),
+            (col("violations") === 0L).as("pass"))
+      },
+      Some("""WITH r1 AS (
+            SELECT 'orders_orderkey_unique' AS rule,
+                   count(*) AS total,
+                   CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                     AS violations
+            FROM orders),
+          r2 AS (
+            SELECT 'orders_custkey_ref_customer' AS rule,
+                   count(*) AS total,
+                   CAST(sum(CASE WHEN c.c_custkey IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS violations
+            FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey),
+          li AS (
+            SELECT count(*) AS total,
+                   CAST(sum(CASE WHEN l_quantity IS NULL
+                     OR l_quantity < 1 OR l_quantity > 50
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+                   CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1999-01-01'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS v_fresh
+            FROM lineitem),
+          r34 AS (
+            SELECT 'lineitem_quantity_range' AS rule, total,
+                   v_qty AS violations FROM li
+            UNION ALL
+            SELECT 'lineitem_shipdate_fresh' AS rule, total,
+                   v_fresh AS violations FROM li),
+          r5 AS (
+            SELECT 'events_value_range' AS rule, count(*) AS total,
+                   CAST(sum(CASE WHEN value IS NULL
+                     OR value < 0 OR value > 250
+                     THEN 1 ELSE 0 END) AS BIGINT) AS violations
+            FROM events),
+          r6 AS (
+            SELECT 'documents_text_not_null' AS rule, count(*) AS total,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS violations
+            FROM documents)
+        SELECT rule, total, violations, (violations = 0) AS pass
+        FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+              UNION ALL SELECT * FROM r34 UNION ALL SELECT * FROM r5
+              UNION ALL SELECT * FROM r6)""")
+    )),
+
     // PERSONALIZED (topic-sensitive) PageRank: only seed parts (one
     // brand) receive the damped reset mass, so rank measures proximity
     // to the seed topic through the co-purchase graph — "what else is

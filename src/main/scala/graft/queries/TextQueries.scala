@@ -320,6 +320,65 @@ object TextQueries {
         FROM scored s JOIN thr t USING (lang)""")
     )),
 
+    // Per-language WINSORIZATION: clip each doc's token count into its
+    // own language's exact [P10, P90] — the outlier-taming step before
+    // any length-sensitive curation statistic (mean doc length, token
+    // budgets) so one 10 MB page or one empty stub can't drag a
+    // language's numbers. Thresholds are exact order statistics via
+    // the t21 rank pattern (row_number + count per lang, tie-broken by
+    // doc_id) — NOT percentile_approx — so both engines compute the
+    // identical cut; both cuts come from ONE pass over the ranked
+    // frame (conditional min at two ranks), then broadcast-join back.
+    // At 100 TB: the rank window partitions by lang (shardable); the
+    // threshold table is lang-cardinality; the clip itself is a
+    // narrow map. Swap the window for approx_percentile if exact cuts
+    // stop being worth the per-lang sort.
+    "t24_winsorize" -> ((
+      (s: SparkSession, d: String) => {
+        val scored = graft.operators.TextProfile
+          .withQualityStats(docs(s, d))
+          .select(col("doc_id"), col("lang"),
+            col("n_tokens").cast("long").as("tokens"))
+          .filter(col("tokens").isNotNull)
+        val wRank = Window.partitionBy("lang")
+          .orderBy(col("tokens"), col("doc_id"))
+        val wLang = Window.partitionBy("lang")
+        val thr = scored
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wLang))
+          .groupBy("lang")
+          .agg(
+            min(when(col("rn") === expr("(n + 9L) div 10"),
+              col("tokens"))).as("p10"),
+            min(when(col("rn") === expr("n + 1L - (n + 9L) div 10"),
+              col("tokens"))).as("p90"))
+        scored.join(broadcast(thr), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("tokens"),
+            col("p10"), col("p90"),
+            least(greatest(col("tokens"), col("p10")), col("p90"))
+              .as("winsorized"))
+      },
+      Some("""WITH scored AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+          FROM documents
+          WHERE text IS NOT NULL),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY tokens, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM scored),
+        thr AS (
+          SELECT lang,
+                 min(CASE WHEN rn = (n + 9) // 10 THEN tokens END) AS p10,
+                 min(CASE WHEN rn = n + 1 - (n + 9) // 10 THEN tokens END)
+                   AS p90
+          FROM ranked GROUP BY lang)
+        SELECT s.doc_id, s.lang, s.tokens, t.p10, t.p90,
+               least(greatest(s.tokens, t.p10), t.p90) AS winsorized
+        FROM scored s JOIN thr t USING (lang)""")
+    )),
+
     // Heuristic n-gram language ID: stopword votes per language + CJK
     // detection, deterministic tie-break by vote order.
     // (Delegates to the TextProfile library API — same expressions.)
