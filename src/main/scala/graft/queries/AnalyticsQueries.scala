@@ -1237,6 +1237,132 @@ object AnalyticsQueries {
               UNION ALL SELECT * FROM r6)""")
     )),
 
+    // Distinct-set ALGEBRA via theta sketches: the question
+    // countDistinct can never answer compositionally — "how much does
+    // audience A overlap audience B" — needs a sketch family closed
+    // under INTERSECTION, which HLL (q15/q46) is not. Elements are
+    // (user, active-day) pairs packed into one BIGINT (plain user_id
+    // would be vacuous here: every user touches every event type, and
+    // at 150 users the sketch never leaves exact mode). Per-type theta
+    // sketches intersect with the purchase sketch (a 1-row broadcast
+    // cross join, the established scalar pattern); the exact overlap
+    // rides along via a distinct + semi-join count, and err bands
+    // pin both estimates within 10% — the oracle pins 0, so a broken
+    // intersection flips the hash. Accuracy contract, q15/q46 family.
+    // At 100 TB: sketches are KB-sized per group regardless of
+    // cardinality, and set algebra on them is driver-cheap — the exact
+    // companion (distinct + semi-join) is the thing this replaces.
+    "q51_audience_overlap" -> ((
+      (s: SparkSession, d: String) => {
+        val e = Derived.events(s, d).select(col("event_type"),
+          (col("user_id") * 100000L
+            + expr("unix_micros(ts) div 86400000000")).as("combo"))
+        val dTyped = e.distinct()
+        val pCombos = dTyped.filter(col("event_type") === "purchase")
+          .select(col("combo"))
+        val exact = dTyped
+          .join(pCombos.withColumn("__hit", lit(1)).distinct(),
+            Seq("combo"), "left")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("combos"),
+            sum(when(col("__hit").isNotNull, 1L).otherwise(0L))
+              .as("overlap"))
+        val sk = e.groupBy("event_type")
+          .agg(theta_sketch_agg(col("combo"), 12).as("sk"))
+        val pSk = e.filter(col("event_type") === "purchase")
+          .agg(theta_sketch_agg(col("combo"), 12).as("psk"))
+        exact.join(sk, Seq("event_type"))
+          .crossJoin(broadcast(pSk))
+          .select(col("event_type"), col("combos"), col("overlap"),
+            when(col("combos") > 0,
+              floor(abs(theta_sketch_estimate(col("sk"))
+                - col("combos")) / col("combos") / 0.10).cast("long"))
+              .otherwise(0L).as("err_combos"),
+            when(col("overlap") > 0,
+              floor(abs(theta_sketch_estimate(
+                  theta_intersection(col("sk"), col("psk")))
+                - col("overlap")) / col("overlap") / 0.10).cast("long"))
+              .otherwise(0L).as("err_overlap"))
+      },
+      Some("""WITH e AS (
+            SELECT DISTINCT event_type,
+                   user_id * 100000 + epoch_us(ts) // 86400000000 AS combo
+            FROM events),
+          p AS (SELECT combo FROM e WHERE event_type = 'purchase')
+        SELECT e.event_type, count(*) AS combos,
+               CAST(sum(CASE WHEN p.combo IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS overlap,
+               CAST(0 AS BIGINT) AS err_combos,
+               CAST(0 AS BIGINT) AS err_overlap
+        FROM e LEFT JOIN p ON e.combo = p.combo
+        GROUP BY 1""")
+    )),
+
+    // Incremental QUANTILE maintenance — the last member of the MV
+    // family (counts q45, distincts q46, changesets q47, joins q48):
+    // order statistics over history can only be maintained by a
+    // mergeable quantile SKETCH. Per-batch KLL sketches (k=200,
+    // ~1.3% rank error) are built for the snapshot and the delta
+    // separately and merged with kll_merge_agg — the associative MV
+    // update, history never re-sorted. Contract (q26 bracket family):
+    // the MERGED sketch's p50 must land between the exact p45 and p55
+    // — exact order statistics via the rank pattern, tie-broken by
+    // o_orderkey so both engines cut identically — and the oracle pins
+    // bracket_ok TRUE, so a broken merge (dropped levels, re-weighted
+    // items) flips the hash. The exact p50 rides along as the checked
+    // value. At 100 TB: per-group state is O(k log n) ≈ KBs; the
+    // exact companion re-sorts history every cycle.
+    "q52_incremental_quantiles" -> ((
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(col("o_orderpriority"),
+          expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)")
+            .as("cents"),
+          col("o_orderkey"))
+        def sk(b: DataFrame) = b.groupBy("o_orderpriority")
+          .agg(kll_sketch_agg_bigint(col("cents"), 200).as("sk"))
+        val merged = sk(o.filter(pmod(col("o_orderkey"), lit(4)) =!= 0))
+          .unionByName(sk(o.filter(pmod(col("o_orderkey"), lit(4)) === 0)))
+          .groupBy("o_orderpriority")
+          .agg(kll_merge_agg_bigint(col("sk"), 200).as("sk"))
+          .select(col("o_orderpriority"),
+            kll_sketch_get_quantile_bigint(col("sk"), lit(0.5))
+              .as("__est_p50"))
+        val wRank = Window.partitionBy("o_orderpriority")
+          .orderBy(col("cents"), col("o_orderkey"))
+        val wN = Window.partitionBy("o_orderpriority")
+        val exact = o
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wN))
+          .groupBy("o_orderpriority")
+          .agg(
+            min(when(col("rn") === expr("(45L * n + 99L) div 100"),
+              col("cents"))).as("p45"),
+            min(when(col("rn") === expr("(50L * n + 99L) div 100"),
+              col("cents"))).as("p50_exact"),
+            min(when(col("rn") === expr("(55L * n + 99L) div 100"),
+              col("cents"))).as("p55"))
+        exact.join(merged, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"), col("p50_exact"),
+            (col("__est_p50") >= col("p45")
+              && col("__est_p50") <= col("p55")).as("bracket_ok"))
+      },
+      Some("""WITH o AS (
+            SELECT o_orderpriority,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                   o_orderkey
+            FROM orders),
+          ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY cents, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS n
+            FROM o)
+        SELECT o_orderpriority,
+               min(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END)
+                 AS p50_exact,
+               TRUE AS bracket_ok
+        FROM ranked GROUP BY 1""")
+    )),
+
     // PERSONALIZED (topic-sensitive) PageRank: only seed parts (one
     // brand) receive the damped reset mass, so rank measures proximity
     // to the seed topic through the co-purchase graph — "what else is
