@@ -1292,6 +1292,75 @@ object TextQueries {
         FROM base b LEFT JOIN dup d USING (doc_id)""")
     )),
 
+    // PREFIX-FILTERING similarity join (the PPJoin/AllPairs family):
+    // the EXACT Jaccard-threshold join — every pair with word-token
+    // Jaccard ≥ 0.9, no false negatives BY CONSTRUCTION, unlike the
+    // probabilistic-recall LSH paths (d4/d7/s7). The filter: order
+    // every doc's distinct tokens by global rarity (df, token — an
+    // engine-independent total order), keep only the first
+    // |d| − ⌈0.9|d|⌉ + 1 tokens as the doc's PREFIX, and equi-join
+    // prefixes: two docs at Jaccard ≥ τ must share ≥ ⌈τ|d|⌉ tokens,
+    // so missing each other's ~10% prefix entirely is impossible —
+    // candidates provably ⊇ true pairs, and the exact verify on
+    // candidates makes pruning invisible to the result. The oracle is
+    // the BRUTE-FORCE all-shared-token join at the same threshold, so
+    // the hash pins losslessness — an off-by-one prefix drops a pair
+    // and flips it. Rarity ordering is why this scales: the join
+    // explodes only on RARE tokens (the 'the'-joins-everything
+    // blowup never happens); at 100 TB the candidate set tracks true
+    // near-dup density, not corpus². Integer jaccard_ppm throughout.
+    "d16_prefix_filter_join" -> ((
+      (s: SparkSession, d: String) => {
+        val tok = docs(s, d).filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("w"))
+          .distinct()
+        val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
+        val nTok = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        val wPos = Window.partitionBy("doc_id")
+          .orderBy(col("df"), col("w"))
+        val prefix = tok.join(dfreq, Seq("w"))
+          .withColumn("pos", row_number().over(wPos))
+          .join(nTok, Seq("doc_id"))
+          .filter(col("pos") <= expr("nt - (9L * nt + 9L) div 10 + 1"))
+          .select(col("doc_id"), col("w"))
+        val cands = prefix.as("a")
+          .join(prefix.as("b"),
+            col("a.w") === col("b.w")
+              && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+          .distinct()
+        val ov = cands
+          .join(tok.select(col("doc_id").as("da"), col("w")), Seq("da"))
+          .join(tok.select(col("doc_id").as("db"), col("w")),
+            Seq("db", "w"))
+          .groupBy("da", "db").agg(count(lit(1)).as("overlap"))
+        ov.join(nTok.select(col("doc_id").as("da"), col("nt").as("na")),
+            Seq("da"))
+          .join(nTok.select(col("doc_id").as("db"), col("nt").as("nb")),
+            Seq("db"))
+          .withColumn("jaccard_ppm",
+            expr("overlap * 1000000L div (na + nb - overlap)"))
+          .filter(col("jaccard_ppm") >= 900000L)
+          .select(col("da"), col("db"), col("overlap"), col("jaccard_ppm"))
+      },
+      Some("""WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents WHERE text IS NOT NULL),
+          n AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+          ov AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS overlap
+            FROM tok a JOIN tok b
+              ON a.w = b.w AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+        SELECT da, db, overlap,
+               CAST(overlap * 1000000 // (na.nt + nb.nt - overlap)
+                 AS BIGINT) AS jaccard_ppm
+        FROM ov JOIN n na ON na.doc_id = ov.da
+                JOIN n nb ON nb.doc_id = ov.db
+        WHERE overlap * 1000000 // (na.nt + nb.nt - overlap) >= 900000""")
+    )),
+
     // d14's OUTPUT stage — the full Lee et al. pipeline rewrites the
     // corpus rather than dropping whole docs: every token covered by
     // at least one duplicated 8-token window is removed and the doc
