@@ -1363,6 +1363,78 @@ object AnalyticsQueries {
         FROM ranked GROUP BY 1""")
     )),
 
+    // Robust ANOMALY detection: flag events whose value sits more than
+    // 1.9 MADs from its event_type's median — the median/MAD detector
+    // (not mean/σ: one fat outlier inflates σ and hides its siblings;
+    // the median absolute deviation has a 50% breakdown point). Both
+    // statistics are EXACT order statistics via the rank pattern
+    // (tie-broken by event_id) and the flag is the integer compare
+    // ad·10 > mad·19 — no doubles anywhere, so both engines agree on
+    // every boundary row. Two rank windows per series (one for the
+    // median, one over |x − med| for the MAD), each partitioned by
+    // event_type; 5-row stat tables broadcast back. At 100 TB swap
+    // the rank windows for the mergeable KLL sketch (q52) and keep
+    // the same integer flag — the detector's contract is unchanged.
+    "q53_mad_anomaly" -> ((
+      (s: SparkSession, d: String) => {
+        val e = Derived.events(s, d).select(col("event_id"),
+          col("event_type"),
+          expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)").as("cents"))
+        val wN = Window.partitionBy("event_type")
+        val wMed = Window.partitionBy("event_type")
+          .orderBy(col("cents"), col("event_id"))
+        val med = e.withColumn("rn", row_number().over(wMed))
+          .withColumn("n", count(lit(1)).over(wN))
+          .groupBy("event_type")
+          .agg(min(when(col("rn") === expr("(50L * n + 99L) div 100"),
+            col("cents"))).as("med"))
+        val dev = e.join(broadcast(med), Seq("event_type"))
+          .withColumn("ad", abs(col("cents") - col("med")))
+        val wMad = Window.partitionBy("event_type")
+          .orderBy(col("ad"), col("event_id"))
+        val mad = dev.withColumn("rn", row_number().over(wMad))
+          .withColumn("n", count(lit(1)).over(wN))
+          .groupBy("event_type")
+          .agg(min(when(col("rn") === expr("(50L * n + 99L) div 100"),
+            col("ad"))).as("mad"))
+        dev.join(broadcast(mad), Seq("event_type"))
+          .filter(col("ad") * 10L > col("mad") * 19L)
+          .select(col("event_id"), col("event_type"), col("cents"),
+            col("med"), col("mad"))
+      },
+      Some("""WITH e AS (
+            SELECT event_id, event_type,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events),
+          rm AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY cents, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM e),
+          med AS (
+            SELECT event_type,
+                   min(CASE WHEN rn = (50 * n + 99) // 100 THEN cents END)
+                     AS med
+            FROM rm GROUP BY 1),
+          dev AS (
+            SELECT e.event_id, e.event_type, e.cents, med.med,
+                   abs(e.cents - med.med) AS ad
+            FROM e JOIN med USING (event_type)),
+          rd AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY ad, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev),
+          mad AS (
+            SELECT event_type,
+                   min(CASE WHEN rn = (50 * n + 99) // 100 THEN ad END)
+                     AS mad
+            FROM rd GROUP BY 1)
+        SELECT d.event_id, d.event_type, d.cents, d.med, mad.mad
+        FROM dev d JOIN mad USING (event_type)
+        WHERE d.ad * 10 > mad.mad * 19""")
+    )),
+
     // PERSONALIZED (topic-sensitive) PageRank: only seed parts (one
     // brand) receive the damped reset mass, so rank measures proximity
     // to the seed topic through the co-purchase graph — "what else is
