@@ -1293,61 +1293,68 @@ object TextQueries {
     )),
 
     // PREFIX-FILTERING similarity join (the PPJoin/AllPairs family):
-    // the EXACT Jaccard-threshold join — every pair with word-token
+    // the EXACT Jaccard-threshold join — every pair with 3-shingle
     // Jaccard ≥ 0.9, no false negatives BY CONSTRUCTION, unlike the
-    // probabilistic-recall LSH paths (d4/d7/s7). The filter: order
-    // every doc's distinct tokens by global rarity (df, token — an
-    // engine-independent total order), keep only the first
-    // |d| − ⌈0.9|d|⌉ + 1 tokens as the doc's PREFIX, and equi-join
-    // prefixes: two docs at Jaccard ≥ τ must share ≥ ⌈τ|d|⌉ tokens,
-    // so missing each other's ~10% prefix entirely is impossible —
-    // candidates provably ⊇ true pairs, and the exact verify on
-    // candidates makes pruning invisible to the result. The oracle is
-    // the BRUTE-FORCE all-shared-token join at the same threshold, so
-    // the hash pins losslessness — an off-by-one prefix drops a pair
-    // and flips it. Rarity ordering is why this scales: the join
-    // explodes only on RARE tokens (the 'the'-joins-everything
-    // blowup never happens); at 100 TB the candidate set tracks true
-    // near-dup density, not corpus². Integer jaccard_ppm throughout.
+    // probabilistic-recall LSH paths (d4/d7/s7). Same shingle
+    // universe as the minhash family (shinglesExpr — one definition
+    // per shingle semantics); SHINGLES, not word tokens, because the
+    // filter only prunes when rarity means something: this corpus has
+    // a 31-word vocabulary (every word is everywhere → 3.7M word-
+    // level candidates at sf0.1) but 27k distinct shingles (→ 9k
+    // candidates for 249 true pairs). The filter: order each doc's
+    // shingles by global rarity (df, shingle — an engine-independent
+    // total order), keep the first |d| − ⌈0.9|d|⌉ + 1 as the PREFIX,
+    // equi-join prefixes with the length bound 9·max(|a|,|b|) ≤
+    // 10·min: two docs at Jaccard ≥ τ must share ≥ ⌈τ|d|⌉ shingles
+    // and can't differ in size by more than τ, so missing each
+    // other's prefix entirely is impossible — candidates provably ⊇
+    // true pairs, and the exact verify (array_intersect on the two
+    // sorted shingle sets, one row per pair — never a per-token
+    // shuffle) makes pruning invisible to the result. The oracle is
+    // the BRUTE-FORCE all-shared-shingle join at the same threshold,
+    // so the hash pins losslessness — an off-by-one prefix drops a
+    // pair and flips it. Integer jaccard_ppm throughout.
     "d16_prefix_filter_join" -> ((
       (s: SparkSession, d: String) => {
-        val tok = docs(s, d).filter(col("text").isNotNull)
-          .select(col("doc_id"),
-            explode(split(col("text"), " ")).as("w"))
-          .distinct()
+        val sets = docs(s, d).filter(col("text").isNotNull)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), expr(shinglesExpr).as("sh"))
+          .select(col("doc_id"), array_sort(col("sh")).as("sh"),
+            size(col("sh")).cast("long").as("nt"))
+        val tok = sets.select(col("doc_id"), col("nt"),
+          explode(col("sh")).as("w"))
         val dfreq = tok.groupBy("w").agg(count(lit(1)).as("df"))
-        val nTok = tok.groupBy("doc_id").agg(count(lit(1)).as("nt"))
         val wPos = Window.partitionBy("doc_id")
           .orderBy(col("df"), col("w"))
         val prefix = tok.join(dfreq, Seq("w"))
           .withColumn("pos", row_number().over(wPos))
-          .join(nTok, Seq("doc_id"))
           .filter(col("pos") <= expr("nt - (9L * nt + 9L) div 10 + 1"))
-          .select(col("doc_id"), col("w"))
+          .select(col("doc_id"), col("w"), col("nt"))
         val cands = prefix.as("a")
           .join(prefix.as("b"),
             col("a.w") === col("b.w")
-              && col("a.doc_id") < col("b.doc_id"))
+              && col("a.doc_id") < col("b.doc_id")
+              && expr("9L * greatest(a.nt, b.nt) <= 10L * least(a.nt, b.nt)"))
           .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
           .distinct()
-        val ov = cands
-          .join(tok.select(col("doc_id").as("da"), col("w")), Seq("da"))
-          .join(tok.select(col("doc_id").as("db"), col("w")),
-            Seq("db", "w"))
-          .groupBy("da", "db").agg(count(lit(1)).as("overlap"))
-        ov.join(nTok.select(col("doc_id").as("da"), col("nt").as("na")),
-            Seq("da"))
-          .join(nTok.select(col("doc_id").as("db"), col("nt").as("nb")),
-            Seq("db"))
+        cands
+          .join(sets.select(col("doc_id").as("da"), col("sh").as("sha"),
+            col("nt").as("na")), Seq("da"))
+          .join(sets.select(col("doc_id").as("db"), col("sh").as("shb"),
+            col("nt").as("nb")), Seq("db"))
+          .withColumn("overlap",
+            size(array_intersect(col("sha"), col("shb"))).cast("long"))
           .withColumn("jaccard_ppm",
             expr("overlap * 1000000L div (na + nb - overlap)"))
           .filter(col("jaccard_ppm") >= 900000L)
           .select(col("da"), col("db"), col("overlap"), col("jaccard_ppm"))
       },
-      Some("""WITH tok AS (
-            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-            FROM documents WHERE text IS NOT NULL),
-          n AS (SELECT doc_id, count(*) AS nt FROM tok GROUP BY 1),
+      Some(s"""WITH sets AS (
+            SELECT doc_id, $shinglesSql AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents WHERE text IS NOT NULL)),
+          tok AS (SELECT doc_id, unnest(sh) AS w FROM sets),
+          n AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nt FROM sets),
           ov AS (
             SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS overlap
             FROM tok a JOIN tok b
