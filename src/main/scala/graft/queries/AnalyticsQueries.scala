@@ -1488,6 +1488,51 @@ object AnalyticsQueries {
       }
     )),
 
+    // Multi-source BFS hop distance from the Brand#4 seed set through
+    // the co-purchase graph (operators.BfsHops) — the HARD proximity
+    // companion to p4's soft personalized-PageRank ranking, and the
+    // 4th graph primitive (centrality p2/p4, communities d8/t19,
+    // triangles p3, now distances). 4 unrolled relaxation rounds,
+    // each one frontier⋈edges join + union + min-aggregate, both
+    // shuffles hash-partitioned on the node key. All-integer
+    // distances let DuckDB unroll the identical rounds as CTEs and
+    // byte-match (the PageRank oracle pattern applied to distances);
+    // same edge derivation as p2/p3/p4 (copurchasePairs — one
+    // definition per edge set).
+    "p5_bfs_hops" -> ((
+      (s: SparkSession, d: String) => {
+        val e = copurchasePairs(s, d, ordered = false)
+          .select(col("a").as("src"), col("b").as("dst"))
+        val seeds = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#4")
+          .select(col("p_partkey").as("node"))
+        graft.operators.BfsHops.run(e, "src", "dst", seeds, "node",
+            rounds = 4, checkpointEvery = 2)
+          .select(col("node").as("part"), col("hops"))
+      },
+      Some {
+        val round = (i: Int, prev: String) =>
+          s"""d$i AS (
+            SELECT node, min(d) AS d FROM (
+              SELECT node, d FROM $prev
+              UNION ALL
+              SELECT e.dst AS node, p.d + 1 AS d
+              FROM e JOIN $prev p ON e.src = p.node)
+            GROUP BY node)"""
+        s"""WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          e AS (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+          seeds AS (
+            SELECT DISTINCT p_partkey AS node FROM part
+            WHERE p_brand = 'Brand#4'),
+          d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM seeds),
+          ${(1 to 4).map(i => round(i, s"d${i - 1}")).mkString(",\n          ")}
+        SELECT node AS part, d AS hops FROM d4"""
+      }
+    )),
+
     // Triangle counting over the SUPPORT-FILTERED co-purchase graph
     // (edges = part pairs co-purchased in ≥ 2 orders — the standard
     // market-basket support prune, which is also what keeps the graph
