@@ -334,6 +334,81 @@ object MediaPipeline {
       }
   }
 
+  /** Decoded-audio features (per media object): sample accounting and
+    * exact integer frame energy — see [[pcmEnergy]].
+    */
+  final case class AudioFeatures(
+      media_id: Long, n_samples: Int, n_frames: Int,
+      energy_sum: Long, peak_abs: Int)
+
+  /** Deterministic 16-bit little-endian PCM fixtures synthesized from
+    * doc ids — REAL encoded sample bytes (ByteBuffer LE int16), not
+    * text stand-ins, playing the role [[pngFixtures]] plays for
+    * images. Sample i of doc `id` is `((id·17 + i·31) mod 4096) −
+    * 2048` over `n = 512 + id mod 512` samples, so a SQL oracle can
+    * recompute every decoded statistic from `doc_id` alone without an
+    * audio library. Per-partition map work — no shuffle, scales with
+    * input splits.
+    */
+  def pcmFixtures(
+      spark: SparkSession, dir: String, everyNth: Int = 4)
+      : Dataset[MediaFile] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"))
+      .where(pmod(col("doc_id"), lit(everyNth)) === 1)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = (512 + id % 512).toInt
+          val buf = java.nio.ByteBuffer.allocate(n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < n) {
+            buf.putShort((((id * 17 + i.toLong * 31) % 4096) - 2048).toShort)
+            i += 1
+          }
+          MediaFile(id, "audio", buf.array())
+        }
+      }
+  }
+
+  /** PCM frame-energy extraction: parse a headerless 16-bit LE PCM
+    * payload and emit EXACT integer statistics — energy Σ s² over the
+    * `n div frameSamples` full frames (the VAD / silence-trim
+    * primitive), peak |s| over all samples, sample and full-frame
+    * counts. Integer outputs only: an endianness, sign-extension, or
+    * sample-width mistake in the decode flips `energy_sum` — there is
+    * no float rounding to hide behind. mapPartitions like the image
+    * path (a real codec initializes once per partition).
+    */
+  def pcmEnergy(media: Dataset[MediaFile], frameSamples: Int = 256)
+      : Dataset[AudioFeatures] = {
+    require(frameSamples >= 1,
+      s"frameSamples must be positive, got $frameSamples")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val buf = java.nio.ByteBuffer.wrap(m.payload)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = m.payload.length / 2
+        val nFrames = n / frameSamples
+        val fullFrameSamples = nFrames * frameSamples
+        var energy = 0L
+        var peak = 0
+        var i = 0
+        while (i < n) {
+          val s = buf.getShort(i * 2).toInt
+          if (i < fullFrameSamples) energy += s.toLong * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioFeatures(m.media_id, n, nFrames, energy, peak)
+      }
+    }
+  }
+
   /** Feature table as a DataFrame for the query/oracle surface. */
   def imageFeaturesDf(spark: SparkSession, dir: String): DataFrame =
     extractImageFeatures(fromDocuments(spark, dir)).toDF()

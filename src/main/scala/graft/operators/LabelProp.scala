@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic synchronous label propagation (Raghavan et al. 2007)
+  * — community detection by majority vote, the 5th graph primitive
+  * beside centrality (PageRank), components (ConnectedComponents),
+  * triangles (TriangleCount), and distances (BfsHops). Communities
+  * differ from connected components: a component can contain several
+  * densely-knit communities bridged by a few edges, and LPA's
+  * majority rule finds the dense cores where min-label propagation
+  * would flood the whole component with one id.
+  *
+  * Each node starts labeled with itself; per round every node adopts
+  * the MOST FREQUENT label among its in-neighbors, ties broken by the
+  * SMALLEST label — the deterministic variant of classic LPA (the
+  * randomized original is not oracle-checkable), unrolled to a fixed
+  * round budget like PageRank/BfsHops so DuckDB can replay identical
+  * rounds as CTEs and byte-match.
+  *
+  * Per round: one labels⋈edges equi-join, one (node, label) count
+  * aggregate, one per-node max_by reduce — all hash-partitioned on
+  * the node key, no window (a rank window would sort within every
+  * node partition; `max_by(label, (cnt, -label))` is a map-side-
+  * combinable aggregate computing the same argmax). State is one
+  * (node, label) row per node. Lineage is localCheckpoint-bounded
+  * every `checkpointEvery` rounds with the shared unpersist hygiene.
+  *
+  * On an undirected graph pass both edge directions (the co-purchase
+  * edge table already is symmetric). Nodes without in-edges drop out
+  * — callers wanting isolates keep them by unioning afterwards.
+  */
+object LabelProp {
+
+  def run(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpointEvery: Int = 2): DataFrame = {
+    require(rounds >= 0, s"negative rounds: $rounds")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    var prior: Option[DataFrame] = None
+    for (i <- 1 to rounds) {
+      labels = labels.as("ll").join(e.as("ee"),
+          col("ll.node") === col("ee.src"))
+        .groupBy(col("ee.dst").as("node"), col("ll.lbl").as("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        // argmax by (cnt asc, -lbl asc) == most frequent, then
+        // smallest label — lexicographic struct ordering
+        .agg(expr("max_by(lbl, struct(cnt, -lbl))").as("lbl"))
+      if (i % checkpointEvery == 0 || i == rounds) {
+        val cp = labels.localCheckpoint(true)
+        prior.foreach(p =>
+          org.apache.spark.sql.graft.bridge.checkpointedRdd(p)
+            .foreach(_.unpersist(blocking = false)))
+        prior = Some(cp)
+        labels = cp
+      }
+    }
+    labels.select(col("node"), col("lbl").as("label"))
+  }
+}

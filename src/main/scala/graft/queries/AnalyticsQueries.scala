@@ -1533,6 +1533,49 @@ object AnalyticsQueries {
       }
     )),
 
+    // Community detection by deterministic label propagation
+    // (operators.LabelProp) — the 5th graph primitive: majority-vote
+    // communities, NOT min-label components (d8/t19's CC would flood
+    // a bridge-connected component with one id; LPA's mode rule keeps
+    // the dense cores apart). 3 unrolled rounds; per round one
+    // labels⋈edges join + (node, label) count + per-node max_by
+    // argmax, all hash-partitioned on the node key — no rank window.
+    // Ties break to the smallest label, so every round is
+    // deterministic and DuckDB byte-matches the same rounds unrolled
+    // as CTEs (its side INDEPENDENTLY computes the argmax with a
+    // row_number window — two formulations, one fixed point). Same
+    // copurchasePairs edge definition as p2/p3/p4/p5.
+    "p6_label_prop" -> ((
+      (s: SparkSession, d: String) => {
+        val e = copurchasePairs(s, d, ordered = false)
+          .select(col("a").as("src"), col("b").as("dst"))
+        graft.operators.LabelProp.run(e, "src", "dst", rounds = 3,
+            checkpointEvery = 2)
+          .select(col("node").as("part"), col("label"))
+      },
+      Some {
+        val round = (i: Int, prev: String) =>
+          s"""nb$i AS (
+            SELECT e.dst AS node, l.lbl, count(*) AS cnt
+            FROM e JOIN $prev l ON e.src = l.node
+            GROUP BY 1, 2),
+          lp$i AS (
+            SELECT node, lbl FROM (
+              SELECT node, lbl, row_number() OVER (PARTITION BY node
+                       ORDER BY cnt DESC, lbl) AS rn
+              FROM nb$i)
+            WHERE rn = 1)"""
+        s"""WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          e AS (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+          lp0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+          ${(1 to 3).map(i => round(i, s"lp${i - 1}")).mkString(",\n          ")}
+        SELECT node AS part, lbl AS label FROM lp3"""
+      }
+    )),
+
     // Triangle counting over the SUPPORT-FILTERED co-purchase graph
     // (edges = part pairs co-purchased in ≥ 2 orders — the standard
     // market-basket support prune, which is also what keeps the graph

@@ -121,6 +121,37 @@ object MultimodalQueries {
         GROUP BY 1, 2, 3, 4""")
     )),
 
+    // REAL audio decode, oracle-pinned: synthesized 16-bit LE PCM
+    // bytes (MediaPipeline.pcmFixtures — sample formula derivable
+    // from doc_id) parsed by the production pcmEnergy extractor;
+    // DuckDB recomputes the exact integer frame energy, peak, and
+    // sample accounting from the formula over a generated sample
+    // index. The audio twin of m7: a byte-order / sign-extension /
+    // width mistake in the ByteBuffer decode flips energy_sum.
+    "m8_pcm_energy" -> ((
+      (s: SparkSession, d: String) =>
+        MediaPipeline.pcmEnergy(MediaPipeline.pcmFixtures(s, d)).toDF()
+          .select(col("media_id"),
+            col("n_samples").cast("long").as("n_samples"),
+            col("n_frames").cast("long").as("n_frames"),
+            col("energy_sum"),
+            col("peak_abs").cast("long").as("peak_abs")),
+      Some("""WITH ids AS (
+            SELECT doc_id, 512 + doc_id % 512 AS n
+            FROM documents WHERE doc_id % 4 = 1),
+          s AS (
+            SELECT doc_id, n, i,
+                   (doc_id * 17 + i * 31) % 4096 - 2048 AS v
+            FROM ids, unnest(range(0, n)) AS t(i))
+        SELECT doc_id AS media_id,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(n // 256 AS BIGINT) AS n_frames,
+               CAST(sum(CASE WHEN i < (n // 256) * 256 THEN v * v
+                             ELSE 0 END) AS BIGINT) AS energy_sum,
+               CAST(max(abs(v)) AS BIGINT) AS peak_abs
+        FROM s GROUP BY 1, 2, 3""")
+    )),
+
     // flatMap frame sampling: every 4th 256-byte frame of "video" rows.
     "m3_frame_samples" -> ((
       (s: SparkSession, d: String) =>

@@ -104,6 +104,54 @@ object TextQueries {
        ELSE list_distinct([array_to_string(w[i:i+4], ' ')
               for i in range(1, len(w) - 3)]) END"""
 
+  /** THE per-doc bigram-LM sufficient statistics, defined once for
+    * t22 (LM predictability score) and t26 (CCNet-style per-language
+    * bucketing of that score): bigram counts c12 / left-unigram
+    * counts c1 over the corpus itself, each doc scoring
+    * pred_q = Σ floor(c12·1e6 / c1) over its bigram occurrences.
+    * Drift between the two queries' LM definitions would bucket a
+    * score t22 never reported — both engines share one derivation
+    * (this method / [[bigramStatsSqlPrefix]]). Single-token docs have
+    * no bigrams and drop out on both sides (Spark: the size guard —
+    * sequence(1, 0) would DESCEND; DuckDB: range(1, 1) is empty).
+    * lang is carried through the final aggregate (functionally
+    * dependent on doc_id — same groups, same shuffle).
+    */
+  private def bigramDocStats(s: SparkSession, d: String): DataFrame = {
+    val bg = docs(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+          "transform(sequence(1, size(w) - 1), " +
+            "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("lang"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cu = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(floor(col("c12") * lit(1000000.0) / col("c1")))
+          .cast("long").as("pred_q"))
+  }
+
+  private val bigramStatsSqlPrefix = """WITH t AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        bg AS (
+          SELECT doc_id, lang, b.w1 AS w1, b.w2 AS w2
+          FROM (SELECT doc_id, lang,
+                  unnest([{'w1': w[i], 'w2': w[i+1]}
+                          for i in range(1, len(w))]) AS b
+                FROM t)),
+        cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        cu AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+        stats AS (
+          SELECT doc_id, lang, count(*) AS n_bigrams,
+                 CAST(sum(CAST(floor(c12 * 1000000.0 / c1) AS BIGINT))
+                   AS BIGINT) AS pred_q
+          FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+          GROUP BY doc_id, lang)"""
+
   /** MinHash prime modulus (< 2^30 so the affine step stays exact in
     * int64 in both engines).
     */
@@ -1572,37 +1620,146 @@ object TextQueries {
     // tables, one per-doc aggregate — no cross-doc pair work anywhere.
     // Single-token docs have no bigrams and drop out on both sides.
     "t22_bigram_lm" -> ((
+      (s: SparkSession, d: String) =>
+        bigramDocStats(s, d).select("doc_id", "n_bigrams", "pred_q"),
+      Some(s"""$bigramStatsSqlPrefix
+        SELECT doc_id, n_bigrams, pred_q FROM stats""")
+    )),
+
+    // CCNet-style LM-quality bucketing (Wenzek et al. 2020): split the
+    // corpus into head/middle/tail by PER-LANGUAGE perplexity terciles
+    // — the curation step that follows t22's LM scoring (CCNet trains
+    // a KenLM per language and buckets each language by its own
+    // perplexity distribution precisely because a global cut would
+    // call all low-resource-language text "tail"). Here high mean
+    // predictability mean_ppm = pred_q div n_bigrams ≡ low perplexity
+    // ≡ head. The tercile cuts are exact per-lang ORDER STATISTICS
+    // (t21/t24 rank pattern — conditional min at ranks ceil(n/3) and
+    // ceil(2n/3), never an interpolated percentile), so the bucket
+    // boundary can't flip on a last-ulp engine difference. The cut
+    // derivation RIDES the same bigramDocStats/`stats` definition as
+    // t22 in both engines — the score being bucketed can never drift
+    // from the score t22 reports. Scale shape: t22's shape plus one
+    // per-lang rank window (shardable) and a lang-cardinality
+    // broadcast join-back; swap the window for the mergeable KLL path
+    // (q52) when exact cuts stop being worth the per-lang sort.
+    "t26_lm_buckets" -> ((
       (s: SparkSession, d: String) => {
-        val bg = docs(s, d)
-          .withColumn("w", split(col("text"), " "))
-          .filter(size(col("w")) >= 2) // sequence(1,0) would DESCEND
-          .select(col("doc_id"), explode(expr(
-              "transform(sequence(1, size(w) - 1), " +
-                "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
-          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-        val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-        val cu = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
-        bg.join(cb, Seq("w1", "w2")).join(cu, Seq("w1"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            sum(floor(col("c12") * lit(1000000.0) / col("c1")))
-              .cast("long").as("pred_q"))
+        val scored = bigramDocStats(s, d)
+          .withColumn("mean_ppm", expr("pred_q div n_bigrams"))
+        val wRank = Window.partitionBy("lang")
+          .orderBy(col("mean_ppm"), col("doc_id"))
+        val wLang = Window.partitionBy("lang")
+        val thr = scored
+          .withColumn("rn", row_number().over(wRank))
+          .withColumn("n", count(lit(1)).over(wLang))
+          .groupBy("lang")
+          .agg(
+            min(when(col("rn") === expr("(n + 2L) div 3"),
+              col("mean_ppm"))).as("c33"),
+            min(when(col("rn") === expr("(2L * n + 2L) div 3"),
+              col("mean_ppm"))).as("c67"))
+        scored.join(broadcast(thr), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("mean_ppm"),
+            col("c33"), col("c67"),
+            when(col("mean_ppm") >= col("c67"), "head")
+              .when(col("mean_ppm") >= col("c33"), "middle")
+              .otherwise("tail").as("bucket"))
       },
-      Some("""WITH t AS (
-          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        bg AS (
-          SELECT doc_id, b.w1 AS w1, b.w2 AS w2
-          FROM (SELECT doc_id,
-                  unnest([{'w1': w[i], 'w2': w[i+1]}
-                          for i in range(1, len(w))]) AS b
-                FROM t)),
-        cb AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-        cu AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
-        SELECT doc_id, count(*) AS n_bigrams,
-               CAST(sum(CAST(floor(c12 * 1000000.0 / c1) AS BIGINT))
-                 AS BIGINT) AS pred_q
-        FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
-        GROUP BY doc_id""")
+      Some(s"""$bigramStatsSqlPrefix,
+          r AS (
+            SELECT doc_id, lang,
+                   CAST(pred_q // n_bigrams AS BIGINT) AS mean_ppm
+            FROM stats),
+          rk AS (
+            SELECT *, row_number() OVER (PARTITION BY lang
+                        ORDER BY mean_ppm, doc_id) AS rn,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM r),
+          thr AS (
+            SELECT lang,
+                   min(CASE WHEN rn = (n + 2) // 3 THEN mean_ppm END) AS c33,
+                   min(CASE WHEN rn = (2 * n + 2) // 3 THEN mean_ppm END)
+                     AS c67
+            FROM rk GROUP BY lang)
+        SELECT r.doc_id, r.lang, r.mean_ppm, t.c33, t.c67,
+               CASE WHEN r.mean_ppm >= t.c67 THEN 'head'
+                    WHEN r.mean_ppm >= t.c33 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM r JOIN thr t USING (lang)""")
+    )),
+
+    // BM25 top-k retrieval — the lexical-relevance ranker (Robertson &
+    // Zaragoza 2009) every RAG/curation stack runs beside the vector
+    // path (s1/s5). Scored entirely in EXACT int64 arithmetic: the
+    // standard k1=1.2, b=0.75 term saturation
+    //   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    // is cleared of floats by multiplying through by 10·L (avgdl=L/N):
+    //   tf_q = 22·tf·L·1e6 div (10·L·tf + 3·L + 9·dl·N)
+    // and the idf's log argument (N−df+½)/(df+½) — a monotone idf
+    // surrogate, doubled to stay integral —
+    //   idf_q = (2·(N−df)+1)·1e6 div (2·df+1);
+    // term score = idf_q·tf_q, summed per doc. All products stay far
+    // under 2^63 at any bundled sf (~2e16 worst case); a 100 TB corpus
+    // re-scales the two 1e6 quantizers before L·1e6 approaches 2^63.
+    // Plan shape: tf filters to the query terms BEFORE its aggregate
+    // (the doc-term table never materializes for non-query tokens), df
+    // and the (N, L) scalars broadcast, and the global top-25 compiles
+    // to TakeOrderedAndProject — per-partition partial top-k merged on
+    // the driver, never a full sort. Ties broken by doc_id.
+    "t25_bm25_topk" -> ((
+      (s: SparkSession, d: String) => {
+        val terms = Seq("spark", "vector", "stream")
+        val base = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("w"),
+            size(col("w")).cast("long").as("dl"))
+        val corpus = base
+          .agg(count(lit(1)).as("n_docs"), sum("dl").as("l_total"))
+        val tf = base
+          .select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
+          .filter(col("tok").isin(terms: _*))
+          .groupBy("doc_id", "dl", "tok")
+          .agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        tf.join(broadcast(dfreq), Seq("tok"))
+          .crossJoin(broadcast(corpus))
+          .withColumn("idf_q",
+            expr("(2L * (n_docs - df) + 1L) * 1000000L div (2L * df + 1L)"))
+          .withColumn("tf_q",
+            expr("22L * tf * l_total * 1000000L div " +
+              "(10L * l_total * tf + 3L * l_total + 9L * dl * n_docs)"))
+          .groupBy("doc_id", "dl")
+          .agg(count(lit(1)).as("n_hit"),
+            sum(expr("idf_q * tf_q")).as("bm25_q"))
+          .select("doc_id", "dl", "n_hit", "bm25_q")
+          .orderBy(col("bm25_q").desc, col("doc_id"))
+          .limit(25)
+      },
+      Some("""WITH base AS (
+            SELECT doc_id, string_split(text, ' ') AS w,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+            FROM documents),
+          corpus AS (
+            SELECT count(*) AS n_docs, sum(dl) AS l_total FROM base),
+          tf AS (
+            SELECT doc_id, dl, tok, count(*) AS tf
+            FROM (SELECT doc_id, dl, unnest(w) AS tok FROM base)
+            WHERE tok IN ('spark', 'vector', 'stream')
+            GROUP BY doc_id, dl, tok),
+          dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+          scored AS (
+            SELECT t.doc_id, t.dl, count(*) AS n_hit,
+                   CAST(sum(
+                     ((2 * (c.n_docs - f.df) + 1) * 1000000
+                        // (2 * f.df + 1))
+                     * (22 * t.tf * c.l_total * 1000000
+                        // (10 * c.l_total * t.tf + 3 * c.l_total
+                           + 9 * t.dl * c.n_docs))) AS BIGINT) AS bm25_q
+            FROM tf t JOIN dfreq f USING (tok), corpus c
+            GROUP BY t.doc_id, t.dl)
+        SELECT doc_id, dl, n_hit, bm25_q
+        FROM scored ORDER BY bm25_q DESC, doc_id LIMIT 25""")
     )),
 
     // DSIR-style importance selection (Xie et al. 2023, "Data

@@ -191,6 +191,46 @@ class MediaPipelineSpec extends SparkSpecBase {
     }
     assert(e.getMessage.contains("not a decodable image"))
   }
+
+  test("pcmEnergy decodes 16-bit LE samples: energy over full frames " +
+      "only, peak over all samples, trailing odd byte ignored") {
+    val session = spark
+    import session.implicits._
+    // samples: 3, -2, 100, -300, 7 — frameSamples=2 → 2 full frames
+    // (first 4 samples); the 5th contributes to peak only. A stray
+    // trailing byte must not shift the decode or count as a sample.
+    val samples = Seq[Short](3, -2, 100, -300, 7)
+    val buf = java.nio.ByteBuffer.allocate(samples.size * 2 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(buf.putShort)
+    buf.put(0x7f.toByte)
+    val ds = spark.createDataset(Seq(media(5L, "audio", buf.array())))
+    val got = MediaPipeline.pcmEnergy(ds, frameSamples = 2).collect()
+    assert(got.length == 1)
+    val f = got.head
+    assert(f.n_samples == 5, f)
+    assert(f.n_frames == 2, f)
+    assert(f.energy_sum == 3L * 3 + 2 * 2 + 100 * 100 + 300 * 300, f)
+    assert(f.peak_abs == 300, f)
+  }
+
+  test("pcmFixtures round-trip: decoding the synthesized PCM through " +
+      "pcmEnergy reproduces the sample formula exactly") {
+    val feats = MediaPipeline
+      .pcmEnergy(MediaPipeline.pcmFixtures(spark, "/root/testdata/sf0.001"))
+      .collect().sortBy(_.media_id)
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      val id = f.media_id
+      val n = (512 + id % 512).toInt
+      val vals = (0 until n).map(i => ((id * 17 + i.toLong * 31) % 4096) - 2048)
+      assert(f.n_samples == n, f)
+      assert(f.n_frames == n / 256, f)
+      val full = vals.take((n / 256) * 256)
+      assert(f.energy_sum == full.map(v => v * v).sum, f)
+      assert(f.peak_abs == vals.map(math.abs).max, f)
+    }
+  }
 }
 
 /** StubModel wrapper counting inits and batch sizes via static state
