@@ -14,34 +14,44 @@ import org.apache.spark.sql.functions._
   *   dist_i(v) = min(dist_{i-1}(v), 1 + min over edges u→v of dist_{i-1}(u))
   *
   * implemented as ONE equi-join (current distances ⋈ edges on src) +
-  * union + min-aggregate — both shuffles hash-partitioned on the node
-  * key, so successive rounds reuse the same partitioning. All-integer
-  * distances make the operator value-oracle-checkable: DuckDB unrolls
-  * the identical rounds as CTEs and must byte-match (the PageRank
-  * pattern, applied to distances).
+  * union + min-aggregate. All-integer distances make the operator
+  * value-oracle-checkable: DuckDB unrolls the identical rounds as
+  * CTEs and must byte-match (the PageRank pattern, applied to
+  * distances).
   *
-  * Scale shape: per-round cost is one |frontier-adjacent edges| join —
-  * bounded by |E| — and state is one (node, dist) row per reached
-  * node. Lineage is localCheckpoint-bounded every `checkpointEvery`
-  * rounds (the ConnectedComponents/PageRank hygiene: a 10-round unroll
-  * must not re-derive round 1 ten times, and superseded checkpoint
-  * blocks are dropped as soon as the next one materializes).
+  * Scale shape: the distance table is at most node-sized while the
+  * edge table is |E|, so each round joins the distances INTO the
+  * stationary checkpointed edges — BROADCAST while the graph's node
+  * count fits `broadcastNodeLimit` (the PageRank rate-into-edges
+  * shape: the edges are never shuffled), shuffled equi-join past it.
+  * The min-aggregate shuffles only node-sized rows. Lineage is
+  * localCheckpoint-bounded every `checkpointEvery` rounds (the
+  * ConnectedComponents/PageRank hygiene: a 10-round unroll must not
+  * re-derive round 1 ten times, and superseded checkpoint blocks are
+  * dropped as soon as the next one materializes).
   */
 object BfsHops {
 
   def run(
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
-      rounds: Int, checkpointEvery: Int = 2): DataFrame = {
+      rounds: Int, checkpointEvery: Int = 2,
+      broadcastNodeLimit: Long = 5000000L): DataFrame = {
     require(rounds >= 0, s"negative rounds: $rounds")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
+    // dist can only grow to the reachable node count; checkpointed
+    // frames report no size stats, so Spark would never choose the
+    // broadcast on its own (the PageRank rule)
+    val nNodes = e.select("src").distinct().count()
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast _ else identity _
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("d", lit(0L))
     var prior: Option[DataFrame] = None
     for (i <- 1 to rounds) {
-      val relaxed = dist.as("dd").join(e.as("ee"),
-          col("dd.node") === col("ee.src"))
+      val relaxed = e.as("ee").join(
+          maybeBroadcast(dist.as("dd")), col("dd.node") === col("ee.src"))
         .select(col("ee.dst").as("node"), (col("dd.d") + 1L).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("d")).as("d"))

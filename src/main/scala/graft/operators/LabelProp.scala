@@ -19,13 +19,16 @@ import org.apache.spark.sql.functions._
   * round budget like PageRank/BfsHops so DuckDB can replay identical
   * rounds as CTEs and byte-match.
   *
-  * Per round: one labels⋈edges equi-join, one (node, label) count
-  * aggregate, one per-node max_by reduce — all hash-partitioned on
-  * the node key, no window (a rank window would sort within every
-  * node partition; `max_by(label, (cnt, -label))` is a map-side-
-  * combinable aggregate computing the same argmax). State is one
-  * (node, label) row per node. Lineage is localCheckpoint-bounded
-  * every `checkpointEvery` rounds with the shared unpersist hygiene.
+  * Per round the node-sized label table joins INTO the stationary
+  * checkpointed edge table — broadcast while |nodes| fits
+  * `broadcastNodeLimit` (the PageRank rate-into-edges shape: the
+  * edges are never shuffled), degrading to a plain shuffled
+  * equi-join past it. The vote count is a map-side-combinable
+  * (node, label) aggregate and the argmax is `max_by(label,
+  * (cnt, -label))` — a second aggregate, not a rank window (a window
+  * would sort every node partition). State is one (node, label) row
+  * per node. Lineage is localCheckpoint-bounded every
+  * `checkpointEvery` rounds with the shared unpersist hygiene.
   *
   * On an undirected graph pass both edge directions (the co-purchase
   * edge table already is symmetric). Nodes without in-edges drop out
@@ -35,17 +38,24 @@ object LabelProp {
 
   def run(
       edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int, checkpointEvery: Int = 2): DataFrame = {
+      rounds: Int, checkpointEvery: Int = 2,
+      broadcastNodeLimit: Long = 5000000L): DataFrame = {
     require(rounds >= 0, s"negative rounds: $rounds")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
     var labels = e.select(col("src").as("node")).distinct()
       .withColumn("lbl", col("node"))
-    var prior: Option[DataFrame] = None
+      .localCheckpoint(true)
+    // checkpointed frames report no size stats — Spark would never
+    // choose the broadcast on its own (the PageRank rule)
+    val nNodes = labels.count()
+    val maybeBroadcast: DataFrame => DataFrame =
+      if (nNodes <= broadcastNodeLimit) broadcast _ else identity _
+    var prior: Option[DataFrame] = Some(labels)
     for (i <- 1 to rounds) {
-      labels = labels.as("ll").join(e.as("ee"),
-          col("ll.node") === col("ee.src"))
-        .groupBy(col("ee.dst").as("node"), col("ll.lbl").as("lbl"))
+      labels = e.join(
+          maybeBroadcast(labels.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy("node")
         // argmax by (cnt asc, -lbl asc) == most frequent, then
