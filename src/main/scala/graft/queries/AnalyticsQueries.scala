@@ -1435,6 +1435,75 @@ object AnalyticsQueries {
         WHERE d.ad * 10 > mad.mad * 19""")
     )),
 
+    // Multi-touch attribution: every purchase distributes its value
+    // LINEARLY over the user's click/view touches in the preceding
+    // hour — the marketing-credit allocation a conversion pipeline
+    // computes per impression. Credit is exact int64: value → cents
+    // (q45's quantizer), credit = cents·1e6 div n_touches
+    // (micro-cents; the floor remainder stays on the table as
+    // n·credit ≤ cents·1e6, standard largest-remainder-free
+    // allocation). Scale shape: the interval join is NOT a per-user
+    // theta join (a hot user's purchases × touches would be deg² in
+    // one reducer) — it is the q31 binned-range-join pattern with the
+    // user as a composite key: touches land in one 3600 s epoch bin,
+    // each purchase's 1 h lookback explodes to the ≤ 2 bins it
+    // overlaps, the join is a hash equi-join on (user, bin) with the
+    // exact window predicate re-checked, and each pair meets in
+    // exactly one bin (the touch's) so no dedup pass. n_touches is
+    // one count window over pair-sized partitions. Purchases with no
+    // in-window touch drop out (no touch row to credit); DuckDB
+    // computes the same result from the plain theta join — two
+    // formulations, one answer.
+    "q54_attribution" -> ((
+      (s: SparkSession, d: String) => {
+        val ev = Derived.events(s, d).select(
+          col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("es"),
+          expr("CAST(floor(value * 100D + 0.5D) AS BIGINT)").as("cents"))
+        val touches = ev
+          .filter(col("event_type").isin("click", "view"))
+          .select(col("user_id"), col("event_id").as("touch_id"),
+            col("event_type").as("touch_type"), col("es").as("tts"))
+          .withColumn("bin", expr("tts div 3600"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("purchase_id"),
+            col("es").as("pts"), col("cents"))
+          .withColumn("bin", explode(sequence(
+            expr("(pts - 3600) div 3600"), expr("pts div 3600"))))
+        val pairs = touches.join(purchases, Seq("user_id", "bin"))
+          .filter(col("tts") < col("pts") && col("tts") >= col("pts") - 3600)
+        val wP = Window.partitionBy("purchase_id")
+        pairs
+          .withColumn("n_touches", count(lit(1)).over(wP))
+          .select(col("purchase_id"), col("touch_id"), col("touch_type"),
+            col("user_id"), col("n_touches"),
+            expr("cents * 1000000L div n_touches").as("credit_microcents"))
+      },
+      Some("""WITH ev AS (
+            SELECT event_id, user_id, event_type,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+            FROM events),
+          t AS (
+            SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+                   es AS tts
+            FROM ev WHERE event_type IN ('click', 'view')),
+          p AS (
+            SELECT user_id, event_id AS purchase_id, es AS pts, cents
+            FROM ev WHERE event_type = 'purchase'),
+          pairs AS (
+            SELECT p.purchase_id, t.touch_id, t.touch_type, p.user_id,
+                   p.cents
+            FROM p JOIN t ON p.user_id = t.user_id
+              AND t.tts < p.pts AND t.tts >= p.pts - 3600)
+        SELECT purchase_id, touch_id, touch_type, user_id,
+               count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+               CAST(cents * 1000000
+                 // count(*) OVER (PARTITION BY purchase_id) AS BIGINT)
+                 AS credit_microcents
+        FROM pairs""")
+    )),
+
     // PERSONALIZED (topic-sensitive) PageRank: only seed parts (one
     // brand) receive the damped reset mass, so rank measures proximity
     // to the seed topic through the co-purchase graph — "what else is

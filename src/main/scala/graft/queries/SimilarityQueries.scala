@@ -315,6 +315,69 @@ object SimilarityQueries {
         FROM exact5""")
     )),
 
+    // Matryoshka-style truncated-dimension retrieval (Kusupati et al.
+    // 2022, "Matryoshka Representation Learning"): coarse-search with
+    // the FIRST 32 of 64 dims — halving the bytes the scan touches —
+    // then exact-rerank the 50-deep shortlist in full dimension. The
+    // third ANN architecture beside IVF (s5, partition pruning) and
+    // PQ (s9, code compression): MRL needs NO trained state at all,
+    // just a prefix slice, which is why serving stacks use it as the
+    // cheap first tier. At 100 TB the prefix lives as its own (half-
+    // width) column so the scan reads half the bytes; here the slice
+    // is projected before the broadcast scan. Same recall-contract
+    // shape as s5/s9: exact top-5 (shared exactTopK) plus
+    // mrl_recall_floor_ok — the live shortlist+rerank must recover
+    // >=15 of the 50 exact neighbors, pinned TRUE by the oracle.
+    // Calibrated on the BUNDLED corpora: measured 37/38/30 across
+    // sf0.001/0.01/0.1 (16-dim prefixes measured 27/30/12 — below a
+    // safe margin, hence 32), vs a ~0 random baseline; recalibrate
+    // for a different corpus.
+    "s11_matryoshka_rerank" -> ((
+      (s: SparkSession, d: String) => {
+        val qp = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            expr("slice(embedding, 1, 32)").as("qp"))
+        val cp = emb(s, d)
+          .select(col("vec_id").as("n_id"),
+            expr("slice(embedding, 1, 32)").as("np"))
+        val wPre = Window.partitionBy("q_id")
+          .orderBy(col("psim").desc, col("n_id"))
+        val short50 = broadcast(qp).crossJoin(cp)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("psim", graft.functions.VectorExprs
+            .cosine_similarity(col("qp"), col("np")))
+          .withColumn("rk", row_number().over(wPre).cast("long"))
+          .filter(col("rk") <= 50)
+          .select("q_id", "n_id")
+        // exact rerank: fetch full vectors for the 500 shortlist rows
+        // (equi-join, never a second corpus scan) + codegen'd cosine
+        val vecs = emb(s, d)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        val qv = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        val mrl5 = short50.join(vecs, Seq("n_id"))
+          .join(broadcast(qv), Seq("q_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select("q_id", "n_id")
+        val exact5 = exactTopK(s, d)
+        exact5
+          .join(mrl5.withColumn("__hit", lit(1L)),
+            Seq("q_id", "n_id"), "left")
+          .withColumn("__hits",
+            sum(coalesce(col("__hit"), lit(0L)))
+              .over(Window.partitionBy()))
+          .select(col("q_id"), col("n_id"), col("rank"), col("sim_r"),
+            (col("__hits") >= 15).as("mrl_recall_floor_ok"))
+      },
+      Some(s"""WITH exact5 AS (${exactTopKSql()})
+        SELECT q_id, n_id, rank, sim_r, TRUE AS mrl_recall_floor_ok
+        FROM exact5""")
+    )),
+
     // Bucketed ANN: search only the query's coarse cell (label) —
     // the IVF-style equi-join scale path.
     "s2_bucketed_ann" -> ((

@@ -73,6 +73,24 @@ class PlanShapeSpec extends SparkSpecBase {
       "no shuffled join belongs in the tf-idf plan")
   }
 
+  test("bm25 broadcasts df + corpus scalars and plans a distributed " +
+      "top-k, never a global sort") {
+    val plan = finalPlan(planOf("t25_bm25_topk"))
+    val s = plan.toString
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"document-frequency table must broadcast:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"global top-25 must be TakeOrderedAndProject:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"no shuffled join belongs in the bm25 plan:\n$s")
+  }
+
+  test("lm bucketing broadcasts the lang-cardinality tercile table") {
+    val plan = finalPlan(planOf("t26_lm_buckets"))
+    assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
+      s"tercile cut table must broadcast:\n$plan")
+  }
+
   test("chunking is a zero-shuffle narrow map") {
     val s = planOf("t12_chunk_pack").toString
     assert(!s.contains("Exchange"),
