@@ -1762,6 +1762,55 @@ object TextQueries {
         FROM scored ORDER BY bm25_q DESC, doc_id LIMIT 25""")
     )),
 
+    // Linear quality classifier over HASHED features — the serving
+    // shape of every fastText-style quality filter (the
+    // GPT-3/LLaMA-pipeline "looks like curated text?" gate): the
+    // hashing trick (Weinberger et al. 2009) maps each token to one
+    // of 1024 buckets with a second SIGN hash (the collision-bias
+    // killer), and the score is Σ sign·w[bucket] over token
+    // occurrences. The weights here are deterministic pseudo-random
+    // integers, but they sit in a TABLE broadcast onto the feature
+    // stream — the real serving topology: swap `wtab` for trained
+    // parameters and neither the plan nor the oracle shape changes.
+    // No division anywhere (a negative score under Spark's
+    // truncating `div` vs DuckDB's flooring `//` would flip), so
+    // every value is exact int64 and the accept boundary
+    // (score_q >= 0) is engine-exact. Scale shape: narrow featurize
+    // map, 1024-row broadcast, one map-side-combinable per-doc
+    // aggregate — embarrassingly parallel at any corpus size.
+    "t27_quality_classifier" -> ((
+      (s: SparkSession, d: String) => {
+        val wtab = s.range(1024).select(col("id").as("bucket"),
+          (pmod(col("id") * lit(2654435761L), lit(2003L)) - 1001L)
+            .as("wgt"))
+        val feats = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .withColumn("bucket",
+            pmod(saltedHash(23, col("tok")), lit(1024L)))
+          .withColumn("sign",
+            pmod(saltedHash(29, col("tok")), lit(2L)) * 2L - 1L)
+        feats.join(broadcast(wtab), Seq("bucket"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+            sum(expr("sign * wgt")).as("score_q"))
+          .withColumn("kept", col("score_q") >= 0L)
+      },
+      Some(s"""WITH wtab AS (
+            SELECT i AS bucket, (i * 2654435761) % 2003 - 1001 AS wgt
+            FROM range(1024) t(i)),
+          f AS (
+            SELECT doc_id,
+                   ${saltedHashSql(23, "tok")} % 1024 AS bucket,
+                   (${saltedHashSql(29, "tok")} % 2) * 2 - 1 AS sign
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents))
+        SELECT doc_id, count(*) AS n_tokens,
+               CAST(sum(sign * wgt) AS BIGINT) AS score_q,
+               (sum(sign * wgt) >= 0) AS kept
+        FROM f JOIN wtab USING (bucket)
+        GROUP BY doc_id""")
+    )),
+
     // DSIR-style importance selection (Xie et al. 2023, "Data
     // Selection for Language Models via Importance Resampling"): from
     // a raw pool, pick the docs whose hashed-token-bucket distribution
