@@ -57,7 +57,13 @@ object ScaleBench {
     // round-9: substring dedup flag + removal rewrite
     "d14_substring_dedup", "d15_substring_removal",
     // round-9: DSIR importance selection
-    "t23_dsir_select")
+    "t23_dsir_select",
+    // round-11: prefix-filter join, BFS, label propagation, BM25,
+    // LM buckets, hashed-linear classifier, matryoshka rerank,
+    // attribution
+    "d16_prefix_filter_join", "p5_bfs_hops", "p6_label_prop",
+    "t25_bm25_topk", "t26_lm_buckets", "t27_quality_classifier",
+    "s11_matryoshka_rerank", "q54_attribution")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.
