@@ -1298,6 +1298,63 @@ object AnalyticsQueries {
         GROUP BY 1""")
     )),
 
+    // Theta-sketch set DIFFERENCE (A-NOT-B) — the unconverted
+    // audience: per event type, (user, active-day) elements that
+    // never purchased that day. Completes the sketch set algebra
+    // q46/q51 started (union-merge / INTERSECTION / now DIFFERENCE —
+    // the two non-union operations are exactly what theta sketches
+    // buy over HLL, which can only union). Same accuracy-contract
+    // frame as q51: the exact values (combos, missed) ride along
+    // from a left-anti-style count both engines compute, and the
+    // sketch's A-NOT-B estimate must land within a 10% band —
+    // err_missed pinned 0 by the oracle, so a broken difference
+    // (wrong theta handling, retained-entry bias) flips the hash.
+    // lgK=12 on ~16k-element day-combo sets keeps the sketches in
+    // genuine estimation mode at sf0.1 (the q51 calibration). Scale
+    // shape: two map-side-combinable sketch aggregates (KB state) +
+    // a 5-row join; the exact companion is the thing that stops
+    // scaling — which is the point of shipping the sketch.
+    "q55_unconverted_audience" -> ((
+      (s: SparkSession, d: String) => {
+        val e = Derived.events(s, d).select(col("event_type"),
+          (col("user_id") * 100000L
+            + expr("unix_micros(ts) div 86400000000")).as("combo"))
+        val dTyped = e.distinct()
+        val pCombos = dTyped.filter(col("event_type") === "purchase")
+          .select(col("combo"))
+        val exact = dTyped
+          .join(pCombos.withColumn("__hit", lit(1)).distinct(),
+            Seq("combo"), "left")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("combos"),
+            sum(when(col("__hit").isNull, 1L).otherwise(0L))
+              .as("missed"))
+        val sk = e.groupBy("event_type")
+          .agg(theta_sketch_agg(col("combo"), 12).as("sk"))
+        val pSk = e.filter(col("event_type") === "purchase")
+          .agg(theta_sketch_agg(col("combo"), 12).as("psk"))
+        exact.join(sk, Seq("event_type"))
+          .crossJoin(broadcast(pSk))
+          .select(col("event_type"), col("combos"), col("missed"),
+            when(col("missed") > 0,
+              floor(abs(theta_sketch_estimate(
+                  theta_difference(col("sk"), col("psk")))
+                - col("missed")) / col("missed") / 0.10).cast("long"))
+              .otherwise(0L).as("err_missed"))
+      },
+      Some("""WITH e AS (
+            SELECT DISTINCT event_type,
+                   user_id * 100000 + epoch_us(ts) // 86400000000 AS combo
+            FROM events),
+          p AS (SELECT combo FROM e WHERE event_type = 'purchase')
+        SELECT e.event_type, count(*) AS combos,
+               CAST(sum(CASE WHEN p.combo IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS missed,
+               CAST(0 AS BIGINT) AS err_missed
+        FROM e LEFT JOIN p ON e.combo = p.combo
+        GROUP BY 1""")
+    )),
+
     // Incremental QUANTILE maintenance — the last member of the MV
     // family (counts q45, distincts q46, changesets q47, joins q48):
     // order statistics over history can only be maintained by a
