@@ -1298,6 +1298,62 @@ object AnalyticsQueries {
         GROUP BY 1""")
     )),
 
+    // Event DEBOUNCE — the ingest-dedup every clickstream ETL runs:
+    // within each (user, event_type) stream, an event that fires
+    // within 1 h of the previous KEPT event is a bounce/retry and is
+    // dropped. NOT the naive lag-gap filter (predecessor may itself
+    // be dropped — a burst of 10 rapid events must collapse to its
+    // FIRST, not to "drop everything with a close predecessor"):
+    // gaps-and-islands — a new burst starts when the lag gap is
+    // ≥ 3600 s, burst_id is the running sum of burst starts, keep
+    // rank-1 of each burst. Exact integer micros throughout; order
+    // (ts, event_id) is total, so both engines cut identical bursts.
+    // Scale shape: ONE shuffle on (user, event_type) whose ordered
+    // partition serves lag, running sum, and rank; the 1 h window
+    // makes the stateful streaming twin trivially expressible with
+    // per-key watermark state (the StreamingDedup family).
+    "q56_event_debounce" -> ((
+      (s: SparkSession, d: String) => {
+        val wOrd = Window.partitionBy("user_id", "event_type")
+          .orderBy("eus", "event_id")
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)
+        val wBurst = Window.partitionBy("user_id", "event_type", "burst_id")
+          .orderBy("eus", "event_id")
+        Derived.events(s, d)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            expr("unix_micros(ts)").as("eus"))
+          .withColumn("gap", col("eus") - lag("eus", 1).over(wOrd))
+          .withColumn("new_burst",
+            when(col("gap").isNull || col("gap") >= 3600000000L, 1L)
+              .otherwise(0L))
+          .withColumn("burst_id", sum("new_burst").over(wCum))
+          .withColumn("kept",
+            row_number().over(wBurst) === 1)
+          .select("event_id", "user_id", "event_type", "burst_id", "kept")
+      },
+      Some("""WITH e AS (
+            SELECT event_id, user_id, event_type, epoch_us(ts) AS eus
+            FROM events),
+          g AS (
+            SELECT *, CASE WHEN lag(eus) OVER w IS NULL
+                        OR eus - lag(eus) OVER w >= 3600000000
+                      THEN 1 ELSE 0 END AS new_burst
+            FROM e
+            WINDOW w AS (PARTITION BY user_id, event_type
+                         ORDER BY eus, event_id)),
+          b AS (
+            SELECT *, sum(new_burst) OVER (PARTITION BY user_id, event_type
+                        ORDER BY eus, event_id
+                        ROWS UNBOUNDED PRECEDING) AS burst_id
+            FROM g)
+        SELECT event_id, user_id, event_type, CAST(burst_id AS BIGINT)
+                 AS burst_id,
+               (row_number() OVER (PARTITION BY user_id, event_type,
+                  burst_id ORDER BY eus, event_id) = 1) AS kept
+        FROM b""")
+    )),
+
     // Theta-sketch set DIFFERENCE (A-NOT-B) — the unconverted
     // audience: per event type, (user, active-day) elements that
     // never purchased that day. Completes the sketch set algebra

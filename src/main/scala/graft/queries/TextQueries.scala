@@ -1762,6 +1762,86 @@ object TextQueries {
         FROM scored ORDER BY bm25_q DESC, doc_id LIMIT 25""")
     )),
 
+    // Gopher-style composite quality rules (Rae et al. 2021, §A1.1):
+    // the named-rule heuristic gate every large-scale curation stack
+    // runs BEFORE any learned filter — each rule an exact-integer
+    // predicate, the verdict their conjunction, and every rule's
+    // boolean published per doc (the operational requirement: a
+    // curation dashboard needs to know WHICH rule rejected, not just
+    // that one did). Rules: word count in [20, 200]; mean word length
+    // in [4, 10] — as the cross-multiplied integer compare
+    // chars ≥ 4n ∧ chars ≤ 10n, never a division; ≥ 2 stopwords
+    // (t2's stop set); top-bigram fraction ≤ 8% (25·max ≤ 2·total —
+    // the repetition rule). Bounds tightened from Gopher's published
+    // ones (3..10 mean, 18% top-2gram) so BOTH verdicts occur live
+    // on this synthetic corpus — the paper thresholds are vacuously
+    // green here (measured: all 500 docs pass both at sf0.01).
+    // Scale shape: three rules are a narrow map; the repetition rule
+    // is two doc-keyed aggregates (bigram counts → per-doc max/total)
+    // — no cross-doc work anywhere. Single-token docs have no
+    // bigrams: LEFT join + null-safe pass (no repeat possible).
+    "t28_gopher_rules" -> ((
+      (s: SparkSession, d: String) => {
+        val t = docs(s, d).withColumn("w", split(col("text"), " "))
+        val base = t.select(col("doc_id"),
+          size(col("w")).cast("long").as("n"),
+          expr("aggregate(transform(w, x -> CAST(length(x) AS BIGINT))," +
+            " 0L, (a, x) -> a + x)").as("chars"),
+          expr("CAST(size(filter(w," +
+            " x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+            .as("stops"))
+        val bg = t.filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(w) - 1), " +
+              "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+        val bm = bg.groupBy(col("doc_id"), col("b.w1"), col("b.w2"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("nb"))
+        base.join(bm, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n"), col("chars"), col("stops"),
+            (col("n") >= 20 && col("n") <= 200).as("r_word_count"),
+            (col("chars") >= col("n") * 4
+              && col("chars") <= col("n") * 10).as("r_mean_word_len"),
+            (col("stops") >= 2).as("r_stopwords"),
+            (col("mx").isNull || col("mx") * 25 <= col("nb") * 2)
+              .as("r_top_bigram"))
+          .withColumn("kept",
+            col("r_word_count") && col("r_mean_word_len")
+              && col("r_stopwords") && col("r_top_bigram"))
+      },
+      Some("""WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          base AS (
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+                   CAST(list_sum(list_transform(w, x -> length(x)))
+                     AS BIGINT) AS chars,
+                   CAST(len(list_filter(w,
+                     x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                     AS BIGINT) AS stops
+            FROM t),
+          bg AS (
+            SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+            FROM (SELECT doc_id,
+                    unnest([{'w1': w[i], 'w2': w[i+1]}
+                            for i in range(1, len(w))]) AS b
+                  FROM t)),
+          bc AS (SELECT doc_id, count(*) AS c FROM bg
+                 GROUP BY doc_id, w1, w2),
+          bm AS (SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM bc
+                 GROUP BY doc_id)
+        SELECT b.doc_id, b.n, b.chars, b.stops,
+               (b.n >= 20 AND b.n <= 200) AS r_word_count,
+               (b.chars >= b.n * 4 AND b.chars <= b.n * 10)
+                 AS r_mean_word_len,
+               (b.stops >= 2) AS r_stopwords,
+               (bm.mx IS NULL OR bm.mx * 25 <= bm.nb * 2) AS r_top_bigram,
+               ((b.n >= 20 AND b.n <= 200)
+                AND (b.chars >= b.n * 4 AND b.chars <= b.n * 10)
+                AND (b.stops >= 2)
+                AND (bm.mx IS NULL OR bm.mx * 25 <= bm.nb * 2)) AS kept
+        FROM base b LEFT JOIN bm USING (doc_id)""")
+    )),
+
     // Linear quality classifier over HASHED features — the serving
     // shape of every fastText-style quality filter (the
     // GPT-3/LLaMA-pipeline "looks like curated text?" gate): the
