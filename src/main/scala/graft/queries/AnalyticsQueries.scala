@@ -1298,6 +1298,86 @@ object AnalyticsQueries {
         GROUP BY 1""")
     )),
 
+    // RFM customer segmentation — the classic recency/frequency/
+    // monetary scoring every CRM/marketing warehouse derives:
+    // per customer, days since last order, order count, lifetime
+    // cents (q45's exact quantizer), each quintile-scored 1..5 and
+    // composed into the 3-digit segment. Scores are PER-NATION
+    // ntile(5) — the business framing "relative to the local market",
+    // and the scale framing: every rank window partitions by nation,
+    // never a global single-partition sort (the t21/t24 rule; a
+    // global quintile wants the mergeable KLL path of q52 instead).
+    // ntile ties are impossible because the ordering is total
+    // ((value, custkey)); both engines implement the same
+    // larger-buckets-first SQL ntile, so every score is
+    // engine-exact. Plan: one orders aggregate keyed by customer,
+    // the nation key broadcast-joined from the customer dim, the
+    // corpus max date a broadcast scalar, three per-nation windows
+    // over customer-cardinality rows.
+    "q57_rfm_segments" -> ((
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders").select(col("o_custkey"),
+          to_date(col("o_orderdate")).as("od"),
+          expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)")
+            .as("cents"))
+        val agg = o.groupBy("o_custkey").agg(
+          max("od").as("last_od"),
+          count(lit(1)).as("f"),
+          sum("cents").as("m_cents"))
+        val mx = o.agg(max("od").as("corpus_max"))
+        val cust = t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        val base = agg
+          .join(broadcast(cust), Seq("o_custkey"))
+          .crossJoin(broadcast(mx))
+          .withColumn("recency_days",
+            datediff(col("corpus_max"), col("last_od")).cast("long"))
+          .select("o_custkey", "c_nationkey", "recency_days", "f",
+            "m_cents")
+        val rW = Window.partitionBy("c_nationkey")
+          .orderBy(col("recency_days").desc, col("o_custkey"))
+        val fW = Window.partitionBy("c_nationkey")
+          .orderBy(col("f"), col("o_custkey"))
+        val mW = Window.partitionBy("c_nationkey")
+          .orderBy(col("m_cents"), col("o_custkey"))
+        base
+          .withColumn("r_score", ntile(5).over(rW).cast("long"))
+          .withColumn("f_score", ntile(5).over(fW).cast("long"))
+          .withColumn("m_score", ntile(5).over(mW).cast("long"))
+          .withColumn("segment",
+            expr("r_score * 100 + f_score * 10 + m_score"))
+      },
+      Some("""WITH o AS (
+            SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+            FROM orders),
+          agg AS (
+            SELECT o_custkey, max(od) AS last_od,
+                   count(*) AS f, CAST(sum(cents) AS BIGINT) AS m_cents
+            FROM o GROUP BY 1),
+          base AS (
+            SELECT a.o_custkey, c.c_nationkey,
+                   date_diff('day', a.last_od,
+                     (SELECT max(od) FROM o)) AS recency_days,
+                   a.f, a.m_cents
+            FROM agg a JOIN customer c ON a.o_custkey = c.c_custkey)
+        SELECT o_custkey, c_nationkey, recency_days, f, m_cents,
+               CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                 ORDER BY recency_days DESC, o_custkey) AS BIGINT)
+                 AS r_score,
+               CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                 ORDER BY f, o_custkey) AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                 ORDER BY m_cents, o_custkey) AS BIGINT) AS m_score,
+               CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                 ORDER BY recency_days DESC, o_custkey) AS BIGINT) * 100
+               + CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                 ORDER BY f, o_custkey) AS BIGINT) * 10
+               + CAST(ntile(5) OVER (PARTITION BY c_nationkey
+                 ORDER BY m_cents, o_custkey) AS BIGINT) AS segment
+        FROM base""")
+    )),
+
     // Event DEBOUNCE — the ingest-dedup every clickstream ETL runs:
     // within each (user, event_type) stream, an event that fires
     // within 1 h of the previous KEPT event is a bounce/retry and is
