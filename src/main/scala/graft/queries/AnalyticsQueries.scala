@@ -1908,6 +1908,61 @@ object AnalyticsQueries {
         LIMIT 20""")
     )),
 
+    // Market-basket ASSOCIATION RULES over the co-purchase pairs —
+    // support / confidence / lift, the classic Agrawal-Srikant
+    // output q40's raw pair counts feed: for every pair co-bought in
+    // ≥ 2 orders (p3's support prune, which is also what bounds the
+    // pair table), both direction confidences and the symmetric lift,
+    // all in exact ppm integer arithmetic (cnt·1e6 div base — no
+    // float division to drift on). Scale shape: the pair derivation
+    // is the shared single-shuffle copurchasePairs; item supports are
+    // one distinct-(order, part) aggregate whose part-cardinality
+    // result BROADCASTS onto the pair table twice; the order count is
+    // a broadcast scalar. Nothing touches pairs that fail support.
+    "q58_association_rules" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val pairs = copurchasePairs(s, d, ordered = true)
+          .groupBy(col("a").as("part_a"), col("b").as("part_b"))
+          .agg(count(lit(1)).as("n_ab"))
+          .filter(col("n_ab") >= 2)
+        val itemCnt = li.groupBy("pk").agg(count(lit(1)).as("n"))
+        val orders = li.select("ok").distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        pairs
+          .join(broadcast(itemCnt.select(col("pk").as("part_a"),
+            col("n").as("n_a"))), Seq("part_a"))
+          .join(broadcast(itemCnt.select(col("pk").as("part_b"),
+            col("n").as("n_b"))), Seq("part_b"))
+          .crossJoin(broadcast(orders))
+          .select(col("part_a"), col("part_b"), col("n_ab"),
+            col("n_a"), col("n_b"),
+            expr("n_ab * 1000000L div n_a").as("conf_ab_ppm"),
+            expr("n_ab * 1000000L div n_b").as("conf_ba_ppm"),
+            expr("n_ab * n_orders * 1000000L div (n_a * n_b)")
+              .as("lift_ppm"))
+      },
+      Some("""WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+          pairs AS (
+            SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          item AS (SELECT pk, count(*) AS n FROM li GROUP BY 1),
+          o AS (SELECT count(DISTINCT ok) AS n_orders FROM li)
+        SELECT p.part_a, p.part_b, p.n_ab, ia.n AS n_a, ib.n AS n_b,
+               CAST(p.n_ab * 1000000 // ia.n AS BIGINT) AS conf_ab_ppm,
+               CAST(p.n_ab * 1000000 // ib.n AS BIGINT) AS conf_ba_ppm,
+               CAST(p.n_ab * o.n_orders * 1000000 // (ia.n * ib.n)
+                 AS BIGINT) AS lift_ppm
+        FROM pairs p
+        JOIN item ia ON p.part_a = ia.pk
+        JOIN item ib ON p.part_b = ib.pk, o""")
+    )),
+
     "q37_scd2_merge" -> ((
       (s: SparkSession, d: String) => {
         val cutoff = lit(java.sql.Timestamp.valueOf("2024-01-16 00:00:00"))
