@@ -1838,6 +1838,76 @@ object AnalyticsQueries {
       }
     )),
 
+    // LINK PREDICTION by neighborhood similarity — the 6th graph
+    // primitive (centrality p2/p4, communities p6, components d8,
+    // triangles p3, distances p5, now "which edges are missing"):
+    // for every node pair sharing a neighbor in the
+    // support-filtered co-purchase graph, the common-neighbor count
+    // and Jaccard overlap of their neighborhoods — the classic
+    // collaborative-filtering / recommend-a-part signal — plus
+    // whether the pair is ALREADY linked (predictions are the
+    // unlinked high-Jaccard pairs; emitting the flag instead of
+    // filtering keeps the oracle row set richer). jaccard_ppm =
+    // common·1e6 div (deg_a + deg_b − common), exact int64. Scale
+    // shape: wedge enumeration is one adjacency self-join on the
+    // center (Σ deg² — bounded here by the support prune, the same
+    // bound p3 leans on; a 100 TB graph additionally caps hub
+    // degrees before this join, the standard CF mitigation), one
+    // (pair) count aggregate, the node-cardinality degree table
+    // broadcast twice, and an edge left-join for the flag.
+    "p7_link_prediction" -> ((
+      (s: SparkSession, d: String) => {
+        val e = copurchasePairs(s, d, ordered = true)
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select("a", "b")
+        val adj = e.select(col("a").as("c"), col("b").as("n"))
+          .unionByName(e.select(col("b").as("c"), col("a").as("n")))
+        val wedges = adj.as("x").join(adj.as("y"),
+            col("x.c") === col("y.c") && col("x.n") < col("y.n"))
+          .groupBy(col("x.n").as("node_a"), col("y.n").as("node_b"))
+          .agg(count(lit(1)).as("common"))
+        val deg = adj.groupBy(col("c").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        wedges
+          .join(broadcast(deg.select(col("node").as("node_a"),
+            col("deg").as("deg_a"))), Seq("node_a"))
+          .join(broadcast(deg.select(col("node").as("node_b"),
+            col("deg").as("deg_b"))), Seq("node_b"))
+          .join(e.select(col("a").as("node_a"), col("b").as("node_b"))
+            .withColumn("__hit", lit(1)), Seq("node_a", "node_b"), "left")
+          .select(col("node_a"), col("node_b"), col("common"),
+            col("deg_a"), col("deg_b"),
+            expr("common * 1000000L div (deg_a + deg_b - common)")
+              .as("jaccard_ppm"),
+            col("__hit").isNotNull.as("already_linked"))
+      },
+      Some("""WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+          e AS (
+            SELECT a.pk AS a, b.pk AS b
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          adj AS (
+            SELECT a AS c, b AS n FROM e
+            UNION ALL SELECT b AS c, a AS n FROM e),
+          wedges AS (
+            SELECT x.n AS node_a, y.n AS node_b, count(*) AS common
+            FROM adj x JOIN adj y ON x.c = y.c AND x.n < y.n
+            GROUP BY 1, 2),
+          deg AS (SELECT c AS node, count(*) AS deg FROM adj GROUP BY 1)
+        SELECT w.node_a, w.node_b, w.common,
+               da.deg AS deg_a, db.deg AS deg_b,
+               CAST(w.common * 1000000 // (da.deg + db.deg - w.common)
+                 AS BIGINT) AS jaccard_ppm,
+               (ee.a IS NOT NULL) AS already_linked
+        FROM wedges w
+        JOIN deg da ON w.node_a = da.node
+        JOIN deg db ON w.node_b = db.node
+        LEFT JOIN e ee ON w.node_a = ee.a AND w.node_b = ee.b""")
+    )),
+
     // Triangle counting over the SUPPORT-FILTERED co-purchase graph
     // (edges = part pairs co-purchased in ≥ 2 orders — the standard
     // market-basket support prune, which is also what keeps the graph
