@@ -334,6 +334,41 @@ object MediaPipeline {
       }
   }
 
+  /** One consecutive-frame delta of a "video" payload — the scene-cut
+    * / temporal-change primitive (see [[frameDeltas]]).
+    */
+  final case class FrameDelta(
+      media_id: Long, frame_index: Int, diff_bytes: Int)
+
+  /** Consecutive-frame byte deltas over fixed-size frames of "video"
+    * payloads: for frames k and k+1, how many byte positions differ —
+    * the exact-integer core of scene-cut detection and temporal
+    * sampling (a real pipeline thresholds these deltas to pick
+    * keyframes; the threshold is policy, the delta is the operator).
+    * flatMap shape like [[sampleFrames]]: one row fans out to its
+    * adjacent-frame pairs, partition-local, no shuffle. Only full
+    * frames compare; payloads under two frames emit nothing.
+    */
+  def frameDeltas(
+      media: Dataset[MediaFile], frameBytes: Int = 256)
+      : Dataset[FrameDelta] = {
+    require(frameBytes >= 1, s"frameBytes must be positive, got $frameBytes")
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val nFrames = m.payload.length / frameBytes
+      (0 until nFrames - 1).map { k =>
+        var diff = 0
+        var j = 0
+        while (j < frameBytes) {
+          if (m.payload(k * frameBytes + j)
+              != m.payload((k + 1) * frameBytes + j)) diff += 1
+          j += 1
+        }
+        FrameDelta(m.media_id, k, diff)
+      }
+    }
+  }
+
   /** Decoded-audio features (per media object): sample accounting and
     * exact integer frame energy — see [[pcmEnergy]].
     */

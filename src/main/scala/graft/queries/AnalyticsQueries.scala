@@ -1298,6 +1298,53 @@ object AnalyticsQueries {
         GROUP BY 1""")
     )),
 
+    // Period-over-period reporting: monthly revenue per order status
+    // with the previous month's value, absolute delta, and percent
+    // change — the month-over-month movement every finance/BI layer
+    // derives from a fact table. Exact integers end to end: revenue
+    // in cents (q45's quantizer), pct change in basis points via
+    // (cur − prev)·10000 div prev — prev is always positive here so
+    // truncating `div` (Spark) and flooring `//` (DuckDB) cannot
+    // disagree... except when cur < prev makes the numerator
+    // negative, so BOTH engines compute the SAME floor explicitly:
+    // the numerator is scaled and divided as
+    // floor(x·10000 / prev) via floating floor on exact-in-double
+    // integers (both < 2^53 — one correctly-rounded divide, one
+    // floor, bit-identical). Scale shape: one month-grain aggregate
+    // (map-side combined), one lag window partitioned by status over
+    // month-cardinality rows.
+    "q59_mom_revenue" -> ((
+      (s: SparkSession, d: String) => {
+        val m = t(s, d, "orders")
+          .groupBy(col("o_orderstatus"),
+            trunc(to_date(col("o_orderdate")), "month").as("month"))
+          .agg(sum(expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)"))
+            .as("rev_cents"))
+        val w = Window.partitionBy("o_orderstatus").orderBy("month")
+        m.withColumn("prev_cents", lag("rev_cents", 1).over(w))
+          .select(col("o_orderstatus"), col("month"),
+            col("rev_cents"), col("prev_cents"),
+            (col("rev_cents") - col("prev_cents")).as("delta_cents"),
+            when(col("prev_cents").isNotNull,
+              floor((col("rev_cents") - col("prev_cents"))
+                * lit(10000.0) / col("prev_cents")).cast("long"))
+              .as("pct_change_bps"))
+      },
+      Some("""WITH m AS (
+            SELECT o_orderstatus,
+                   date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS rev_cents
+            FROM orders GROUP BY 1, 2)
+        SELECT o_orderstatus, month, rev_cents,
+               lag(rev_cents) OVER w AS prev_cents,
+               rev_cents - lag(rev_cents) OVER w AS delta_cents,
+               CAST(floor((rev_cents - lag(rev_cents) OVER w) * 10000.0
+                 / lag(rev_cents) OVER w) AS BIGINT) AS pct_change_bps
+        FROM m
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY month)""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime

@@ -152,6 +152,30 @@ object MultimodalQueries {
         FROM s GROUP BY 1, 2, 3""")
     )),
 
+    // Consecutive-frame byte deltas of "video" payloads — the exact
+    // integer core of scene-cut detection (thresholding is policy;
+    // the delta is the operator). ASCII corpus → DuckDB recomputes
+    // each delta by comparing the two frames' characters.
+    "m9_frame_deltas" -> ((
+      (s: SparkSession, d: String) =>
+        MediaPipeline.frameDeltas(MediaPipeline.fromDocuments(s, d)).toDF()
+          .select(col("media_id"),
+            col("frame_index").cast("long").as("frame_index"),
+            col("diff_bytes").cast("long").as("diff_bytes")),
+      Some("""WITH v AS (
+            SELECT doc_id, text, octet_length(encode(text)) // 256 AS nf
+            FROM documents WHERE doc_id % 3 = 0),
+          pairs AS (
+            SELECT doc_id, text, CAST(k AS BIGINT) AS k
+            FROM v, unnest(range(0, nf - 1)) AS t(k))
+        SELECT doc_id AS media_id, k AS frame_index,
+               CAST(len([j for j in range(1, 257)
+                         if text[CAST(k*256+j AS INTEGER)]
+                            <> text[CAST(k*256+256+j AS INTEGER)]])
+                 AS BIGINT) AS diff_bytes
+        FROM pairs""")
+    )),
+
     // flatMap frame sampling: every 4th 256-byte frame of "video" rows.
     "m3_frame_samples" -> ((
       (s: SparkSession, d: String) =>
