@@ -1432,21 +1432,22 @@ object AnalyticsQueries {
     // be dropped — a burst of 10 rapid events must collapse to its
     // FIRST, not to "drop everything with a close predecessor"):
     // gaps-and-islands — a new burst starts when the lag gap is
-    // ≥ 3600 s, burst_id is the running sum of burst starts, keep
-    // rank-1 of each burst. Exact integer micros throughout; order
-    // (ts, event_id) is total, so both engines cut identical bursts.
-    // Scale shape: ONE shuffle on (user, event_type) whose ordered
-    // partition serves lag, running sum, and rank; the 1 h window
-    // makes the stateful streaming twin trivially expressible with
-    // per-key watermark state (the StreamingDedup family).
+    // ≥ 3600 s, burst_id is the running sum of burst starts — and the
+    // kept row of each burst IS its starting row, so `kept` is just
+    // new_burst = 1 (a third rank-within-burst window would re-derive
+    // the same fact through an extra exchange on the burst key).
+    // Exact integer micros throughout; order (ts, event_id) is total,
+    // so both engines cut identical bursts. Scale shape: ONE shuffle
+    // on (user, event_type) whose ordered partition serves both the
+    // lag and the running sum; the 1 h window makes the stateful
+    // streaming twin trivially expressible with per-key state
+    // (streaming/StreamingDebounce, parity spec-pinned).
     "q56_event_debounce" -> ((
       (s: SparkSession, d: String) => {
         val wOrd = Window.partitionBy("user_id", "event_type")
           .orderBy("eus", "event_id")
         val wCum = wOrd.rowsBetween(Window.unboundedPreceding,
           Window.currentRow)
-        val wBurst = Window.partitionBy("user_id", "event_type", "burst_id")
-          .orderBy("eus", "event_id")
         Derived.events(s, d)
           .select(col("event_id"), col("user_id"), col("event_type"),
             expr("unix_micros(ts)").as("eus"))
@@ -1455,8 +1456,7 @@ object AnalyticsQueries {
             when(col("gap").isNull || col("gap") >= 3600000000L, 1L)
               .otherwise(0L))
           .withColumn("burst_id", sum("new_burst").over(wCum))
-          .withColumn("kept",
-            row_number().over(wBurst) === 1)
+          .withColumn("kept", col("new_burst") === 1L)
           .select("event_id", "user_id", "event_type", "burst_id", "kept")
       },
       Some("""WITH e AS (
@@ -1468,17 +1468,13 @@ object AnalyticsQueries {
                       THEN 1 ELSE 0 END AS new_burst
             FROM e
             WINDOW w AS (PARTITION BY user_id, event_type
-                         ORDER BY eus, event_id)),
-          b AS (
-            SELECT *, sum(new_burst) OVER (PARTITION BY user_id, event_type
-                        ORDER BY eus, event_id
-                        ROWS UNBOUNDED PRECEDING) AS burst_id
-            FROM g)
-        SELECT event_id, user_id, event_type, CAST(burst_id AS BIGINT)
-                 AS burst_id,
-               (row_number() OVER (PARTITION BY user_id, event_type,
-                  burst_id ORDER BY eus, event_id) = 1) AS kept
-        FROM b""")
+                         ORDER BY eus, event_id))
+        SELECT event_id, user_id, event_type,
+               CAST(sum(new_burst) OVER (PARTITION BY user_id, event_type
+                 ORDER BY eus, event_id ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS burst_id,
+               (new_burst = 1) AS kept
+        FROM g""")
     )),
 
     // Theta-sketch set DIFFERENCE (A-NOT-B) — the unconverted

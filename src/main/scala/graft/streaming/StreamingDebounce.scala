@@ -71,9 +71,8 @@ object StreamingDebounce {
         when(col("gap").isNull || col("gap") >= gapMicros, 1L)
           .otherwise(0L))
       .withColumn("burst_id", sum("new_burst").over(wCum))
-      .withColumn("kept",
-        row_number().over(Window.partitionBy("key", "burst_id")
-          .orderBy("eus", "event_id")) === 1)
+      // a burst's kept row IS its starting row (q56's simplification)
+      .withColumn("kept", col("new_burst") === 1L)
       .select("key", "event_id", "eus", "kept")
   }
 }
