@@ -63,7 +63,13 @@ object ScaleBench {
     // attribution
     "d16_prefix_filter_join", "p5_bfs_hops", "p6_label_prop",
     "t25_bm25_topk", "t26_lm_buckets", "t27_quality_classifier",
-    "s11_matryoshka_rerank", "q54_attribution")
+    "s11_matryoshka_rerank", "q54_attribution",
+    // round-11 second batch: sketch difference, debounce, RFM,
+    // association rules, link prediction (the wedge join is THE
+    // Σdeg² risk), Gopher rules, frame deltas, MoM
+    "q55_unconverted_audience", "q56_event_debounce",
+    "q57_rfm_segments", "q58_association_rules", "p7_link_prediction",
+    "t28_gopher_rules", "m9_frame_deltas", "q59_mom_revenue")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.
@@ -144,10 +150,19 @@ object ScaleBench {
       col("p_name"), col("p_brand"), col("p_type"),
       col("p_size"), col("p_retailprice")), "part")
 
+    // customers shift with orders' o_custkey: 10× customers each
+    // keeping their exact 1× order history (q57's per-customer RFM
+    // distributions replicate instead of collapsing onto 1× keys)
     wr(copies(rd("orders")).select(
       (col("o_orderkey") + col("c") * (unit * 10)).as("o_orderkey"),
-      col("o_custkey"), col("o_orderstatus"), col("o_totalprice"),
+      (col("o_custkey") + col("c") * unit).as("o_custkey"),
+      col("o_orderstatus"), col("o_totalprice"),
       col("o_orderdate"), col("o_orderpriority")), "orders")
+
+    wr(copies(rd("customer")).select(
+      (col("c_custkey") + col("c") * unit).as("c_custkey"),
+      col("c_name"), col("c_nationkey"), col("c_acctbal"),
+      col("c_mktsegment")), "customer")
 
     // events: ids AND users shift per copy (10x rows, 10x distinct
     // users — the HLL/percentile sketches see genuinely larger
