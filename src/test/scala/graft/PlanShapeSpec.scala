@@ -91,6 +91,33 @@ class PlanShapeSpec extends SparkSpecBase {
       s"tercile cut table must broadcast:\n$plan")
   }
 
+  test("rfm scoring windows all partition by nation — no " +
+      "single-partition global sort") {
+    val s = planOf("q57_rfm_segments").toString
+    assert(!s.contains("Window [") ||
+      !s.matches("(?s).*Window \\[[^\\]]*\\], \\[\\].*"),
+      s"unpartitioned window in:\n$s")
+    // every Window node must carry a partition spec (c_nationkey)
+    val windowLines = s.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty, s)
+    windowLines.foreach(l =>
+      assert(l.contains("c_nationkey"), s"window not nation-keyed: $l"))
+  }
+
+  test("link prediction wedges and flags stay equi-joins — no " +
+      "cartesian, no nested loop") {
+    val s = planOf("p7_link_prediction").toString
+    assert(!s.contains("CartesianProduct")
+      && !s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("association rules broadcast item supports and the order-count " +
+      "scalar onto the pair table") {
+    val plan = finalPlan(planOf("q58_association_rules"))
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 2, s"both item-support joins must broadcast:\n$plan")
+  }
+
   test("chunking is a zero-shuffle narrow map") {
     val s = planOf("t12_chunk_pack").toString
     assert(!s.contains("Exchange"),
