@@ -44,4 +44,36 @@ object RangeJoin {
         col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop(bin)
   }
+
+  /** Keyed integer variant: join `points` rows to every `intervals`
+    * row with the same `keyCols` whose `[lo, hi)` (half-open — the
+    * event-time convention) contains the point's `valueCol`. The bin
+    * id joins as part of a COMPOSITE key (key..., bin), so a hot key's
+    * candidates still split across its bins — the q54 attribution
+    * shape (touches ⋈ purchase lookback windows per user). An
+    * interval explodes to `(hi - lo) / binWidth + 1` bins worst case;
+    * size `binWidth` near the interval length for ≤ 2 bins per
+    * interval. The exact predicate re-checks after the bin match, and
+    * a pair can only meet in the point's single bin — no dedup pass.
+    */
+  def pointInIntervalKeyed(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val bin = "__bin"
+    val p = points.withColumn(bin,
+      floor(col(valueCol) / binWidth).cast("long"))
+    val i = intervals
+      .withColumn(bin, explode(sequence(
+        floor(col(loCol) / binWidth).cast("long"),
+        floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(i, (keyCols :+ bin).toSeq)
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+      .drop(bin)
+  }
 }

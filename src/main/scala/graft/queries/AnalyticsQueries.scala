@@ -1700,14 +1700,17 @@ object AnalyticsQueries {
           .filter(col("event_type").isin("click", "view"))
           .select(col("user_id"), col("event_id").as("touch_id"),
             col("event_type").as("touch_type"), col("es").as("tts"))
-          .withColumn("bin", expr("tts div 3600"))
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("purchase_id"),
-            col("es").as("pts"), col("cents"))
-          .withColumn("bin", explode(sequence(
-            expr("(pts - 3600) div 3600"), expr("pts div 3600"))))
-        val pairs = touches.join(purchases, Seq("user_id", "bin"))
-          .filter(col("tts") < col("pts") && col("tts") >= col("pts") - 3600)
+            col("es").as("pts"), col("cents"),
+            (col("es") - 3600L).as("lo"))
+        // the shared keyed binned-range-join operator ([lo, hi) =
+        // [pts - 3600, pts)); RangeJoinSpec property-pins it against
+        // the plain theta join on boundary-heavy random data
+        val pairs = graft.operators.RangeJoin.pointInIntervalKeyed(
+            touches, purchases, Seq("user_id"), "tts", "lo", "pts",
+            binWidth = 3600L)
+          .drop("lo")
         val wP = Window.partitionBy("purchase_id")
         pairs
           .withColumn("n_touches", count(lit(1)).over(wP))

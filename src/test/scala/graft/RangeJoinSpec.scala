@@ -55,4 +55,43 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("keyed half-open variant matches the per-key theta join on " +
+      "boundary-heavy random data") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    // timestamps clustered on bin-width multiples so exact-boundary
+    // pairs (tts == lo, tts == hi) occur often — the off-by-one zone
+    def ts() = rnd.nextInt(20).toLong * 60L + rnd.nextInt(3) * 30L
+    val pts = Seq.tabulate(300)(i =>
+      (s"u${rnd.nextInt(5)}", i.toLong, ts())).toDF("k", "pid", "v")
+    val ivs = Seq.tabulate(120) { j =>
+      val lo = ts()
+      (s"u${rnd.nextInt(5)}", j.toLong, lo, lo + 60L)
+    }.toDF("k", "iid", "lo", "hi")
+    val binned = RangeJoin
+      .pointInIntervalKeyed(pts, ivs, Seq("k"), "v", "lo", "hi",
+        binWidth = 60L)
+      .select("pid", "iid")
+    val theta = pts.join(ivs.withColumnRenamed("k", "k2"),
+        col("k") === col("k2")
+          && col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "iid")
+    assert(binned.exceptAll(theta).isEmpty
+      && theta.exceptAll(binned).isEmpty)
+    assert(theta.count() > 50, "fixture should produce many matches")
+  }
+
+  test("keyed variant: same timestamp under a different key never " +
+      "matches; hi is exclusive, lo inclusive") {
+    import spark.implicits._
+    val pts = Seq(("a", 1L, 100L), ("b", 2L, 100L), ("a", 3L, 160L))
+      .toDF("k", "pid", "v")
+    val ivs = Seq(("a", 9L, 100L, 160L)).toDF("k", "iid", "lo", "hi")
+    val got = RangeJoin
+      .pointInIntervalKeyed(pts, ivs, Seq("k"), "v", "lo", "hi", 60L)
+      .select("pid").collect().map(_.getLong(0)).sorted
+    // pid 1: key+lo-inclusive ✓; pid 2: wrong key; pid 3: hi-exclusive
+    assert(got.sameElements(Array(1L)))
+  }
 }
