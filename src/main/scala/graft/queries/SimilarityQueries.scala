@@ -315,6 +315,80 @@ object SimilarityQueries {
         FROM exact5""")
     )),
 
+    // COMPOSED IVF-PQ — the architecture 100 TB vector search
+    // actually deploys, assembled from the two halves this surface
+    // already ships separately: IVF coarse cells prune WHICH vectors
+    // are scanned (s5's half), PQ codes shrink WHAT is scanned per
+    // vector (s9's half). One corpus pass assigns the cell AND
+    // encodes the 8 codes; the search joins the probed cells
+    // (nprobe=2) against the (cell, codes) table on the cell key —
+    // an equi-join, so the ADC scan touches only ~nprobe/k of the
+    // codes — then exact-reranks the 50-deep shortlist. Recall
+    // contract (s5/s9 frame): exact top-5 + ivfpq_recall_floor_ok,
+    // the live pipeline must recover >=10 of the 50 exact neighbors,
+    // pinned TRUE by the oracle. Calibrated on the BUNDLED corpora:
+    // measured 25/22/24 across sf0.001/0.01/0.1 — at or below
+    // either half alone, as composition must be (the cell prune
+    // hides part of PQ's shortlist) — vs a ~0 random baseline;
+    // recalibrate for a different corpus.
+    "s12_ivfpq" -> ((
+      (s: SparkSession, d: String) => {
+        val ivf = graft.operators.IvfIndex.train(
+          emb(s, d), "vec_id", "embedding", k = 8, iters = 3)
+        val pq = graft.operators.PqIndex.train(
+          emb(s, d), "vec_id", "embedding", m = 8, k = 16, iters = 3,
+          sampleLimit = 20000)
+        val cands = graft.operators.PqIndex.encode(
+            graft.operators.IvfIndex.assign(
+              emb(s, d).select(col("vec_id").as("n_id"),
+                col("embedding").as("nv")), "nv", ivf),
+            "nv", pq)
+          .select("n_id", "cell", "codes")
+        val queries = graft.operators.IvfIndex.probe(
+          emb(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"),
+              col("embedding").as("qv"),
+              graft.operators.PqIndex.normalizedVec(col("embedding"))
+                .as("qn")),
+          "qv", ivf, nprobe = 2)
+        val wAdc = Window.partitionBy("q_id")
+          .orderBy(col("adc"), col("n_id"))
+        val short50 = broadcast(queries.select("q_id", "qn", "probe_cell"))
+          .join(cands, col("probe_cell") === col("cell"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("adc", graft.operators.PqIndex.adcDistance(
+            col("qn"), col("codes"), pq))
+          .filter(col("adc").isNotNull)
+          .withColumn("rk", row_number().over(wAdc).cast("long"))
+          .filter(col("rk") <= 50)
+          .select("q_id", "n_id")
+        val vecs = emb(s, d)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        val qv = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        val top5 = short50.join(vecs, Seq("n_id"))
+          .join(broadcast(qv), Seq("q_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select("q_id", "n_id")
+        val exact5 = exactTopK(s, d)
+        exact5
+          .join(top5.withColumn("__hit", lit(1L)),
+            Seq("q_id", "n_id"), "left")
+          .withColumn("__hits",
+            sum(coalesce(col("__hit"), lit(0L)))
+              .over(Window.partitionBy()))
+          .select(col("q_id"), col("n_id"), col("rank"), col("sim_r"),
+            (col("__hits") >= 10).as("ivfpq_recall_floor_ok"))
+      },
+      Some(s"""WITH exact5 AS (${exactTopKSql()})
+        SELECT q_id, n_id, rank, sim_r, TRUE AS ivfpq_recall_floor_ok
+        FROM exact5""")
+    )),
+
     // Matryoshka-style truncated-dimension retrieval (Kusupati et al.
     // 2022, "Matryoshka Representation Learning"): coarse-search with
     // the FIRST 32 of 64 dims — halving the bytes the scan touches —
