@@ -1762,6 +1762,65 @@ object TextQueries {
         FROM scored ORDER BY bm25_q DESC, doc_id LIMIT 25""")
     )),
 
+    // Cross-source contamination MATRIX: for every source pair, how
+    // many distinct 5-grams they share, with both vocabulary sizes
+    // and the Jaccard overlap in exact ppm — the corpus-level
+    // "which sources copy which" audit (t13 checks docs against ONE
+    // eval set; this is the all-pairs source view that drives dedup
+    // priority and eval-set placement decisions). Rides the shared
+    // fiveGrams definition (t13/t16) so the three queries can never
+    // disagree on what a 5-gram is. Scale shape: one distinct
+    // (source, gram) aggregate, a self-equi-join ON GRAM (fan-out =
+    // #sources sharing a gram, bounded by the source count — never
+    // doc-pair work), one pair aggregate; the per-source vocabulary
+    // table broadcasts twice.
+    "t29_source_overlap" -> ((
+      (s: SparkSession, d: String) => {
+        val grams = docs(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("source"), explode(expr(fiveGramsExpr)).as("g"))
+          .distinct()
+        val vocab = grams.groupBy("source")
+          .agg(count(lit(1)).as("n_grams"))
+        val shared = grams.as("x").join(grams.as("y"),
+            col("x.g") === col("y.g")
+              && col("x.source") < col("y.source"))
+          .groupBy(col("x.source").as("src_a"),
+            col("y.source").as("src_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        shared
+          .join(broadcast(vocab.select(col("source").as("src_a"),
+            col("n_grams").as("n_a"))), Seq("src_a"))
+          .join(broadcast(vocab.select(col("source").as("src_b"),
+            col("n_grams").as("n_b"))), Seq("src_b"))
+          .select(col("src_a"), col("src_b"), col("n_shared"),
+            col("n_a"), col("n_b"),
+            expr("n_shared * 1000000L div (n_a + n_b - n_shared)")
+              .as("jaccard_ppm"))
+      },
+      Some(s"""WITH grams AS (
+            SELECT DISTINCT source, g
+            FROM (SELECT source, unnest($fiveGramsSql) AS g
+                  FROM (SELECT source, string_split(text, ' ') AS w
+                        FROM documents))),
+          vocab AS (
+            SELECT source, count(*) AS n_grams FROM grams GROUP BY 1),
+          shared AS (
+            SELECT x.source AS src_a, y.source AS src_b,
+                   count(*) AS n_shared
+            FROM grams x JOIN grams y
+              ON x.g = y.g AND x.source < y.source
+            GROUP BY 1, 2)
+        SELECT s.src_a, s.src_b, s.n_shared,
+               va.n_grams AS n_a, vb.n_grams AS n_b,
+               CAST(s.n_shared * 1000000
+                 // (va.n_grams + vb.n_grams - s.n_shared) AS BIGINT)
+                 AS jaccard_ppm
+        FROM shared s
+        JOIN vocab va ON s.src_a = va.source
+        JOIN vocab vb ON s.src_b = vb.source""")
+    )),
+
     // Gopher-style composite quality rules (Rae et al. 2021, §A1.1):
     // the named-rule heuristic gate every large-scale curation stack
     // runs BEFORE any learned filter — each rule an exact-integer
