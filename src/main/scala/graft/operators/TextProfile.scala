@@ -114,4 +114,50 @@ object TextProfile {
         .when(bucket < trainPct + valPct, "val")
         .otherwise("test"))
   }
+
+  /** Gopher-style composite quality rules (Rae et al. 2021 §A1.1,
+    * behind `t28_gopher_rules`): per document, the named-rule
+    * booleans — word count in [minTokens, maxTokens], mean word
+    * length in [minMeanLen, maxMeanLen] (cross-multiplied integer
+    * compare, never a division), ≥ minStops stopwords, top-bigram
+    * fraction ≤ maxBigramPctx100/100 — plus `kept`, their
+    * conjunction. Three rules are a narrow map; the repetition rule
+    * is two doc-keyed aggregates. Single-token docs have no bigrams:
+    * left join + null-safe pass.
+    */
+  def withGopherRules(
+      df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      minTokens: Long = 20, maxTokens: Long = 200,
+      minMeanLen: Long = 4, maxMeanLen: Long = 10,
+      minStops: Long = 2, maxBigramPctx100: Long = 8): DataFrame = {
+    val t = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    val base = t.select(col(idCol),
+      size(col("w")).cast("long").as("n"),
+      expr("aggregate(transform(w, x -> CAST(length(x) AS BIGINT))," +
+        " 0L, (a, x) -> a + x)").as("chars"),
+      expr("CAST(size(filter(w," +
+        " x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
+        .as("stops"))
+    val bg = t.filter(size(col("w")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(1, size(w) - 1), " +
+          "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
+    val bm = bg.groupBy(col(idCol), col("b.w1"), col("b.w2"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max("c").as("mx"), sum("c").as("nb"))
+    base.join(bm, Seq(idCol), "left")
+      .select(col(idCol), col("n"), col("chars"), col("stops"),
+        (col("n") >= minTokens && col("n") <= maxTokens)
+          .as("r_word_count"),
+        (col("chars") >= col("n") * minMeanLen
+          && col("chars") <= col("n") * maxMeanLen)
+          .as("r_mean_word_len"),
+        (col("stops") >= minStops).as("r_stopwords"),
+        (col("mx").isNull
+          || col("mx") * 100 <= col("nb") * maxBigramPctx100)
+          .as("r_top_bigram"))
+      .withColumn("kept",
+        col("r_word_count") && col("r_mean_word_len")
+          && col("r_stopwords") && col("r_top_bigram"))
+  }
 }

@@ -1708,34 +1708,12 @@ object TextQueries {
     // to TakeOrderedAndProject — per-partition partial top-k merged on
     // the driver, never a full sort. Ties broken by doc_id.
     "t25_bm25_topk" -> ((
-      (s: SparkSession, d: String) => {
-        val terms = Seq("spark", "vector", "stream")
-        val base = docs(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("w"))
-          .select(col("doc_id"), col("w"),
-            size(col("w")).cast("long").as("dl"))
-        val corpus = base
-          .agg(count(lit(1)).as("n_docs"), sum("dl").as("l_total"))
-        val tf = base
-          .select(col("doc_id"), col("dl"), explode(col("w")).as("tok"))
-          .filter(col("tok").isin(terms: _*))
-          .groupBy("doc_id", "dl", "tok")
-          .agg(count(lit(1)).as("tf"))
-        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        tf.join(broadcast(dfreq), Seq("tok"))
-          .crossJoin(broadcast(corpus))
-          .withColumn("idf_q",
-            expr("(2L * (n_docs - df) + 1L) * 1000000L div (2L * df + 1L)"))
-          .withColumn("tf_q",
-            expr("22L * tf * l_total * 1000000L div " +
-              "(10L * l_total * tf + 3L * l_total + 9L * dl * n_docs)"))
-          .groupBy("doc_id", "dl")
-          .agg(count(lit(1)).as("n_hit"),
-            sum(expr("idf_q * tf_q")).as("bm25_q"))
-          .select("doc_id", "dl", "n_hit", "bm25_q")
-          .orderBy(col("bm25_q").desc, col("doc_id"))
-          .limit(25)
-      },
+      // (Delegates to the operators.Bm25 library API — same
+      // expressions, same plan.)
+      (s: SparkSession, d: String) =>
+        graft.operators.Bm25
+          .topK(docs(s, d), Seq("spark", "vector", "stream"), k = 25)
+          .select("doc_id", "dl", "n_hit", "bm25_q"),
       Some("""WITH base AS (
             SELECT doc_id, string_split(text, ' ') AS w,
                    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -1840,34 +1818,10 @@ object TextQueries {
     // — no cross-doc work anywhere. Single-token docs have no
     // bigrams: LEFT join + null-safe pass (no repeat possible).
     "t28_gopher_rules" -> ((
-      (s: SparkSession, d: String) => {
-        val t = docs(s, d).withColumn("w", split(col("text"), " "))
-        val base = t.select(col("doc_id"),
-          size(col("w")).cast("long").as("n"),
-          expr("aggregate(transform(w, x -> CAST(length(x) AS BIGINT))," +
-            " 0L, (a, x) -> a + x)").as("chars"),
-          expr("CAST(size(filter(w," +
-            " x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)")
-            .as("stops"))
-        val bg = t.filter(size(col("w")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            "transform(sequence(1, size(w) - 1), " +
-              "i -> struct(w[i-1] AS w1, w[i] AS w2))")).as("b"))
-        val bm = bg.groupBy(col("doc_id"), col("b.w1"), col("b.w2"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy("doc_id").agg(max("c").as("mx"), sum("c").as("nb"))
-        base.join(bm, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n"), col("chars"), col("stops"),
-            (col("n") >= 20 && col("n") <= 200).as("r_word_count"),
-            (col("chars") >= col("n") * 4
-              && col("chars") <= col("n") * 10).as("r_mean_word_len"),
-            (col("stops") >= 2).as("r_stopwords"),
-            (col("mx").isNull || col("mx") * 25 <= col("nb") * 2)
-              .as("r_top_bigram"))
-          .withColumn("kept",
-            col("r_word_count") && col("r_mean_word_len")
-              && col("r_stopwords") && col("r_top_bigram"))
-      },
+      // (Delegates to the TextProfile library API — same expressions,
+      // same thresholds.)
+      (s: SparkSession, d: String) =>
+        graft.operators.TextProfile.withGopherRules(docs(s, d)),
       Some("""WITH t AS (
             SELECT doc_id, string_split(text, ' ') AS w FROM documents),
           base AS (

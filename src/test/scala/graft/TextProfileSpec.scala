@@ -85,4 +85,39 @@ class TextProfileSpec extends SparkSpecBase {
       .select("n_tokens", "lang_guess", "rep_ratio").head()
     assert(r.getLong(0) == 5 && r.getString(1) == "en")
   }
+
+  test("gopher rules: each threshold is a live knob and kept is the " +
+      "conjunction; a single-token doc passes the bigram rule") {
+    // 5 tokens, one stopword, mean word length 3.0
+    val corpus = df(doc(1, "the cat ate the cat"), doc(2, "x"))
+    val strict = TextProfile.withGopherRules(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: n=5 < 20 → r_word_count false → kept false
+    assert(!strict(1L).getAs[Boolean]("r_word_count"))
+    assert(!strict(1L).getAs[Boolean]("kept"))
+    // doc 2 (single token): no bigrams → null-safe bigram pass
+    assert(strict(2L).getAs[Boolean]("r_top_bigram"))
+    val relaxed = TextProfile.withGopherRules(corpus,
+        minTokens = 1, maxTokens = 100, minMeanLen = 1, maxMeanLen = 10,
+        minStops = 1, maxBigramPctx100 = 100).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(relaxed(1L).getAs[Boolean]("kept"))
+    // doc 2 still fails the stopword rule even fully relaxed on size
+    assert(!relaxed(2L).getAs[Boolean]("kept"))
+  }
+
+  test("bm25: tf monotone at equal length, non-matching docs absent, " +
+      "topK returns the best") {
+    val corpus = df(
+      doc(1, "x x a b c"), // tf=2
+      doc(2, "x a b c d"), // tf=1
+      doc(3, "a b c d e")) // no match
+    val scored = graft.operators.Bm25.score(corpus, Seq("x")).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scored.keySet == Set(1L, 2L))
+    assert(scored(1L) > scored(2L), scored)
+    val top = graft.operators.Bm25.topK(corpus, Seq("x"), k = 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L))
+  }
 }
