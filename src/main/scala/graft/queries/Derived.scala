@@ -36,6 +36,43 @@ object Derived {
     "documents" -> Seq("doc_id", "text", "lang", "source"),
     "embeddings" -> Seq("vec_id", "embedding", "label"))
 
+  /** Type-FAMILY expectations for the columns whose physical encoding
+    * the generator has actually drifted on (round 10: `events.ts`
+    * flipped TIMESTAMP(NANOS)→TIMESTAMP(MICROS)) or plausibly could —
+    * checked at the boundary so the next drift is ONE named diagnosis.
+    * Families, not exact types: `events.ts` legitimately arrives as
+    * BIGINT (nanosAsLong), NTZ, or LTZ and [[events]] normalizes it;
+    * `embedding` as array<float> or array<double>; ids as any
+    * integral width. A drift OUTSIDE the family (ts as STRING,
+    * embedding as array<string>) is what must fail loudly.
+    */
+  private val requiredTypeFamilies
+      : Map[String, Map[String, org.apache.spark.sql.types.DataType => Boolean]] = {
+    import org.apache.spark.sql.types._
+    def integral(t: DataType) = t match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+      case _ => false
+    }
+    def numericArray(t: DataType) = t match {
+      case ArrayType(_: FloatType | _: DoubleType, _) => true
+      case _ => false
+    }
+    def tsLike(t: DataType) = t match {
+      case _: LongType | _: TimestampType | _: TimestampNTZType => true
+      case _ => false
+    }
+    Map(
+      "events" -> Map[String, DataType => Boolean](
+        "event_id" -> integral, "ts" -> tsLike, "user_id" -> integral,
+        "event_type" -> (_ == StringType),
+        "value" -> (t => t == DoubleType || t == FloatType)),
+      "documents" -> Map[String, DataType => Boolean](
+        "doc_id" -> integral, "text" -> (_ == StringType),
+        "lang" -> (_ == StringType), "source" -> (_ == StringType)),
+      "embeddings" -> Map[String, DataType => Boolean](
+        "vec_id" -> integral, "embedding" -> numericArray))
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     requiredColumns.get(name).foreach { req =>
@@ -46,6 +83,16 @@ object Derived {
             s"column(s) ${missing.mkString(", ")}; found schema: " +
             df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
               .mkString(", "))
+    }
+    requiredTypeFamilies.get(name).foreach { fams =>
+      fams.foreach { case (c, ok) =>
+        if (df.columns.contains(c) && !ok(df.schema(c).dataType))
+          throw new IllegalArgumentException(
+            s"corpus table '$name' ($dir/$name.parquet): column '$c' " +
+              s"has unsupported type ${df.schema(c).dataType.simpleString} " +
+              "— outside the family this engine normalizes (see " +
+              "Derived.requiredTypeFamilies)")
+      }
     }
     df
   }

@@ -105,8 +105,25 @@ class DerivedEventsSpec extends SparkSpecBase {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.parquet(s"$dir/events.parquet")
     val e = intercept[IllegalArgumentException](Derived.events(spark, dir))
-    assert(e.getMessage.contains("events.ts"))
-    assert(e.getMessage.contains("StringType"))
+    // the corpus-boundary TYPE-FAMILY guard fires first with the
+    // named table+column diagnosis (round-10 hardening)
+    assert(e.getMessage.contains("'events'"))
+    assert(e.getMessage.contains("'ts'"))
+    assert(e.getMessage.contains("string"))
+  }
+
+  test("type-family guard: an embedding column outside the numeric " +
+      "array family fails with a named diagnosis") {
+    val dir = writeDir()
+    import spark.implicits._
+    Seq((1L, Seq("not", "numbers"), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](
+      Derived.table(spark, dir, "embeddings"))
+    assert(e.getMessage.contains("'embeddings'"))
+    assert(e.getMessage.contains("'embedding'"))
+    assert(e.getMessage.contains("array<string>"))
   }
 
   test("corpus boundary guard names the table and missing column on drift") {
