@@ -1884,6 +1884,54 @@ object AnalyticsQueries {
       }
     )),
 
+    // k-CORE decomposition by iterative peeling (operators.KCore) —
+    // the 7th graph primitive and the graph-CLEANING workhorse: drop
+    // nodes of degree < k, recompute degrees over the survivors,
+    // repeat — a high-degree node whose neighbors are all spam
+    // leaves the 2-core even though a plain degree filter keeps it.
+    // 4 unrolled rounds over the support-filtered co-purchase graph;
+    // peeling is MONOTONE (nodes only leave), so the fixed budget is
+    // deterministic and DuckDB replays identical rounds as CTEs. A
+    // budget that hasn't converged leaves residual degrees below k —
+    // identical on both engines, and convergence shows up as the
+    // round trace going flat (measured: sf0.01 converges by round 3;
+    // sf0.1 is still peeling at round 4 — exactly why the budget is
+    // part of the contract). Output = surviving nodes with their
+    // core-subgraph degree.
+    "p8_kcore" -> ((
+      (s: SparkSession, d: String) => {
+        val e = copurchasePairs(s, d, ordered = true)
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .select("a", "b")
+        val sym = e.select(col("a").as("src"), col("b").as("dst"))
+          .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+        graft.operators.KCore.run(sym, "src", "dst", k = 2, rounds = 4)
+          .select(col("node").as("part"), col("core_deg"))
+      },
+      Some {
+        val round = (i: Int, prev: String) =>
+          s"""alive$i AS (
+            SELECT dst AS node FROM $prev GROUP BY dst
+            HAVING count(*) >= 2),
+          s$i AS (
+            SELECT e.src, e.dst FROM $prev e
+            JOIN alive$i x ON e.src = x.node
+            JOIN alive$i y ON e.dst = y.node)"""
+        s"""WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem),
+          e0 AS (
+            SELECT a.pk AS a, b.pk AS b
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2 HAVING count(*) >= 2),
+          s0 AS (SELECT a AS src, b AS dst FROM e0
+                 UNION ALL SELECT b, a FROM e0),
+          ${(1 to 4).map(i => round(i, s"s${i - 1}")).mkString(",\n          ")}
+        SELECT dst AS part, count(*) AS core_deg FROM s4 GROUP BY dst"""
+      }
+    )),
+
     // LINK PREDICTION by neighborhood similarity — the 6th graph
     // primitive (centrality p2/p4, communities p6, components d8,
     // triangles p3, distances p5, now "which edges are missing"):
