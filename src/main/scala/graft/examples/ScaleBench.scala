@@ -70,7 +70,7 @@ object ScaleBench {
     "q55_unconverted_audience", "q56_event_debounce",
     "q57_rfm_segments", "q58_association_rules", "p7_link_prediction",
     "t28_gopher_rules", "m9_frame_deltas", "q59_mom_revenue",
-    "s12_ivfpq", "t29_source_overlap")
+    "s12_ivfpq", "t29_source_overlap", "p8_kcore")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.
