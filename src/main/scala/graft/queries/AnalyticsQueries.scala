@@ -1345,6 +1345,31 @@ object AnalyticsQueries {
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY month)""")
     )),
 
+    // Count-of-counts distribution (TPC-H Q13 shape): how many
+    // customers placed exactly N orders — INCLUDING the zero-order
+    // customers, which is what forces the left-outer retention (an
+    // inner two-level aggregate silently loses the most interesting
+    // bucket). Two aggregations: per-customer order count (the join
+    // shuffles on custkey), then the count histogram (bucket
+    // cardinality = max orders per customer — tiny). The classic
+    // shape behind every "engagement distribution" report.
+    "q60_custdist" -> ((
+      (s: SparkSession, d: String) =>
+        t(s, d, "customer").select(col("c_custkey"))
+          .join(t(s, d, "orders")
+            .select(col("o_custkey"), col("o_orderkey")),
+            col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist")),
+      Some("""SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime
