@@ -1740,6 +1740,46 @@ object TextQueries {
         FROM scored ORDER BY bm25_q DESC, doc_id LIMIT 25""")
     )),
 
+    // Vocabulary-richness audit per source: type-token ratio and
+    // hapax-legomena share — the lexical-diversity fingerprint that
+    // separates natural prose (rich tail of once-used words) from
+    // generated/templated text (vocabulary saturates, hapax share
+    // collapses). Exact integers: token occurrences, distinct types,
+    // hapax count (types occurring exactly once IN that source),
+    // ttr_ppm = types·1e6 div tokens, hapax_ppm = hapax·1e6 div
+    // types. Scale shape: one (source, token) count aggregate
+    // (map-side combined), one per-source rollup — both keyed, no
+    // distinct-driven second scan.
+    "t30_vocab_richness" -> ((
+      (s: SparkSession, d: String) => {
+        val tc = docs(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy("source", "tok")
+          .agg(count(lit(1)).as("c"))
+        tc.groupBy("source")
+          .agg(sum("c").as("n_tokens"),
+            count(lit(1)).as("n_types"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("source"), col("n_tokens"), col("n_types"),
+            col("n_hapax"),
+            expr("n_types * 1000000L div n_tokens").as("ttr_ppm"),
+            expr("n_hapax * 1000000L div n_types").as("hapax_ppm"))
+      },
+      Some("""WITH tc AS (
+            SELECT source, tok, count(*) AS c
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY 1, 2)
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax,
+               CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+                 // count(*) AS BIGINT) AS hapax_ppm
+        FROM tc GROUP BY source""")
+    )),
+
     // Cross-source contamination MATRIX: for every source pair, how
     // many distinct 5-grams they share, with both vocabulary sizes
     // and the Jaccard overlap in exact ppm — the corpus-level
