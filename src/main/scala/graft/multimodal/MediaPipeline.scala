@@ -282,6 +282,14 @@ object MediaPipeline {
 
   /** Build a MediaFile dataset from the documents corpus (text bytes
     * standing in for media payloads; kind alternates by id).
+    *
+    * Boundary guard (the `Derived.table` philosophy applied to this
+    * corpus reuse): the m-query oracles index the payload by
+    * CHARACTER in DuckDB while the operators compare UTF-8 BYTES, so
+    * parity is only defined when every stand-in text is pure ASCII
+    * (1 char = 1 byte). A regenerated corpus with multi-byte text
+    * must read as one named error, not a silent hash drift — so any
+    * row whose byte length differs from its char length raises here.
     */
   def fromDocuments(spark: SparkSession, dir: String): Dataset[MediaFile] = {
     import spark.implicits._
@@ -289,7 +297,12 @@ object MediaPipeline {
       .select(col("doc_id").as("media_id"),
         when(pmod(col("doc_id"), lit(3)) === 0, "video")
           .otherwise("image").as("kind"),
-        encode(col("text"), "UTF-8").as("payload"))
+        when(octet_length(encode(col("text"), "UTF-8")) =!=
+            length(col("text")),
+          raise_error(concat(lit("MediaPipeline.fromDocuments: " +
+            "non-ASCII text in documents corpus breaks byte/char " +
+            "oracle parity, doc_id="), col("doc_id").cast("string"))))
+          .otherwise(encode(col("text"), "UTF-8")).as("payload"))
       .as[MediaFile]
   }
 

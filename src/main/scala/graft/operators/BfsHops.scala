@@ -32,18 +32,28 @@ import org.apache.spark.sql.functions._
   */
 object BfsHops {
 
+  /** @param inspectRound instrumentation hook (the PageRank pattern):
+    *        called with each round's un-checkpointed distance plan
+    *        before it executes — checkpointing erases the round's join
+    *        shape from the final plan, so plan-shape tests observe it
+    *        here.
+    */
   def run(
       edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String,
       rounds: Int, checkpointEvery: Int = 2,
-      broadcastNodeLimit: Long = 5000000L): DataFrame = {
+      broadcastNodeLimit: Long = 5000000L,
+      inspectRound: DataFrame => Unit = _ => ()): DataFrame = {
     require(rounds >= 0, s"negative rounds: $rounds")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
     // dist can only grow to the reachable node count; checkpointed
     // frames report no size stats, so Spark would never choose the
-    // broadcast on its own (the PageRank rule)
-    val nNodes = e.select("src").distinct().count()
+    // broadcast on its own (the PageRank rule). Count src UNION dst:
+    // on a directed graph the reached set includes dst-only sinks, so
+    // a src-only count would undercount what actually gets broadcast.
+    val nNodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct().count()
     val maybeBroadcast: DataFrame => DataFrame =
       if (nNodes <= broadcastNodeLimit) broadcast _ else identity _
     var dist = seeds.select(col(seedCol).as("node")).distinct()
@@ -55,6 +65,7 @@ object BfsHops {
         .select(col("ee.dst").as("node"), (col("dd.d") + 1L).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("d")).as("d"))
+      inspectRound(dist)
       if (i % checkpointEvery == 0 || i == rounds) {
         val cp = dist.localCheckpoint(true)
         prior.foreach(p =>

@@ -31,15 +31,27 @@ import org.apache.spark.sql.functions._
   */
 object KCore {
 
+  /** @param inspectRound instrumentation hook (the PageRank pattern):
+    *        called with each round's un-checkpointed surviving-edge
+    *        plan before it executes, so plan-shape tests can observe
+    *        the semi-join shape checkpointing would erase.
+    */
   def run(
       edges: DataFrame, srcCol: String, dstCol: String, k: Long,
       rounds: Int, checkpointEvery: Int = 2,
-      broadcastNodeLimit: Long = 5000000L): DataFrame = {
+      broadcastNodeLimit: Long = 5000000L,
+      inspectRound: DataFrame => Unit = _ => ()): DataFrame = {
     require(k >= 1, s"k must be at least 1: $k")
     require(rounds >= 0, s"negative rounds: $rounds")
     var e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
-    val nNodes = e.select("src").distinct().count()
+    // src UNION dst: the alive set is degree-filtered dst nodes, but a
+    // caller passing an asymmetric table would make a src-only count
+    // understate the broadcast size (the semantics want a symmetric
+    // table either way — see scaladoc — but the size gate must not
+    // depend on the caller honoring that).
+    val nNodes = e.select(col("src").as("n"))
+      .unionByName(e.select(col("dst").as("n"))).distinct().count()
     val maybeBroadcast: DataFrame => DataFrame =
       if (nNodes <= broadcastNodeLimit) broadcast _ else identity _
     var prior: Option[DataFrame] = Some(e)
@@ -54,6 +66,7 @@ object KCore {
         .join(maybeBroadcast(alive.withColumnRenamed("node", "dst")),
           Seq("dst"), "leftsemi")
         .select("src", "dst")
+      inspectRound(e)
       if (i % checkpointEvery == 0 || i == rounds) {
         val cp = e.localCheckpoint(true)
         prior.foreach(p =>

@@ -36,10 +36,16 @@ import org.apache.spark.sql.functions._
   */
 object LabelProp {
 
+  /** @param inspectRound instrumentation hook (the PageRank pattern):
+    *        called with each round's un-checkpointed label plan before
+    *        it executes, so plan-shape tests can observe the vote-join
+    *        shape checkpointing would erase.
+    */
   def run(
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, checkpointEvery: Int = 2,
-      broadcastNodeLimit: Long = 5000000L): DataFrame = {
+      broadcastNodeLimit: Long = 5000000L,
+      inspectRound: DataFrame => Unit = _ => ()): DataFrame = {
     require(rounds >= 0, s"negative rounds: $rounds")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
@@ -61,6 +67,7 @@ object LabelProp {
         // argmax by (cnt asc, -lbl asc) == most frequent, then
         // smallest label — lexicographic struct ordering
         .agg(expr("max_by(lbl, struct(cnt, -lbl))").as("lbl"))
+      inspectRound(labels)
       if (i % checkpointEvery == 0 || i == rounds) {
         val cp = labels.localCheckpoint(true)
         prior.foreach(p =>

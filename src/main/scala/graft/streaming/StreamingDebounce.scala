@@ -24,13 +24,27 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * stateful shuffle partitions by key; each event costs O(1). Events
   * must arrive per-key in event-time order across triggers (the
   * StreamingGapFill contract — feed from a watermarked, ordered
-  * upstream; within a micro-batch rows are sorted here, so only
-  * cross-batch disorder is the caller's problem).
+  * upstream; within a micro-batch rows are sorted here). Cross-batch
+  * violations are DETECTED, not silently absorbed: a row whose event
+  * time precedes the key's last seen arrival comes back with
+  * `late=true` (and `kept=false`, without rewinding the state), so
+  * the divergence from the batch reference is observable.
   */
 object StreamingDebounce {
 
   case class Ev(key: String, event_id: Long, eus: Long)
-  case class Verdict(key: String, event_id: Long, eus: Long, kept: Boolean)
+
+  /** `late` = the event arrived in a later micro-batch with an
+    * event time BEFORE the key's last seen arrival — a violation of
+    * the cross-batch ordering contract. Such rows are never kept
+    * (their gap is ill-defined) and never rewind the state, but they
+    * are flagged instead of silently folded into `kept=false`, so a
+    * caller can alert on `late=true` counts rather than discover the
+    * divergence from the batch reference by accident.
+    */
+  case class Verdict(
+      key: String, event_id: Long, eus: Long, kept: Boolean,
+      late: Boolean)
   case class DebounceState(lastSeenEus: Long)
 
   def debounce(
@@ -48,9 +62,14 @@ object StreamingDebounce {
           val sorted = rows.toSeq.sortBy(r => (r.eus, r.event_id))
           var lastSeen = state.getOption.map(_.lastSeenEus)
           val out = sorted.map { r =>
-            val keep = lastSeen.forall(l => r.eus - l >= gapMicros)
-            lastSeen = Some(r.eus)
-            Verdict(key, r.event_id, r.eus, keep)
+            // within a batch the sort guarantees order, so lateness
+            // can only come from a prior batch's state
+            val isLate = lastSeen.exists(l => r.eus < l)
+            val keep = !isLate && lastSeen.forall(l => r.eus - l >= gapMicros)
+            // max(): a late row must not rewind the state, or the
+            // NEXT on-time event could be wrongly kept
+            lastSeen = Some(lastSeen.fold(r.eus)(math.max(_, r.eus)))
+            Verdict(key, r.event_id, r.eus, keep, isLate)
           }
           lastSeen.foreach(l => state.update(DebounceState(l)))
           out.iterator

@@ -231,6 +231,34 @@ class MediaPipelineSpec extends SparkSpecBase {
       assert(f.peak_abs == vals.map(math.abs).max, f)
     }
   }
+
+  test("fromDocuments raises a named error on non-ASCII text (the " +
+      "byte/char oracle-parity boundary guard) and passes ASCII") {
+    val session = spark
+    import session.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ascii-guard").toString
+    // pure-ASCII corpus → reads fine
+    Seq((0L, "hello frame bytes"), (3L, "all ascii here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // materialize the payload: a count() would prune the guarded
+    // column away entirely (the guard lives in the payload projection,
+    // exactly where every consumer reads)
+    assert(MediaPipeline.fromDocuments(spark, dir).collect().length == 2)
+    // one multi-byte char → the named boundary error, not silent drift
+    Seq((0L, "ok"), (3L, "café"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = intercept[Exception] {
+      MediaPipeline.fromDocuments(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(m =>
+      m.contains("non-ASCII") && m.contains("doc_id=3")))
+  }
 }
 
 /** StubModel wrapper counting inits and batch sizes via static state

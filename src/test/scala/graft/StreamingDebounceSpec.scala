@@ -91,4 +91,36 @@ class StreamingDebounceSpec extends SparkSpecBase {
       assert(got == Seq((3L, true), (7L, false)))
     } finally q.stop()
   }
+
+  test("a cross-batch late arrival is flagged, dropped, and does not " +
+      "rewind the state") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingDebounce.debounce(input.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("debounce_late")
+      .start()
+    try {
+      input.addData(Ev("k", 1L, H * 3))
+      q.processAllAvailable()
+      // a later batch delivers an EARLIER event: contract violation —
+      // flagged late, never kept
+      input.addData(Ev("k", 2L, H))
+      q.processAllAvailable()
+      // the state must still say lastSeen=3h, not 1h: 3.5h is only
+      // 0.5h after the last legitimate arrival, so it stays dropped
+      // (a rewound state would wrongly keep it)
+      input.addData(Ev("k", 3L, H * 35 / 10))
+      q.processAllAvailable()
+      val got = spark.table("debounce_late").as[Verdict].collect()
+        .map(v => (v.event_id, v.kept, v.late)).sorted.toSeq
+      assert(got == Seq((1L, true, false), (2L, false, true),
+        (3L, false, false)))
+      // and on-time rows everywhere else carry late=false
+      assert(spark.table("debounce_late").as[Verdict].collect()
+        .count(_.late) == 1)
+    } finally q.stop()
+  }
 }
