@@ -686,9 +686,13 @@ object AnalyticsQueries {
         val p = e.join(c, Seq("user_id"))
           .filter(col("event_type") === "purchase" && col("us") > col("t2"))
           .groupBy("user_id").agg(min("us").as("t3"))
+        // each side is a single global-aggregate row — broadcast
+        // explicitly so the stitch is two BroadcastNestedLoopJoins by
+        // construction, not by threshold luck (plan-shape consistency
+        // with the rest of the file's small-side joins)
         v.agg(count(lit(1)).as("n_view"))
-          .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
-          .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+          .crossJoin(broadcast(c.agg(count(lit(1)).as("n_view_click"))))
+          .crossJoin(broadcast(p.agg(count(lit(1)).as("n_full_funnel"))))
       },
       Some("""WITH e AS (
           SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -153,6 +153,15 @@ class PlanShapeSpec extends SparkSpecBase {
       s"query side must broadcast:\n$s")
   }
 
+  test("q38's single-row funnel-count stitch broadcasts both sides — " +
+      "no cartesian shuffle") {
+    val s = planOf("q38_funnel").toString
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"single-row aggregates must stitch via broadcast:\n$s")
+    assert(!s.contains("CartesianProduct"),
+      s"no cartesian in the funnel stitch:\n$s")
+  }
+
   test("PageRank rounds broadcast the rate table into the edges") {
     // checkpointing erases each round's join from the final plan —
     // observe the live round plans through the instrumentation hook

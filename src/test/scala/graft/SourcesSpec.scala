@@ -56,4 +56,31 @@ class SourcesSpec extends SparkSpecBase {
       Sources.statesFromRows(spark, Seq(Seq("a23456", 1712338130L)))
     }
   }
+
+  // F7: the empty-relation guard. A cycle with zero completed flights
+  // must be a NO-OP on the sink — writing an empty partitioned frame
+  // would create a schema-less parquet directory that crashes the
+  // next reader with "Unable to infer schema" (and, after retention
+  // dropped every partition, the same way).
+  test("writeFlights on an empty relation is a no-op; a later real " +
+      "append still works (F7 empty-relation guard)") {
+    val dir = Files.createTempDirectory("graft-f7").toString
+    val sink = s"$dir/flights.parquet"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], Schemas.flights)
+    Sources.writeFlights(empty, sink)
+    assert(!new java.io.File(sink).exists(),
+      "empty write must not create the sink directory")
+    // the guarded no-op must not poison a later real append
+    val one = df(Schemas.flights,
+      Row("a23456", Integer.valueOf(10),
+        java.sql.Timestamp.valueOf("2024-04-05 17:36:40"),
+        "VQ-BGU", "A320", "AIRBUS", "owner", "op",
+        java.sql.Timestamp.valueOf("2008-01-01 00:00:00")))
+    Sources.writeFlights(one, sink)
+    Sources.writeFlights(empty, sink) // guard again, post-append
+    val back = spark.read.parquet(sink)
+    assert(back.count() == 1)
+    assert(back.columns.contains("landed_date"))
+  }
 }
