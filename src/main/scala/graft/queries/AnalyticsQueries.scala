@@ -1392,36 +1392,18 @@ object AnalyticsQueries {
     // over customer-cardinality rows.
     "q57_rfm_segments" -> ((
       (s: SparkSession, d: String) => {
+        // delegates to the library operator (one definition per
+        // semantics — the Bm25/RangeJoin promotion rule); the query
+        // keeps only the corpus binding: cents quantization (q45's
+        // exact quantizer) and the nation group key
         val o = t(s, d, "orders").select(col("o_custkey"),
           to_date(col("o_orderdate")).as("od"),
           expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)")
             .as("cents"))
-        val agg = o.groupBy("o_custkey").agg(
-          max("od").as("last_od"),
-          count(lit(1)).as("f"),
-          sum("cents").as("m_cents"))
-        val mx = o.agg(max("od").as("corpus_max"))
         val cust = t(s, d, "customer")
           .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
-        val base = agg
-          .join(broadcast(cust), Seq("o_custkey"))
-          .crossJoin(broadcast(mx))
-          .withColumn("recency_days",
-            datediff(col("corpus_max"), col("last_od")).cast("long"))
-          .select("o_custkey", "c_nationkey", "recency_days", "f",
-            "m_cents")
-        val rW = Window.partitionBy("c_nationkey")
-          .orderBy(col("recency_days").desc, col("o_custkey"))
-        val fW = Window.partitionBy("c_nationkey")
-          .orderBy(col("f"), col("o_custkey"))
-        val mW = Window.partitionBy("c_nationkey")
-          .orderBy(col("m_cents"), col("o_custkey"))
-        base
-          .withColumn("r_score", ntile(5).over(rW).cast("long"))
-          .withColumn("f_score", ntile(5).over(fW).cast("long"))
-          .withColumn("m_score", ntile(5).over(mW).cast("long"))
-          .withColumn("segment",
-            expr("r_score * 100 + f_score * 10 + m_score"))
+        graft.operators.Segments.rfm(o, "o_custkey", "od", "cents",
+          cust, "c_nationkey", buckets = 5)
       },
       Some("""WITH o AS (
             SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
@@ -2113,30 +2095,17 @@ object AnalyticsQueries {
     // result BROADCASTS onto the pair table twice; the order count is
     // a broadcast scalar. Nothing touches pairs that fail support.
     "q58_association_rules" -> ((
-      (s: SparkSession, d: String) => {
-        val li = t(s, d, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val pairs = copurchasePairs(s, d, ordered = true)
-          .groupBy(col("a").as("part_a"), col("b").as("part_b"))
-          .agg(count(lit(1)).as("n_ab"))
-          .filter(col("n_ab") >= 2)
-        val itemCnt = li.groupBy("pk").agg(count(lit(1)).as("n"))
-        val orders = li.select("ok").distinct()
-          .agg(count(lit(1)).as("n_orders"))
-        pairs
-          .join(broadcast(itemCnt.select(col("pk").as("part_a"),
-            col("n").as("n_a"))), Seq("part_a"))
-          .join(broadcast(itemCnt.select(col("pk").as("part_b"),
-            col("n").as("n_b"))), Seq("part_b"))
-          .crossJoin(broadcast(orders))
-          .select(col("part_a"), col("part_b"), col("n_ab"),
-            col("n_a"), col("n_b"),
-            expr("n_ab * 1000000L div n_a").as("conf_ab_ppm"),
-            expr("n_ab * 1000000L div n_b").as("conf_ba_ppm"),
-            expr("n_ab * n_orders * 1000000L div (n_a * n_b)")
-              .as("lift_ppm"))
-      },
+      (s: SparkSession, d: String) =>
+        // delegates to the library miner (one definition per
+        // semantics — the Bm25/RangeJoin promotion rule); its
+        // internal pair derivation is the same one-shuffle
+        // collect_set shape as copurchasePairs, on set semantics
+        graft.operators.AssocRules.mine(
+            t(s, d, "lineitem").select(col("l_orderkey").as("ok"),
+              col("l_partkey").as("pk")),
+            "ok", "pk", minPairSupport = 2L)
+          .withColumnRenamed("item_a", "part_a")
+          .withColumnRenamed("item_b", "part_b"),
       Some("""WITH li AS (
             SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
             FROM lineitem),
