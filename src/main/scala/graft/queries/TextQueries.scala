@@ -2126,7 +2126,107 @@ object TextQueries {
           (octet_length(encode(text)) // 64) % 64 + 1 AS fake_height
         FROM documents""")
     )),
+
+    // LEARNED BPE (Sennrich 2016) — real tokenizer TRAINING, the
+    // stage t17's fixed pre-tokenization stops short of: 8 unrolled
+    // merge rounds over the word vocabulary, each one frequency-
+    // weighted pair-count aggregate → deterministic argmax
+    // (cnt desc, then smallest pair) → greedy-left merge apply.
+    // DuckDB replays the identical rounds as CTEs: its greedy apply
+    // is an INDEPENDENT formulation (gaps-and-islands parity pick
+    // over match positions) that must byte-match the operator's
+    // single-pass Catalyst fold — two derivations, one fixed point
+    // (the p6 argmax pattern). Output: the pinned merge table.
+    // Scale: the corpus is touched once (word counts); rounds are
+    // distinct-word-sized (operators.Bpe scaladoc).
+    "t31_bpe_merges" -> ((
+      (s: SparkSession, d: String) => {
+        val (merges, _) =
+          graft.operators.Bpe.train(docs(s, d), "text", rounds = 8)
+        graft.operators.Bpe.mergesDf(s, merges)
+          .select(col("round").as("merge_round"), col("left_sym"),
+            col("right_sym"), col("pair_count"))
+      },
+      Some(s"""WITH ${bpeRoundsSql(8)}
+        SELECT * FROM (
+          ${(1 to 8).map(k =>
+            s"SELECT CAST($k AS BIGINT) AS merge_round, l AS left_sym, " +
+            s"r AS right_sym, cnt AS pair_count FROM m$k")
+            .mkString("\n          UNION ALL ")})""")
+    )),
+
+    // Per-doc token counts under the t31-trained merges: the corpus
+    // words broadcast-join the trained (word → n_symbols) vocabulary
+    // — the docs are never re-segmented char-by-char. The counts are
+    // the downstream contract of a tokenizer (packing budgets, cost
+    // estimates), so they are pinned alongside the merge table.
+    "t32_bpe_token_counts" -> ((
+      (s: SparkSession, d: String) => {
+        val (_, vocab) =
+          graft.operators.Bpe.train(docs(s, d), "text", rounds = 8)
+        graft.operators.Bpe.tokenCounts(docs(s, d), vocab)
+      },
+      Some(s"""WITH ${bpeRoundsSql(8)},
+          words AS (
+            SELECT doc_id, token AS word
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            WHERE token <> '')
+        SELECT w.doc_id, count(*) AS n_words,
+               CAST(sum(len(v.s)) AS BIGINT) AS n_tokens
+        FROM words w JOIN v8 v ON w.word = v.word
+        GROUP BY 1""")
+    )),
   )
+
+  /** DuckDB unroll of `rounds` BPE training rounds (t31/t32): v0 is
+    * the char-split vocabulary (+ end marker), and each round k
+    * derives pair counts p_k, the argmax merge m_k, greedy-left match
+    * positions g_k (gaps-and-islands parity — in a run of identical
+    * symbols only every other match fires, exactly the sequential
+    * scan's behavior), and the re-segmented vocabulary v_k.
+    */
+  private def bpeRoundsSql(rounds: Int): String = {
+    val init = s"""wf AS MATERIALIZED (
+        SELECT token AS word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> '' GROUP BY 1),
+      v0 AS MATERIALIZED (
+        SELECT word, freq,
+               [word[j] for j in range(1, len(word) + 1)] || ['</w>'] AS s
+        FROM wf)"""
+    val round = (k: Int) => {
+      val p = s"v${k - 1}"
+      s"""p$k AS (
+        SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM $p, unnest(range(1, len(s))) t(i)
+        GROUP BY 1, 2),
+      m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+      h$k AS (
+        SELECT word, i,
+               i - row_number() OVER (PARTITION BY word ORDER BY i) AS isl
+        FROM $p, m$k, unnest(range(1, len(s))) t(i)
+        WHERE s[i] = m$k.l AND s[i + 1] = m$k.r),
+      g$k AS MATERIALIZED (
+        SELECT word, i FROM (
+          SELECT word, i, min(i) OVER (PARTITION BY word, isl) AS i0
+          FROM h$k)
+        WHERE (i - i0) % 2 = 0),
+      v$k AS MATERIALIZED (
+        SELECT q.word, q.freq,
+               list(CASE WHEN g.i IS NOT NULL
+                         THEN q.s[q.i] || q.s[q.i + 1]
+                         ELSE q.s[q.i] END ORDER BY q.i) AS s
+        FROM (SELECT word, freq, s, t.i AS i
+              FROM $p, unnest(range(1, len(s) + 1)) t(i)) q
+        LEFT JOIN g$k g ON q.word = g.word AND q.i = g.i
+        LEFT JOIN g$k c ON q.word = c.word AND q.i = c.i + 1
+        WHERE c.i IS NULL
+        GROUP BY q.word, q.freq)"""
+    }
+    (init +: (1 to rounds).map(round)).mkString(",\n      ")
+  }
 
   /** d5's fingerprints: 16-bit sign-aggregated SimHash per doc —
     * shared by d5 (fingerprinting) and d9 (banded near-dup retrieval).
