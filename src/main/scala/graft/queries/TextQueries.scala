@@ -1839,6 +1839,58 @@ object TextQueries {
         JOIN vocab vb ON s.src_b = vb.source""")
     )),
 
+    // Doc-level contamination ATTRIBUTION — the drill-down t29's
+    // source matrix asks for next: for every ordered source pair,
+    // WHICH documents carry the overlap (top-3 docs by how many of
+    // their distinct 5-grams appear anywhere in the other source).
+    // t29 drives the dedup/eval-placement decision; this names the
+    // offending documents to pull or quarantine. Rides the same
+    // shared fiveGrams definition (t13/t16/t29 — one 5-gram
+    // semantics). Scale shape: distinct (doc, gram) and (source,
+    // gram) tables, an equi-join ON GRAM (fan-out bounded by the
+    // source count, never doc-pair work), one (pair, doc) aggregate,
+    // and a top-3-per-pair rank window that compiles to
+    // WindowGroupLimit — per-partition partial top-k, no full sort
+    // of the per-pair doc lists.
+    "t33_contamination_docs" -> ((
+      (s: SparkSession, d: String) => {
+        val dg = docs(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .select(col("doc_id"), col("source"),
+            explode(expr(fiveGramsExpr)).as("g"))
+          .distinct()
+        val sg = dg.select(col("source"), col("g")).distinct()
+        val hits = dg.as("x").join(sg.as("y"),
+            col("x.g") === col("y.g")
+              && col("x.source") =!= col("y.source"))
+          .groupBy(col("x.source").as("src"),
+            col("y.source").as("other_src"),
+            col("x.doc_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_hit"))
+        val byPair = Window.partitionBy("src", "other_src")
+          .orderBy(col("n_hit").desc, col("doc_id"))
+        hits.withColumn("rk", row_number().over(byPair).cast("long"))
+          .filter(col("rk") <= 3)
+      },
+      Some(s"""WITH dg AS (
+            SELECT DISTINCT doc_id, source, g
+            FROM (SELECT doc_id, source, unnest($fiveGramsSql) AS g
+                  FROM (SELECT doc_id, source, string_split(text, ' ') AS w
+                        FROM documents))),
+          sg AS (SELECT DISTINCT source, g FROM dg),
+          hits AS (
+            SELECT x.source AS src, y.source AS other_src, x.doc_id,
+                   count(*) AS n_hit
+            FROM dg x JOIN sg y ON x.g = y.g AND x.source <> y.source
+            GROUP BY 1, 2, 3)
+        SELECT src, other_src, doc_id, n_hit, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT src, other_src, doc_id, n_hit,
+                     row_number() OVER (PARTITION BY src, other_src
+                       ORDER BY n_hit DESC, doc_id) AS rk
+              FROM hits)
+        WHERE rk <= 3""")
+    )),
+
     // Gopher-style composite quality rules (Rae et al. 2021, §A1.1):
     // the named-rule heuristic gate every large-scale curation stack
     // runs BEFORE any learned filter — each rule an exact-integer

@@ -153,6 +153,13 @@ class PlanShapeSpec extends SparkSpecBase {
       s"query side must broadcast:\n$s")
   }
 
+  test("contamination drill-down keeps the top-3-per-pair rank as a " +
+      "WindowGroupLimit, never a full per-pair sort") {
+    val s = planOf("t33_contamination_docs").toString
+    assert(s.contains("WindowGroupLimit"),
+      s"rk <= 3 must push into WindowGroupLimit:\n$s")
+  }
+
   test("q38's single-row funnel-count stitch broadcasts both sides — " +
       "no cartesian shuffle") {
     val s = planOf("q38_funnel").toString
