@@ -78,7 +78,13 @@ object ScaleBench {
   private val heavyTargets = Seq(
     "p2_pagerank", "p4_personalized_pagerank", "s9_pq_rerank",
     "d7_lsh_verified_jaccard", "d8_dedup_clusters",
-    "t19_leakage_safe_split")
+    "t19_leakage_safe_split",
+    // round-12: the four highest decade-1 exponents (where "sub-
+    // linear" could still mean "constants amortizing") + the round-11
+    // graph family
+    "d15_substring_removal", "d16_prefix_filter_join",
+    "t28_gopher_rules", "t29_source_overlap",
+    "p5_bfs_hops", "p6_label_prop", "p8_kcore")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")

@@ -421,6 +421,42 @@ object MediaPipeline {
       }
   }
 
+  /** One decoded PCM frame's exact integer energy. */
+  final case class FrameEnergy(media_id: Long, frame_index: Int,
+      energy: Long)
+
+  /** Per-FRAME energies of a headerless 16-bit LE PCM payload — the
+    * row-per-frame companion to [[pcmEnergy]]'s totals, feeding the
+    * silence-segmentation query (m10): frame k's energy is Σ s² over
+    * samples [k·frameSamples, (k+1)·frameSamples); the trailing
+    * partial frame is dropped (the [[pcmEnergy]] convention). Narrow
+    * flatMap, fan-out = frames per payload, no shuffle.
+    */
+  def pcmFrameEnergies(
+      media: Dataset[MediaFile], frameSamples: Int = 256)
+      : Dataset[FrameEnergy] = {
+    require(frameSamples >= 1,
+      s"frameSamples must be positive, got $frameSamples")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val buf = java.nio.ByteBuffer.wrap(m.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = m.payload.length / 2
+      val nFrames = n / frameSamples
+      (0 until nFrames).map { k =>
+        var energy = 0L
+        var i = k * frameSamples
+        val end = i + frameSamples
+        while (i < end) {
+          val s = buf.getShort(i * 2).toInt
+          energy += s.toLong * s
+          i += 1
+        }
+        FrameEnergy(m.media_id, k, energy)
+      }
+    }
+  }
+
   /** PCM frame-energy extraction: parse a headerless 16-bit LE PCM
     * payload and emit EXACT integer statistics — energy Σ s² over the
     * `n div frameSamples` full frames (the VAD / silence-trim

@@ -1374,6 +1374,94 @@ object AnalyticsQueries {
         GROUP BY c_count""")
     )),
 
+    // Rich-but-lapsed customers by nation (TPC-H Q22 shape): the
+    // above-average positive balances with NO RECENT orders (none
+    // since 1999-01-01 — in this corpus every customer has SOME
+    // order, so a bare no-orders predicate is vacuous; the recency
+    // cutoff keeps the anti-join live at every sf) — the anti-join
+    // workhorse behind every "high-value churn risk" report. The
+    // threshold compare is CROSS-MULTIPLIED exact integers
+    // (cents·n > Σcents — the t28 rule): a float average would make
+    // threshold-edge customers engine-dependent. Plan: one
+    // customer-dim aggregate broadcast as a scalar, the big orders
+    // side date-filtered AT THE SCAN then a shuffled LEFT ANTI join
+    // on custkey (at 100 TB neither side broadcasts — the anti join
+    // shuffles both on the key, the correct shape), then a
+    // nation-cardinality aggregate.
+    "q61_rich_inactive_customers" -> ((
+      (s: SparkSession, d: String) => {
+        val pos = t(s, d, "customer")
+          .filter(col("c_acctbal") > 0)
+          .select(col("c_custkey"), col("c_nationkey"),
+            expr("CAST(floor(c_acctbal * 100D + 0.5D) AS BIGINT)")
+              .as("cents"))
+        val thr = pos.agg(sum("cents").as("s_cents"),
+          count(lit(1)).as("n_pos"))
+        pos.crossJoin(broadcast(thr))
+          .filter(col("cents") * col("n_pos") > col("s_cents"))
+          .join(t(s, d, "orders")
+            .filter(col("o_orderdate") >= lit("1999-01-01"))
+            .select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"), sum("cents").as("total_cents"))
+      },
+      Some("""WITH pos AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+            FROM customer WHERE c_acctbal > 0),
+          thr AS (SELECT sum(cents) AS s_cents, count(*) AS n_pos
+                  FROM pos),
+          rich AS (SELECT p.* FROM pos p, thr
+                   WHERE p.cents * thr.n_pos > thr.s_cents)
+        SELECT c_nationkey, count(*) AS n_cust,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM rich r
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = r.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY 1""")
+    )),
+
+    // Top supplier(s) by quarterly revenue (TPC-H Q15 shape): the
+    // "view + max + join back" pattern — revenue per supplier over a
+    // ship-date quarter, then EVERY supplier achieving the maximum
+    // (ties must all surface, which is why this is not a LIMIT 1).
+    // Revenue is per-row quantized to cents BEFORE the sum (q45's
+    // exact-quantizer rule) so the max compare is integer-exact.
+    // Plan: the date filter pushes into the lineitem scan, one
+    // map-side-combinable supplier-keyed aggregate, the max a
+    // broadcast single-row scalar, the supplier dim a broadcast join.
+    "q62_top_suppliers" -> ((
+      (s: SparkSession, d: String) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1996-04-01"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(expr("CAST(floor(l_extendedprice * (1D - l_discount)" +
+            " * 100D + 0.5D) AS BIGINT)")).as("rev_cents"))
+        val mx = rev.agg(max("rev_cents").as("max_cents"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("rev_cents") === col("max_cents"))
+          .join(broadcast(t(s, d, "supplier")
+            .select(col("s_suppkey").as("l_suppkey"), col("s_name"))),
+            Seq("l_suppkey"))
+          .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
+            col("rev_cents"))
+      },
+      Some("""WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                     * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY 1)
+        SELECT r.l_suppkey AS s_suppkey, s.s_name, r.rev_cents
+        FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime

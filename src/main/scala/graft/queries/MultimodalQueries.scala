@@ -189,5 +189,87 @@ object MultimodalQueries {
               FROM documents WHERE doc_id % 3 = 0),
              unnest(range(0, n // 256, 4)) AS t(f)""")
     )),
+
+    // Silence segmentation over decoded PCM — the VAD core every
+    // audio-curation pipeline runs before transcription: per-frame
+    // energies (m8's decode, row-per-frame) thresholded at τ, then
+    // gaps-and-islands per media over the NON-silent frames → maximal
+    // voiced segments. τ = 360e6 sits at the fixture corpus's median
+    // frame energy, so both verdicts occur live. Exact integers
+    // end-to-end; DuckDB recomputes every frame energy from the
+    // sample formula and must byte-match segment counts and the
+    // longest run. Scale shape: narrow per-frame flatMap decode, one
+    // per-media window (frame-cardinality partitions), two media-
+    // keyed aggregates — no cross-media work anywhere.
+    "m10_silence_segments" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val tau = 360000000L
+        val fe = MediaPipeline
+          .pcmFrameEnergies(MediaPipeline.pcmFixtures(s, d)).toDF()
+        val w = Window.partitionBy("media_id").orderBy("frame_index")
+        val flagged = fe
+          .withColumn("silent", col("energy") < tau)
+          .withColumn("new_run",
+            when(!col("silent") &&
+              coalesce(lag(col("silent"), 1).over(w), lit(true)), 1L)
+              .otherwise(0L))
+        val runs = flagged
+          .withColumn("run_id", sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(!col("silent"))
+          .groupBy("media_id", "run_id")
+          .agg(count(lit(1)).as("run_len"))
+        val runStats = runs.groupBy("media_id")
+          .agg(count(lit(1)).as("n_segments"),
+            max("run_len").as("longest_run"))
+        flagged.groupBy("media_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"))
+          .join(runStats, Seq("media_id"), "left")
+          .select(col("media_id"), col("n_frames"), col("n_silent"),
+            coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+            coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      },
+      Some("""WITH ids AS (
+            SELECT doc_id, 512 + doc_id % 512 AS n
+            FROM documents WHERE doc_id % 4 = 1),
+          smp AS (
+            SELECT doc_id, n, i,
+                   (doc_id * 17 + i * 31) % 4096 - 2048 AS v
+            FROM ids, unnest(range(0, n)) AS t(i)),
+          f AS (
+            SELECT doc_id, CAST(i // 256 AS BIGINT) AS k, sum(v * v) AS e
+            FROM smp WHERE i < (n // 256) * 256 GROUP BY 1, 2),
+          fl AS (
+            SELECT doc_id, k, e < 360000000 AS silent,
+                   CASE WHEN e >= 360000000 AND coalesce(
+                          lag(e < 360000000) OVER (PARTITION BY doc_id
+                            ORDER BY k), TRUE)
+                        THEN 1 ELSE 0 END AS new_run
+            FROM f),
+          r AS (
+            SELECT doc_id, k, silent,
+                   sum(new_run) OVER (PARTITION BY doc_id ORDER BY k)
+                     AS run_id
+            FROM fl),
+          runs AS (
+            SELECT doc_id, run_id, count(*) AS run_len
+            FROM r WHERE NOT silent GROUP BY 1, 2),
+          rs AS (
+            SELECT doc_id, count(*) AS n_segments,
+                   max(run_len) AS longest_run
+            FROM runs GROUP BY 1),
+          fs AS (
+            SELECT doc_id, count(*) AS n_frames,
+                   sum(CASE WHEN silent THEN 1 ELSE 0 END) AS n_silent
+            FROM fl GROUP BY 1)
+        SELECT fs.doc_id AS media_id,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(n_silent AS BIGINT) AS n_silent,
+               CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+               CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run
+        FROM fs LEFT JOIN rs ON fs.doc_id = rs.doc_id""")
+    )),
   )
 }

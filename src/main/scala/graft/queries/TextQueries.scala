@@ -2229,6 +2229,49 @@ object TextQueries {
         FROM words w JOIN v8 v ON w.word = v.word
         GROUP BY 1""")
     )),
+
+    // Tokenizer FERTILITY audit per source — the standard tokenizer-
+    // eval metric (tokens per word, chars per token) under the
+    // t31-trained merges: a source whose fertility runs hot is
+    // under-served by the vocabulary (its text fragments into more,
+    // shorter tokens), the signal that drives vocab-size and
+    // corpus-mix decisions. Exact ppm integers; same broadcast-vocab
+    // join shape as t32, aggregated at source cardinality.
+    "t34_tokenizer_fertility" -> ((
+      (s: SparkSession, d: String) => {
+        val (_, vocab) =
+          graft.operators.Bpe.train(docs(s, d), "text", rounds = 8)
+        docs(s, d)
+          .select(col("source"), explode(split(col("text"), " ")).as("word"))
+          .filter(col("word") =!= "")
+          .join(broadcast(vocab.select(col("word"),
+            size(col("s")).cast("long").as("n_sym"))), Seq("word"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"),
+            sum("n_sym").as("n_tokens"),
+            sum(length(col("word")).cast("long")).as("n_chars"))
+          .select(col("source"), col("n_words"), col("n_tokens"),
+            col("n_chars"),
+            expr("n_tokens * 1000000L div n_words").as("fertility_ppm"),
+            expr("n_chars * 1000000L div n_tokens")
+              .as("chars_per_token_ppm"))
+      },
+      Some(s"""WITH ${bpeRoundsSql(8)},
+          words AS (
+            SELECT source, token AS word
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            WHERE token <> '')
+        SELECT w.source, count(*) AS n_words,
+               CAST(sum(len(v.s)) AS BIGINT) AS n_tokens,
+               CAST(sum(length(w.word)) AS BIGINT) AS n_chars,
+               CAST(sum(len(v.s)) * 1000000 // count(*) AS BIGINT)
+                 AS fertility_ppm,
+               CAST(sum(length(w.word)) * 1000000 // sum(len(v.s))
+                 AS BIGINT) AS chars_per_token_ppm
+        FROM words w JOIN v8 v ON w.word = v.word
+        GROUP BY 1""")
+    )),
   )
 
   /** DuckDB unroll of `rounds` BPE training rounds (t31/t32): v0 is

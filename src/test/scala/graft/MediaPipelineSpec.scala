@@ -214,6 +214,33 @@ class MediaPipelineSpec extends SparkSpecBase {
     assert(f.peak_abs == 300, f)
   }
 
+  test("pcmFrameEnergies emits one exact energy per full frame and " +
+      "sums to pcmEnergy's total") {
+    val session = spark
+    import session.implicits._
+    // samples: 3, -2, 100, -300, 7 — frameSamples=2 → frames
+    // (3,-2)=13 and (100,-300)=100000; the trailing 7 is dropped
+    val samples = Seq[Short](3, -2, 100, -300, 7)
+    val buf = java.nio.ByteBuffer.allocate(samples.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(buf.putShort)
+    val ds = spark.createDataset(Seq(media(6L, "audio", buf.array())))
+    val got = MediaPipeline.pcmFrameEnergies(ds, frameSamples = 2)
+      .collect().sortBy(_.frame_index)
+    assert(got.map(f => (f.media_id, f.frame_index, f.energy)).toSeq ==
+      Seq((6L, 0, 13L), (6L, 1, 100000L)))
+    // consistency contract with the totals extractor on real fixtures
+    val fixtures = MediaPipeline.pcmFixtures(spark, "/root/testdata/sf0.001")
+    val perFrame = MediaPipeline.pcmFrameEnergies(fixtures).toDF()
+      .groupBy("media_id")
+      .agg(org.apache.spark.sql.functions.sum("energy").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val totals = MediaPipeline.pcmEnergy(
+        MediaPipeline.pcmFixtures(spark, "/root/testdata/sf0.001"))
+      .collect().map(f => f.media_id -> f.energy_sum).toMap
+    assert(perFrame == totals)
+  }
+
   test("pcmFixtures round-trip: decoding the synthesized PCM through " +
       "pcmEnergy reproduces the sample formula exactly") {
     val feats = MediaPipeline
