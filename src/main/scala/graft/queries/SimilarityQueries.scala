@@ -452,6 +452,66 @@ object SimilarityQueries {
         FROM exact5""")
     )),
 
+    // Cosine RANGE search (every neighbor with sim ≥ τ — the
+    // "find all sufficiently-similar" retrieval top-k can't express:
+    // result size is data-driven, not k) — EXACT by construction,
+    // with a SOUND prefix-bound prune: cos(q,n) =
+    // (P + T)/(|q||n|) with tail dot T ≤ |q_T||n_T| (Cauchy-Schwarz),
+    // so ub = (psim·|q_P||n_P| + |q_T||n_T|)/(|q||n|) ≥ cos always,
+    // and rows with ub < τ are pruned WITHOUT evaluating the full
+    // 64-dim cosine. Unlike s5/s9/s11 this needs NO recall contract:
+    // the bound is mathematically sound (a 1e-9 slack absorbs double
+    // rounding — spec-pinned equal to the unpruned scan), so the
+    // oracle is the plain brute-force range SQL. Scale shape: norms
+    // are per-ROW narrow maps computed once; the per-pair hot path is
+    // one codegen'd 32-dim cosine + arithmetic, with the 64-dim
+    // cosine only for bound survivors; broadcast query side, one
+    // corpus pass, no shuffle. τ = 0.35 sits in this corpus's top
+    // ~0.1% pair-similarity tail, so the result is live but bounded.
+    // Prune-rate honesty (RangeSearchSpec measures both): on this
+    // near-orthogonal corpus the tail term floors the bound at ≈0.5,
+    // so τ=0.35 prunes ~10%; at the τ ≥ 0.9 near-dup regime the same
+    // bound prunes >95% of pairs before any full cosine.
+    "s13_range_search" -> ((
+      (s: SparkSession, d: String) => {
+        val tau = 0.35
+        def prep(df: DataFrame, id: String, v: String) = df.select(
+          col("vec_id").as(id), col("embedding").as(v),
+          expr("slice(embedding, 1, 32)").as(v + "p"),
+          sqrt(expr("aggregate(slice(embedding, 1, 32), 0D, " +
+            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+            .as(v + "pn"),
+          sqrt(expr("aggregate(slice(embedding, 33, 32), 0D, " +
+            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+            .as(v + "tn"),
+          sqrt(expr("aggregate(embedding, 0D, " +
+            "(a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"))
+            .as(v + "fn"))
+        val q = prep(emb(s, d).filter(col("vec_id") < 10), "q_id", "qv")
+        val c = prep(emb(s, d), "n_id", "nv")
+        broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("psim", graft.functions.VectorExprs
+            .cosine_similarity(col("qvp"), col("nvp")))
+          .withColumn("ub",
+            (col("psim") * col("qvpn") * col("nvpn") +
+              col("qvtn") * col("nvtn")) / (col("qvfn") * col("nvfn")))
+          .filter(col("ub") >= tau - 1e-9)
+          .withColumn("sim", cosineExpr)
+          .filter(col("sim") >= tau)
+          .select(col("q_id"), col("n_id"),
+            round(col("sim"), 6).as("sim_r"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+          sims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id)
+        SELECT q_id, n_id, round(sim, 6) AS sim_r
+        FROM sims WHERE sim >= 0.35""")
+    )),
+
     // Bucketed ANN: search only the query's coarse cell (label) —
     // the IVF-style equi-join scale path.
     "s2_bucketed_ann" -> ((
