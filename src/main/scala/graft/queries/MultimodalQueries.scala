@@ -190,6 +190,47 @@ object MultimodalQueries {
              unnest(range(0, n // 256, 4)) AS t(f)""")
     )),
 
+    // KEYFRAME selection — the standard follow-on to m9's frame
+    // deltas: per video, the top-3 frames by inter-frame change
+    // (largest scene movement), ties to the earliest frame. This is
+    // the "pick representative frames for captioning/embedding"
+    // primitive of a multimodal curation stack. Same exact byte-delta
+    // core as m9 (one definition of "change"); the per-media rank
+    // compiles to WindowGroupLimit — per-partition partial top-k over
+    // frame-cardinality partitions, never a global sort.
+    "m11_keyframes" -> ((
+      (s: SparkSession, d: String) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("media_id")
+          .orderBy(col("diff_bytes").desc, col("frame_index"))
+        MediaPipeline.frameDeltas(MediaPipeline.fromDocuments(s, d)).toDF()
+          .select(col("media_id"),
+            col("frame_index").cast("long").as("frame_index"),
+            col("diff_bytes").cast("long").as("diff_bytes"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+      },
+      Some("""WITH v AS (
+            SELECT doc_id, text, octet_length(encode(text)) // 256 AS nf
+            FROM documents WHERE doc_id % 3 = 0),
+          pairs AS (
+            SELECT doc_id, text, CAST(k AS BIGINT) AS k
+            FROM v, unnest(range(0, nf - 1)) AS t(k)),
+          deltas AS (
+            SELECT doc_id AS media_id, k AS frame_index,
+                   CAST(len([j for j in range(1, 257)
+                             if text[CAST(k*256+j AS INTEGER)]
+                                <> text[CAST(k*256+256+j AS INTEGER)]])
+                     AS BIGINT) AS diff_bytes
+            FROM pairs)
+        SELECT media_id, frame_index, diff_bytes, CAST(rk AS BIGINT) AS rk
+        FROM (SELECT media_id, frame_index, diff_bytes,
+                     row_number() OVER (PARTITION BY media_id
+                       ORDER BY diff_bytes DESC, frame_index) AS rk
+              FROM deltas)
+        WHERE rk <= 3""")
+    )),
+
     // Silence segmentation over decoded PCM — the VAD core every
     // audio-curation pipeline runs before transcription: per-frame
     // energies (m8's decode, row-per-frame) thresholded at τ, then

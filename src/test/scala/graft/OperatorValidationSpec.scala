@@ -109,4 +109,31 @@ class OperatorValidationSpec extends SparkSpecBase {
         df, df.selectExpr("a", "b", "v AS w"), "a", "nope", Seq("w"))
     }
   }
+
+  test("BPE training rejects a non-positive round budget") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.Bpe.train(docs, "text", rounds = 0)
+    }
+  }
+
+  test("RFM segmentation rejects bucket counts outside 2..9") {
+    import spark.implicits._
+    val act = Seq((1L, java.sql.Date.valueOf("2024-01-01"), 1L))
+      .toDF("cust", "od", "cents")
+    val grp = Seq((1L, "g")).toDF("cust", "grp")
+    intercept[IllegalArgumentException] {
+      graft.operators.Segments.rfm(act, "cust", "od", "cents",
+        grp, "grp", buckets = 1)
+    }
+  }
+
+  test("association-rule mining rejects a non-positive support") {
+    import spark.implicits._
+    val b = Seq((1L, "x")).toDF("ok", "item")
+    intercept[IllegalArgumentException] {
+      graft.operators.AssocRules.mine(b, "ok", "item", minPairSupport = 0L)
+    }
+  }
 }
