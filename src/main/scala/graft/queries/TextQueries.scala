@@ -2272,6 +2272,39 @@ object TextQueries {
         FROM words w JOIN v8 v ON w.word = v.word
         GROUP BY 1""")
     )),
+
+    // LENGTH CURRICULUM — deterministic global training order,
+    // shortest documents first (the classic warm-up curriculum), with
+    // round-robin shard interleaving so every shard sees the full
+    // difficulty ramp. The scale problem is the GLOBAL position: a
+    // plain row_number over everything is a single-partition sort
+    // (the t21/t24 forbidden shape). operators.GlobalOrder solves it
+    // in two phases — per-length counts → prefix-sum offsets over the
+    // LENGTH-cardinality table (the only global window, key-sized by
+    // design) → broadcast offsets + per-length row_number — so the
+    // corpus shuffles once, on the length key. DuckDB independently
+    // derives the same positions with its global row_number: two
+    // formulations, one total order.
+    "t35_length_curriculum" -> ((
+      (s: SparkSession, d: String) => {
+        val byLen = docs(s, d).select(col("doc_id"),
+          expr("CAST(size(filter(split(text, ' '), x -> x != ''))" +
+            " AS BIGINT)").as("n_tokens"))
+        graft.operators.GlobalOrder
+          .enumerate(byLen, "n_tokens", "doc_id")
+          .select(col("doc_id"), col("n_tokens"), col("pos"),
+            pmod(col("pos"), lit(8L)).as("shard"))
+      },
+      Some("""SELECT doc_id, n_tokens,
+               CAST(row_number() OVER (ORDER BY n_tokens, doc_id) - 1
+                 AS BIGINT) AS pos,
+               CAST((row_number() OVER (ORDER BY n_tokens, doc_id) - 1)
+                 % 8 AS BIGINT) AS shard
+        FROM (SELECT doc_id,
+                     CAST(len(list_filter(string_split(text, ' '),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents)""")
+    )),
   )
 
   /** DuckDB unroll of `rounds` BPE training rounds (t31/t32): v0 is
