@@ -70,7 +70,15 @@ object ScaleBench {
     "q55_unconverted_audience", "q56_event_debounce",
     "q57_rfm_segments", "q58_association_rules", "p7_link_prediction",
     "t28_gopher_rules", "m9_frame_deltas", "q59_mom_revenue",
-    "s12_ivfpq", "t29_source_overlap", "p8_kcore")
+    "s12_ivfpq", "t29_source_overlap", "p8_kcore",
+    // round-12: learned BPE (train + apply), contamination drill-down,
+    // fertility, curriculum enumeration, PCM segmentation, keyframes,
+    // anti-join + top-supplier TPC-H shapes, pruned range search
+    "t31_bpe_merges", "t32_bpe_token_counts", "t33_contamination_docs",
+    "t34_tokenizer_fertility", "t35_length_curriculum",
+    "m10_silence_segments", "m11_keyframes",
+    "q61_rich_inactive_customers", "q62_top_suppliers",
+    "s13_range_search")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.
@@ -170,6 +178,12 @@ object ScaleBench {
       (col("c_custkey") + col("c") * unit).as("c_custkey"),
       col("c_name"), col("c_nationkey"), col("c_acctbal"),
       col("c_mktsegment")), "customer")
+
+    // supplier passes through UNCHANGED: the generator never shifts
+    // l_suppkey, so the supplier dim is genuinely stationary — 10×
+    // lineitem rows spread over the same suppliers (q62's per-supplier
+    // revenue grows 10×, which is the realistic dimension-table shape)
+    wr(rd("supplier"), "supplier")
 
     // events: ids AND users shift per copy (10x rows, 10x distinct
     // users — the HLL/percentile sketches see genuinely larger
