@@ -1462,6 +1462,56 @@ object AnalyticsQueries {
         WHERE r.rev_cents = (SELECT max(rev_cents) FROM rev)""")
     )),
 
+    // Cross-nation trade volume (TPC-H Q7 shape) — the classic
+    // multi-join STAR the rest of the q-family doesn't exercise: the
+    // fact table joins orders on the order key (a BIG-BIG shuffle
+    // join — both sides hash-partition on l_orderkey/o_orderkey, the
+    // shape that dominates warehouse wall-clock at 100 TB), then two
+    // nation legs (supplier via l_suppkey, customer via o_custkey).
+    // The dim joins carry NO broadcast hint deliberately: supplier
+    // and customer both grow with SF (they are not true constants
+    // like nation/region), so at bench scale AQE converts them to
+    // broadcasts and at 100 TB they correctly become shuffled
+    // equi-joins — the plan degrades by size, not by hardcode.
+    // Per-row cent quantization keeps the revenue sums exact.
+    "q63_nation_trade_volume" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01") &&
+            col("l_shipdate") < lit("1998-01-01"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            expr("CAST(floor(l_extendedprice * (1D - l_discount)" +
+              " * 100D + 0.5D) AS BIGINT)").as("rc"),
+            year(col("l_shipdate")).cast("long").as("l_year"))
+        val ord = t(s, d, "orders").select(col("o_orderkey"),
+          col("o_custkey"))
+        val supp = t(s, d, "supplier").select(col("s_suppkey"),
+          col("s_nationkey").as("supp_nation"))
+        val cust = t(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey").as("cust_nation"))
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(supp, col("l_suppkey") === col("s_suppkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(count(lit(1)).as("n_items"), sum("rc").as("rev_cents"))
+      },
+      Some("""SELECT s_nationkey AS supp_nation,
+               c_nationkey AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               count(*) AS n_items,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND s_nationkey <> c_nationkey
+        GROUP BY 1, 2, 3""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime
