@@ -78,7 +78,8 @@ object ScaleBench {
     "t34_tokenizer_fertility", "t35_length_curriculum",
     "m10_silence_segments", "m11_keyframes",
     "q61_rich_inactive_customers", "q62_top_suppliers",
-    "s13_range_search", "q63_nation_trade_volume")
+    "s13_range_search", "q63_nation_trade_volume",
+    "t36_cms_frequency")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

@@ -2305,6 +2305,64 @@ object TextQueries {
                        x -> x <> '')) AS BIGINT) AS n_tokens
               FROM documents)""")
     )),
+
+    // Count-Min sketch frequency estimates for the top-20 tokens —
+    // the sketch that completes the mergeable-summary family (HLL /
+    // KLL / theta / Misra-Gries / Bloom), with its defining ONE-SIDED
+    // invariant published per row: collisions only ever ADD, so
+    // cms_est ≥ exact_n always, and `overcount` is the live collision
+    // mass. Unlike the q15/q52 accuracy contracts, the portable
+    // salted-MD5 hashes make every counter deterministic — DuckDB
+    // replays the whole sketch cell-for-cell (the SimHash precedent
+    // applied to frequencies). Scale shape: one corpus token
+    // aggregate, a depth-way explode over the DISTINCT-token table
+    // into 4×512 cells (KBs — broadcast onto the query side), and a
+    // top-20 TakeOrderedAndProject.
+    "t36_cms_frequency" -> ((
+      (s: SparkSession, d: String) => {
+        val toks = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val cms = graft.operators.CountMin.sketch(toks, "tok", "n")
+        val top = toks.orderBy(col("n").desc, col("tok")).limit(20)
+        graft.operators.CountMin
+          .estimate(top.select("tok"), "tok", cms)
+          .join(broadcast(top), Seq("tok"))
+          .select(col("tok").as("token"), col("n").as("exact_n"),
+            col("cms_est"),
+            (col("cms_est") - col("n")).as("overcount"),
+            (col("cms_est") >= col("n")).as("one_sided_ok"))
+      },
+      Some {
+        val bucketCase = (e: String) => (0 until 4).map(r =>
+          s"WHEN $r THEN ${graft.operators.CountMin.bucketSql(r, e, 512)}")
+          .mkString("CASE r ", " ", " END")
+        s"""WITH tf AS (
+            SELECT token AS tok, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            WHERE token <> '' GROUP BY 1),
+          cells AS (
+            SELECT r, ${bucketCase("tok")} AS bucket,
+                   CAST(sum(n) AS BIGINT) AS c
+            FROM tf, unnest(range(0, 4)) t(r)
+            GROUP BY 1, 2),
+          top AS (SELECT tok, n FROM tf ORDER BY n DESC, tok LIMIT 20),
+          q AS (
+            SELECT tok, r, ${bucketCase("tok")} AS bucket
+            FROM top, unnest(range(0, 4)) t(r)),
+          est AS (
+            SELECT q.tok, min(c.c) AS cms_est
+            FROM q JOIN cells c ON q.r = c.r AND q.bucket = c.bucket
+            GROUP BY 1)
+        SELECT t.tok AS token, t.n AS exact_n,
+               CAST(e.cms_est AS BIGINT) AS cms_est,
+               CAST(e.cms_est - t.n AS BIGINT) AS overcount,
+               e.cms_est >= t.n AS one_sided_ok
+        FROM top t JOIN est e ON t.tok = e.tok"""
+      }
+    )),
   )
 
   /** DuckDB unroll of `rounds` BPE training rounds (t31/t32): v0 is
