@@ -49,6 +49,41 @@ object Packing {
         concat_ws(" ", chunkSlice).as("chunk_text"))
   }
 
+  /** (idCol, chunk_id, offset, chunk_tokens, chunk_text) —
+    * OVERLAPPING sliding-window chunks: chunk i covers tokens
+    * [i·stride, i·stride + k), the RAG/long-context convention where
+    * consecutive chunks share k − stride tokens so no span of
+    * context is ever split across a hard boundary. `stride ≤ k`
+    * (a larger stride would silently DROP tokens between windows);
+    * `stride = k` degenerates to [[chunk]]'s disjoint windows. A
+    * document of ≤ k tokens yields exactly one chunk; otherwise
+    * 1 + ⌈(n − k)/stride⌉ in exact integer arithmetic. Same
+    * zero-shuffle per-row explode shape as [[chunk]].
+    */
+  def chunkOverlap(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride >= 1 && stride <= chunkTokens,
+      s"stride must be in 1..$chunkTokens, got $stride")
+    val k = chunkTokens
+    val chunkSlice = slice(col("__w"), col("chunk_id") * stride + 1, lit(k))
+    df.withColumn("__w", split(coalesce(col(textCol), lit("")), " "))
+      .withColumn("__last",
+        when(size(col("__w")) <= k, lit(0))
+          .otherwise(expr(
+            s"(size(__w) - $k + $stride - 1) div $stride").cast("int")))
+      .withColumn("chunk_id", explode(sequence(lit(0), col("__last"))))
+      .select(col(idCol),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * stride).cast("long").as("offset"),
+        size(chunkSlice).cast("long").as("chunk_tokens"),
+        concat_ws(" ", chunkSlice).as("chunk_text"))
+  }
+
   /** Adds (shard, bin) to a chunk frame: documents hash to one of
     * `shards` deterministic shards, and each shard's chunks pack
     * greedily (in (idCol, chunk_id) order) into bins of `binTokens`.

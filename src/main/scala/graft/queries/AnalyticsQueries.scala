@@ -1512,6 +1512,58 @@ object AnalyticsQueries {
         GROUP BY 1, 2, 3""")
     )),
 
+    // Shipping-priority top-10 (TPC-H Q3 shape): revenue of orders
+    // from one market segment, ordered before the cutoff but shipped
+    // after it — the "filtered star + distributed top-k" classic.
+    // Both date filters push into their scans; the segment filter
+    // prunes customers BEFORE the join; orders⋈lineitem is the
+    // big-big orderkey shuffle join (q63's shape); and the top-10
+    // compiles to TakeOrderedAndProject — per-partition heaps merged
+    // on the driver, never a global sort. Ties (same revenue, date)
+    // break on the order key, so the cut is total and engine-exact;
+    // per-row cent quantization keeps revenue sums integer.
+    "q64_shipping_priority" -> ((
+      (s: SparkSession, d: String) => {
+        val cutoff = "1997-01-01"
+        val cust = t(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val ord = t(s, d, "orders")
+          .filter(col("o_orderdate") < lit(cutoff))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_orderpriority"))
+        val li = t(s, d, "lineitem")
+          .filter(col("l_shipdate") > lit(cutoff))
+          .select(col("l_orderkey"),
+            expr("CAST(floor(l_extendedprice * (1D - l_discount)" +
+              " * 100D + 0.5D) AS BIGINT)").as("rc"))
+        ord.join(cust, col("o_custkey") === col("c_custkey"))
+          .join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(sum("rc").as("rev_cents"))
+          .select(col("o_orderkey"),
+            unix_micros(col("o_orderdate").cast("timestamp"))
+              .as("o_orderdate_us"),
+            col("o_orderpriority"), col("rev_cents"))
+          .orderBy(col("rev_cents").desc, col("o_orderkey"))
+          .limit(10)
+      },
+      Some("""SELECT o_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+               o_orderpriority,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_shipdate > TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3
+        ORDER BY rev_cents DESC, o_orderkey
+        LIMIT 10""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime

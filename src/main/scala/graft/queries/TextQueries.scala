@@ -540,6 +540,36 @@ object TextQueries {
         FROM c""")
     )),
 
+    // OVERLAPPING sliding-window chunking (k=32, stride=24 — 25%
+    // overlap), the RAG/long-context variant of t12: consecutive
+    // chunks share 8 tokens so no context span is split across a
+    // hard boundary. Same zero-shuffle per-row explode; every chunk
+    // publishes its offset, token count, and an md5 of the actual
+    // text (content verified, not just counts). Boundary arithmetic
+    // is exact integers — a doc of ≤ 32 tokens is one chunk, else
+    // 1 + ceil((n-32)/24) — the exact place an off-by-one drops or
+    // duplicates a tail token, which is why both engines derive it
+    // independently. (Delegates to Packing.chunkOverlap.)
+    "t37_overlap_chunks" -> ((
+      (s: SparkSession, d: String) =>
+        graft.operators.Packing
+          .chunkOverlap(docs(s, d), chunkTokens = 32, stride = 24)
+          .select(col("doc_id"), col("chunk_id"), col("offset"),
+            col("chunk_tokens"), md5(col("chunk_text")).as("chunk_fp")),
+      Some("""WITH b AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        c AS (
+          SELECT doc_id, w,
+                 unnest(range(0, CASE WHEN len(w) <= 32 THEN 1
+                   ELSE 1 + (len(w) - 32 + 23) // 24 END)) AS chunk_id
+          FROM b)
+        SELECT doc_id, chunk_id, chunk_id * 24 AS offset,
+               len(w[chunk_id*24+1 : chunk_id*24+32]) AS chunk_tokens,
+               md5(array_to_string(w[chunk_id*24+1 : chunk_id*24+32], ' '))
+                 AS chunk_fp
+        FROM c""")
+    )),
+
     // n-gram novelty: per document, how many of its distinct 5-grams
     // appear in NO other document — the inverse of contamination and a
     // strong generated/boilerplate discriminator (novel ≈ original
