@@ -75,5 +75,54 @@ class PackingSpec extends SparkSpecBase {
     intercept[IllegalArgumentException] {
       Packing.packBins(Packing.chunk(df((1L, "a b"))), shards = 0)
     }
+    // overlap: stride past k would silently drop tokens between windows
+    intercept[IllegalArgumentException] {
+      Packing.chunkOverlap(df((1L, "a b")), chunkTokens = 4, stride = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.chunkOverlap(df((1L, "a b")), chunkTokens = 4, stride = 0)
+    }
+  }
+
+  test("overlapping chunks share exactly k - stride tokens and the " +
+      "tail window is short, never dropped") {
+    // 10 tokens, k=4, stride=3 → windows at 0,3,6 cover w1..w10 and
+    // the last full window ends at 10; 1 + ceil((10-4)/3) = 3 chunks
+    val out = Packing.chunkOverlap(
+        df((1L, (1 to 10).map(i => s"w$i").mkString(" "))),
+        chunkTokens = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 4L, "w1 w2 w3 w4"),
+      (1L, 3L, 4L, "w4 w5 w6 w7"),
+      (2L, 6L, 4L, "w7 w8 w9 w10")))
+    // 11 tokens: the boundary formula must open a short tail window
+    // rather than lose w11
+    val tail = Packing.chunkOverlap(
+        df((1L, (1 to 11).map(i => s"w$i").mkString(" "))),
+        chunkTokens = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getString(4)))
+    assert(tail.last == (3L, 2L, "w10 w11"))
+  }
+
+  test("overlap boundary cases: n <= k is one chunk; stride = k " +
+      "degenerates to the disjoint chunker") {
+    val one = Packing.chunkOverlap(df((1L, "a b c")), chunkTokens = 4,
+      stride = 2).collect()
+    assert(one.length == 1 && one.head.getString(4) == "a b c")
+    val exact = Packing.chunkOverlap(df((1L, "a b c d")), chunkTokens = 4,
+      stride = 2).collect()
+    assert(exact.length == 1, "n == k must be exactly one chunk")
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val disjoint = Packing.chunk(df((1L, text)), chunkTokens = 4)
+      .select("chunk_id", "chunk_tokens", "chunk_text")
+      .collect().map(_.toSeq).toSet
+    val degen = Packing.chunkOverlap(df((1L, text)), chunkTokens = 4,
+        stride = 4)
+      .select("chunk_id", "chunk_tokens", "chunk_text")
+      .collect().map(_.toSeq).toSet
+    assert(degen == disjoint)
   }
 }
