@@ -79,7 +79,8 @@ object ScaleBench {
     "m10_silence_segments", "m11_keyframes",
     "q61_rich_inactive_customers", "q62_top_suppliers",
     "s13_range_search", "q63_nation_trade_volume",
-    "t36_cms_frequency", "q64_shipping_priority", "t37_overlap_chunks")
+    "t36_cms_frequency", "q64_shipping_priority", "t37_overlap_chunks",
+    "q65_large_orders")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

@@ -1564,6 +1564,50 @@ object AnalyticsQueries {
         LIMIT 10""")
     )),
 
+    // Large-volume orders (TPC-H Q18 shape): orders whose TOTAL line
+    // quantity clears a threshold, rejoined to their customer — the
+    // "aggregate → HAVING → rejoin" plan the other q's don't exercise.
+    // The qualifying-keys set derives from ONE map-side-combinable
+    // quantity aggregate and then SEMI-join-gates the orders side
+    // (never a second scan of lineitem); the customer leg is an
+    // un-hinted equi-join (grows with SF — AQE broadcasts at bench
+    // scale, shuffles at 100 TB). Quantities quantized ×100 per row
+    // so the threshold compare is integer-exact.
+    "q65_large_orders" -> ((
+      (s: SparkSession, d: String) => {
+        val qty = t(s, d, "lineitem")
+          .select(col("l_orderkey"),
+            expr("CAST(floor(l_quantity * 100D + 0.5D) AS BIGINT)")
+              .as("qc"))
+          .groupBy("l_orderkey")
+          .agg(sum("qc").as("qty_c"))
+          .filter(col("qty_c") > 25000L)
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            expr("CAST(floor(o_totalprice * 100D + 0.5D) AS BIGINT)")
+              .as("price_c"))
+          .join(qty, col("o_orderkey") === col("l_orderkey"))
+          .join(t(s, d, "customer")
+            .select(col("c_custkey"), col("c_name")),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_name"), col("o_orderkey"), col("price_c"),
+            col("qty_c"))
+      },
+      Some("""WITH qty AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS qty_c
+            FROM lineitem GROUP BY 1
+            HAVING sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+              > 25000)
+        SELECT c_name, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c,
+               qty_c
+        FROM orders
+        JOIN qty ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime
