@@ -58,10 +58,18 @@ object BfsHops {
       if (nNodes <= broadcastNodeLimit) broadcast _ else identity _
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .withColumn("d", lit(0L))
+    // FRONTIER relaxation: with unit weights a node's first assigned
+    // distance is final, so only the nodes reached LAST round (d =
+    // i-1) can relax anything new this round — the edges join the
+    // frontier, not the whole reached set. Identical fixed point (the
+    // oracle's full-table unroll must byte-match), but the joined /
+    // broadcast side shrinks from |reached| to |frontier|, which on a
+    // dense graph collapses after the first rounds.
+    var frontier = dist
     var prior: Option[DataFrame] = None
     for (i <- 1 to rounds) {
       val relaxed = e.as("ee").join(
-          maybeBroadcast(dist.as("dd")), col("dd.node") === col("ee.src"))
+          maybeBroadcast(frontier.as("dd")), col("dd.node") === col("ee.src"))
         .select(col("ee.dst").as("node"), (col("dd.d") + 1L).as("d"))
       dist = dist.unionByName(relaxed)
         .groupBy("node").agg(min(col("d")).as("d"))
@@ -74,6 +82,9 @@ object BfsHops {
         prior = Some(cp)
         dist = cp
       }
+      // derive the next frontier from the (possibly checkpointed)
+      // dist so its lineage never re-derives earlier rounds
+      frontier = dist.filter(col("d") === i)
     }
     dist.select(col("node"), col("d").as("hops"))
   }
