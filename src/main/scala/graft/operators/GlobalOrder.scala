@@ -30,10 +30,24 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
+  /** @param maxKeys hard gate on the DISTINCT-KEY cardinality: the
+    *        offsets table is both single-partition-sorted and
+    *        broadcast, so a caller passing a fine-grained key (a row
+    *        id instead of a bucket/length/score) must fail with a
+    *        named error, not an executor OOM deep in the job. The
+    *        default matches the graph family's broadcastNodeLimit.
+    */
   def enumerate(
       df: DataFrame, keyCol: String, tieCol: String,
-      posCol: String = "pos"): DataFrame = {
+      posCol: String = "pos", maxKeys: Long = 5000000L): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    val nKeys = counts.count()
+    require(nKeys <= maxKeys,
+      s"GlobalOrder.enumerate: $nKeys distinct '$keyCol' keys exceed " +
+        s"maxKeys=$maxKeys — the offsets table is sorted on one " +
+        "partition and broadcast, so the key domain must be coarse " +
+        "(a bucket/length/score, not a row id); pre-bucket the key " +
+        "or raise maxKeys deliberately")
     val offsets = counts
       .withColumn("__offset",
         coalesce(sum("__n").over(Window.orderBy(col(keyCol))

@@ -46,4 +46,15 @@ class GlobalOrderSpec extends SparkSpecBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == want)
   }
+
+  test("a fine-grained key domain fails the maxKeys gate with a " +
+      "named error, not an executor OOM") {
+    val session = spark
+    import session.implicits._
+    val rows = (1L to 100L).map(i => (i, i)).toDF("k", "id")
+    val ex = intercept[IllegalArgumentException] {
+      GlobalOrder.enumerate(rows, "k", "id", maxKeys = 10L)
+    }
+    assert(ex.getMessage.contains("distinct 'k' keys exceed"))
+  }
 }
