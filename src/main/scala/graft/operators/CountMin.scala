@@ -51,7 +51,17 @@ object CountMin {
   }
 
   /** Point estimates for `queries(tokenCol)`: min over rows of the
-    * hashed cell — the sketch (depth·width rows) broadcasts. */
+    * hashed cell — the sketch (depth·width rows) broadcasts.
+    *
+    * Cells the sketch never touched have no row (they are zero
+    * counters), and the inner join skips them: a query token with at
+    * least one untouched cell therefore estimates from its touched
+    * cells only (inflated but still one-sided — a zero cell would
+    * have made the true estimate 0), and a token with NO touched
+    * cell is absent from the output rather than estimated 0. Callers
+    * probing tokens from outside the sketched corpus should
+    * left-join the result and read absent as 0.
+    */
   def estimate(
       queries: DataFrame, tokenCol: String, cms: DataFrame,
       depth: Int = 4, width: Int = 512): DataFrame = {
