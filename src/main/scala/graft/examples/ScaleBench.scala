@@ -80,7 +80,7 @@ object ScaleBench {
     "q61_rich_inactive_customers", "q62_top_suppliers",
     "s13_range_search", "q63_nation_trade_volume",
     "t36_cms_frequency", "q64_shipping_priority", "t37_overlap_chunks",
-    "q65_large_orders")
+    "q65_large_orders", "q66_promo_share")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

@@ -1608,6 +1608,49 @@ object AnalyticsQueries {
         JOIN customer ON o_custkey = c_custkey""")
     )),
 
+    // Promotion revenue share per month (TPC-H Q14 shape): the
+    // conditional-aggregate-over-join ratio — what fraction of each
+    // month's revenue came from PROMO parts. The part leg is an
+    // un-hinted equi-join on partkey (grows with SF — AQE broadcasts
+    // here, shuffles at 100 TB); both sums come out of ONE aggregate
+    // over the joined rows (a second pass for the numerator would
+    // re-shuffle the fact table); the share is exact ppm integer
+    // division over per-row-quantized cents.
+    "q66_promo_share" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+            expr("CAST(floor(l_extendedprice * (1D - l_discount)" +
+              " * 100D + 0.5D) AS BIGINT)").as("rc"))
+        val part = t(s, d, "part")
+          .select(col("p_partkey"), (col("p_type") === "PROMO").as("promo"))
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .groupBy("month")
+          .agg(sum(when(col("promo"), col("rc")).otherwise(0L))
+            .as("promo_cents"),
+            sum("rc").as("total_cents"))
+          .select(col("month"), col("promo_cents"), col("total_cents"),
+            expr("promo_cents * 1000000L div total_cents")
+              .as("promo_share_ppm"))
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS month,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                   * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+                 AS promo_cents,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                   * 100 + 0.5) AS BIGINT) ELSE 0 END) * 1000000
+                 // sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS promo_share_ppm
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime
