@@ -150,15 +150,37 @@ object Bpe {
   /** Per-document token counts under a trained vocabulary: corpus
     * words broadcast-joined to (word → n_symbols) — the corpus is
     * never re-segmented. (doc idCol, n_words, n_tokens.)
+    *
+    * Words NOT in the training vocabulary are never dropped: the join
+    * is a LEFT join, and missed lookups route through [[segment]] —
+    * the DISTINCT missing words (a vocabulary-of-misses-sized table,
+    * not the corpus) get segmented under the trained `merges` and
+    * their sizes joined back, so seen words stay on the broadcast
+    * fast path and unseen ones get their exact trained token count.
+    * With `merges` omitted the fallback degenerates to the character
+    * segmentation (len+1 — exact under an empty rule list, an upper
+    * bound otherwise), so callers counting documents beyond the
+    * training corpus should pass the trained merge list.
     */
   def tokenCounts(
       docs: DataFrame, vocabFinal: DataFrame,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      idCol: String = "doc_id", textCol: String = "text",
+      merges: Seq[Merge] = Nil): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
-      .join(broadcast(vocabFinal
+    val joined = words.join(broadcast(vocabFinal
         .select(col("word"), size(col("s")).cast("long").as("n_sym"))),
-        Seq("word"))
+      Seq("word"), "left")
+    val missing = joined.filter(col("n_sym").isNull)
+      .select("word").distinct()
+    // un-hinted join: the miss table is usually tiny (AQE broadcasts
+    // it) but a fully-foreign corpus keeps correctness either way
+    val fallback = segment(missing, "word", merges)
+      .select(col("word"), size(col("s")).cast("long").as("n_sym_fb"))
+    joined.join(fallback, Seq("word"), "left")
+      .withColumn("n_sym", coalesce(col("n_sym"), col("n_sym_fb")))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_tokens"))
+  }
 }

@@ -53,14 +53,13 @@ object CountMin {
   /** Point estimates for `queries(tokenCol)`: min over rows of the
     * hashed cell — the sketch (depth·width rows) broadcasts.
     *
-    * Cells the sketch never touched have no row (they are zero
-    * counters), and the inner join skips them: a query token with at
-    * least one untouched cell therefore estimates from its touched
-    * cells only (inflated but still one-sided — a zero cell would
-    * have made the true estimate 0), and a token with NO touched
-    * cell is absent from the output rather than estimated 0. Callers
-    * probing tokens from outside the sketched corpus should
-    * left-join the result and read absent as 0.
+    * Cells the sketch never touched have no row but ARE zero
+    * counters, so the join is a LEFT join with absent cells coalesced
+    * to 0 before the min: every query token gets the textbook CMS
+    * estimate, including tokens from outside the sketched corpus
+    * (any untouched cell pins their estimate to the true 0). For
+    * tokens of the sketched corpus all `depth` cells are touched and
+    * the left join degenerates to the inner join it replaced.
     */
   def estimate(
       queries: DataFrame, tokenCol: String, cms: DataFrame,
@@ -74,8 +73,9 @@ object CountMin {
         (0 until depth).foldLeft(lit(-1L)) { (acc, r) =>
           when(col("r") === r, bucket(r, col("tok"), width)).otherwise(acc)
         })
-      .join(broadcast(cms), Seq("r", "bucket"))
-      .groupBy("tok").agg(min("c").as("cms_est"))
+      .join(broadcast(cms), Seq("r", "bucket"), "left")
+      .groupBy("tok")
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
 
   /** The DuckDB twin of [[sketch]]+[[estimate]] bucket derivation for

@@ -19,16 +19,36 @@ import org.apache.spark.sql.functions._
   * round budget like PageRank/BfsHops so DuckDB can replay identical
   * rounds as CTEs and byte-match.
   *
-  * Per round the node-sized label table joins INTO the stationary
-  * checkpointed edge table — broadcast while |nodes| fits
-  * `broadcastNodeLimit` (the PageRank rate-into-edges shape: the
-  * edges are never shuffled), degrading to a plain shuffled
-  * equi-join past it. The vote count is a map-side-combinable
-  * (node, label) aggregate and the argmax is `max_by(label,
-  * (cnt, -label))` — a second aggregate, not a rank window (a window
-  * would sort every node partition). State is one (node, label) row
-  * per node. Lineage is localCheckpoint-bounded every
-  * `checkpointEvery` rounds with the shared unpersist hygiene.
+  * FRONTIER-STABILIZED (the BfsHops lesson): a node's next state is a
+  * pure function of its in-neighbors' current states, so once no
+  * in-neighbor changed between rounds, the node's vote is provably
+  * identical and need not be recomputed. Per round we track the
+  * CHANGED set (label flipped, node entered, or node dropped out of
+  * the labeled domain — all three are state changes an in-neighbor
+  * can observe), mark as AFFECTED only the out-neighbors of changed
+  * nodes, re-vote exactly the affected nodes over their FULL
+  * in-neighborhood, and carry every other node's state forward
+  * untouched. Round 1 is always a full vote: the initial self-labels
+  * are not a product of the transition function, so the fixed-point
+  * argument does not apply to them (a pure source node must DROP in
+  * round 1 even though none of its — zero — in-neighbors changed).
+  * When the changed set empties the labeling is a fixed point and the
+  * remaining rounds are skipped outright — the unrolled-round output
+  * is bit-identical by induction.
+  *
+  * Vote mechanics are unchanged: the node-sized label/frontier tables
+  * join INTO the stationary checkpointed edge table — broadcast while
+  * |nodes| fits `broadcastNodeLimit` (the PageRank rate-into-edges
+  * shape), degrading to plain shuffled equi-joins past it. The vote
+  * count is a map-side-combinable (node, label) aggregate and the
+  * argmax is `max_by(label, (cnt, -label))` — a second aggregate, not
+  * a rank window. Labels and the changed set are node-sized and are
+  * eagerly localCheckpoint-ed EVERY round: the frontier plan
+  * references the prior labels three times (vote join, carry-forward
+  * anti-join, change diff), so per-round materialization is what
+  * keeps the lineage linear instead of exponential; `checkpointEvery`
+  * is retained for API compatibility but the per-round cadence
+  * supersedes it.
   *
   * On an undirected graph pass both edge directions (the co-purchase
   * edge table already is symmetric). Nodes without in-edges drop out
@@ -37,9 +57,11 @@ import org.apache.spark.sql.functions._
 object LabelProp {
 
   /** @param inspectRound instrumentation hook (the PageRank pattern):
-    *        called with each round's un-checkpointed label plan before
+    *        called once per round with the round's label plan before
     *        it executes, so plan-shape tests can observe the vote-join
-    *        shape checkpointing would erase.
+    *        shape checkpointing would erase. After the fixed point is
+    *        reached it is called with the (stable, checkpointed)
+    *        label table so the per-round call count stays `rounds`.
     */
   def run(
       edges: DataFrame, srcCol: String, dstCol: String,
@@ -57,26 +79,84 @@ object LabelProp {
     val nNodes = labels.count()
     val maybeBroadcast: DataFrame => DataFrame =
       if (nNodes <= broadcastNodeLimit) broadcast _ else identity _
-    var prior: Option[DataFrame] = Some(labels)
+
+    def unpersistCp(df: DataFrame): Unit =
+      org.apache.spark.sql.graft.bridge.checkpointedRdd(df)
+        .foreach(_.unpersist(blocking = false))
+
+    // full mode-vote over the given edge subset, keyed by dst
+    def vote(edgeSet: DataFrame): DataFrame = edgeSet
+      .join(maybeBroadcast(labels.withColumnRenamed("node", "src")), "src")
+      .groupBy(col("dst").as("node"), col("lbl"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("node")
+      // argmax by (cnt asc, -lbl asc) == most frequent, then
+      // smallest label — lexicographic struct ordering
+      .agg(expr("max_by(lbl, struct(cnt, -lbl))").as("lbl"))
+
+    var changed: DataFrame = null // nodes whose state changed last round
+    var converged = false
     for (i <- 1 to rounds) {
-      labels = e.join(
-          maybeBroadcast(labels.withColumnRenamed("node", "src")), "src")
-        .groupBy(col("dst").as("node"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("node")
-        // argmax by (cnt asc, -lbl asc) == most frequent, then
-        // smallest label — lexicographic struct ordering
-        .agg(expr("max_by(lbl, struct(cnt, -lbl))").as("lbl"))
-      inspectRound(labels)
-      if (i % checkpointEvery == 0 || i == rounds) {
-        val cp = labels.localCheckpoint(true)
-        prior.foreach(p =>
-          org.apache.spark.sql.graft.bridge.checkpointedRdd(p)
-            .foreach(_.unpersist(blocking = false)))
-        prior = Some(cp)
-        labels = cp
+      if (converged) {
+        inspectRound(labels) // stable fixed point: the round is a no-op
+      } else if (i == 1) {
+        // round 1: every node's vote is new AND pure sources must drop,
+        // so the carry-forward rule cannot apply — full vote.
+        val newLabels = vote(e)
+        inspectRound(newLabels)
+        val cpLabels = newLabels.localCheckpoint(true)
+        // changed = symmetric difference vs the initial self-labels
+        changed = labels.withColumnRenamed("lbl", "oldLbl")
+          .join(cpLabels.withColumnRenamed("lbl", "newLbl"),
+            Seq("node"), "full_outer")
+          .where(col("oldLbl").isNull || col("newLbl").isNull ||
+            col("oldLbl") =!= col("newLbl"))
+          .select("node")
+          .localCheckpoint(true)
+        unpersistCp(labels)
+        labels = cpLabels
+        converged = changed.isEmpty
+      } else {
+        // affected = out-neighbors of last round's changed nodes; only
+        // they can observe a changed input. Everyone else's vote is
+        // provably identical and is carried forward without touching
+        // their in-edges.
+        val affected = e
+          .join(maybeBroadcast(changed.withColumnRenamed("node", "src")),
+            "src")
+          .select(col("dst").as("node")).distinct()
+          .localCheckpoint(true)
+        val eAffected = e.join(
+          maybeBroadcast(affected.withColumnRenamed("node", "dst")), "dst")
+        val votes = vote(eAffected) // affected nodes with no labeled
+        // in-neighbor get no vote row and thereby drop, as in the
+        // full vote
+        val newLabels = labels
+          .join(maybeBroadcast(affected), Seq("node"), "left_anti")
+          .union(votes.select("node", "lbl"))
+        inspectRound(newLabels)
+        val cpLabels = newLabels.localCheckpoint(true)
+        // next frontier: affected nodes whose state actually changed
+        // (flip, entry, or drop — full-outer over the affected slice)
+        val newChanged = labels
+          .join(maybeBroadcast(affected), Seq("node"))
+          .withColumnRenamed("lbl", "oldLbl")
+          .join(cpLabels.join(maybeBroadcast(affected), Seq("node"))
+              .withColumnRenamed("lbl", "newLbl"),
+            Seq("node"), "full_outer")
+          .where(col("oldLbl").isNull || col("newLbl").isNull ||
+            col("oldLbl") =!= col("newLbl"))
+          .select("node")
+          .localCheckpoint(true)
+        unpersistCp(labels)
+        unpersistCp(changed)
+        unpersistCp(affected)
+        labels = cpLabels
+        changed = newChanged
+        converged = changed.isEmpty
       }
     }
+    if (changed != null) unpersistCp(changed)
     labels.select(col("node"), col("lbl").as("label"))
   }
 }

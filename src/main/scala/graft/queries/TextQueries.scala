@@ -2244,9 +2244,13 @@ object TextQueries {
     // estimates), so they are pinned alongside the merge table.
     "t32_bpe_token_counts" -> ((
       (s: SparkSession, d: String) => {
-        val (_, vocab) =
+        val (merges, vocab) =
           graft.operators.Bpe.train(docs(s, d), "text", rounds = 8)
-        graft.operators.Bpe.tokenCounts(docs(s, d), vocab)
+        // same corpus trains and counts, so no word misses the vocab
+        // — the merge list still rides along so the unseen-word
+        // fallback is the exact trained segmentation, never len+1
+        graft.operators.Bpe.tokenCounts(docs(s, d), vocab,
+          merges = merges)
       },
       Some(s"""WITH ${bpeRoundsSql(8)},
           words AS (
@@ -2383,8 +2387,12 @@ object TextQueries {
             SELECT tok, r, ${bucketCase("tok")} AS bucket
             FROM top, unnest(range(0, 4)) t(r)),
           est AS (
-            SELECT q.tok, min(c.c) AS cms_est
-            FROM q JOIN cells c ON q.r = c.r AND q.bucket = c.bucket
+            -- LEFT join + COALESCE 0: the operator's textbook-CMS
+            -- contract (untouched cells are zero counters). For these
+            -- in-corpus query tokens every cell is touched, so this is
+            -- equivalent to the inner join — mirrored for lockstep.
+            SELECT q.tok, min(COALESCE(c.c, 0)) AS cms_est
+            FROM q LEFT JOIN cells c ON q.r = c.r AND q.bucket = c.bucket
             GROUP BY 1)
         SELECT t.tok AS token, t.n AS exact_n,
                CAST(e.cms_est AS BIGINT) AS cms_est,

@@ -17,12 +17,29 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   * segments are byte-equal to the batch gaps-and-islands derivation
   * with no "open tail" ambiguity.
   *
-  * State per live media: the open run's (start, last) — two ints,
-  * dropped the moment the media's last frame arrives. Frames must
-  * arrive per-media in frame order across triggers (the
+  * Frames must arrive per-media in frame order across triggers (the
   * StreamingGapFill/Debounce ordering contract; within a micro-batch
-  * rows are sorted here). `StreamingSilenceSpec` pins parity against
-  * the shared batch derivation across wave boundaries.
+  * rows are sorted here). Cross-batch violations are DETECTED, not
+  * silently absorbed (the StreamingDebounce treatment, escalated to
+  * a named error because a disordered frame corrupts every later
+  * segment of the media, not just its own row): the state tracks the
+  * last processed frame_index plus a closed marker, and a frame that
+  * regresses — or arrives after the media's last frame — raises
+  * `IllegalStateException` naming the media and indices instead of
+  * silently re-opening or splitting runs.
+  *
+  * State per live media: the open run's (start, last) plus the
+  * last-seen index — three ints. A closed media keeps a TOMBSTONE (so
+  * post-close frames are a named error, not a phantom re-open of a
+  * "new" media). By default tombstones are retained like
+  * StreamingDebounce's per-key state — three ints per media ever
+  * seen; pass `tombstoneMs = Some(ms)` to garbage-collect them with a
+  * processing-time timeout at production scale. The default stays
+  * `NoTimeout` because processing-time timeouts re-trigger empty
+  * micro-batches indefinitely, which `processAllAvailable()`-style
+  * test harnesses (and the parity spec) cannot settle against.
+  * `StreamingSilenceSpec` pins parity against the shared batch
+  * derivation across wave boundaries and the disorder contract.
   */
 object StreamingSilence {
 
@@ -30,44 +47,68 @@ object StreamingSilence {
       media_id: Long, frame_index: Int, energy: Long, last: Boolean)
   case class Segment(
       media_id: Long, start_frame: Int, end_frame: Int, n_frames: Int)
-  case class RunState(start: Int, lastIdx: Int)
+
+  /** `start == -1` ⇔ no open run; `closed` ⇔ the media's last frame
+    * was processed and the state is a GC-pending tombstone. */
+  case class RunState(
+      start: Int, lastIdx: Int, lastSeen: Int, closed: Boolean)
 
   def segments(
-      frames: Dataset[Frame], tau: Long): Dataset[Segment] = {
+      frames: Dataset[Frame], tau: Long,
+      tombstoneMs: Option[Long] = None): Dataset[Segment] = {
     val session = frames.sparkSession
     import session.implicits._
+    val timeoutConf =
+      if (tombstoneMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     frames.groupByKey(_.media_id)
       .flatMapGroupsWithState[RunState, Segment](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (media, rows, state) =>
-          val sorted = rows.toSeq.sortBy(_.frame_index)
-          var open: Option[RunState] = state.getOption
-          val out = scala.collection.mutable.Buffer[Segment]()
-          var done = false
-          sorted.foreach { f =>
-            if (f.energy >= tau) {
-              open = open match {
-                case Some(r) => Some(RunState(r.start, f.frame_index))
-                case None => Some(RunState(f.frame_index, f.frame_index))
+          if (state.hasTimedOut) { // tombstone GC
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(_.frame_index)
+            var st = state.getOption
+              .getOrElse(RunState(-1, -1, Int.MinValue, closed = false))
+            val out = scala.collection.mutable.Buffer[Segment]()
+            sorted.foreach { f =>
+              if (st.closed)
+                throw new IllegalStateException(
+                  s"media $media: frame ${f.frame_index} arrived AFTER " +
+                    s"the media's last frame (${st.lastSeen}) — " +
+                    "ordering-contract violation")
+              if (f.frame_index <= st.lastSeen)
+                throw new IllegalStateException(
+                  s"media $media: frame ${f.frame_index} regresses " +
+                    s"behind last processed frame ${st.lastSeen} — " +
+                    "ordering-contract violation")
+              st = st.copy(lastSeen = f.frame_index)
+              if (f.energy >= tau) {
+                st =
+                  if (st.start >= 0) st.copy(lastIdx = f.frame_index)
+                  else st.copy(start = f.frame_index,
+                    lastIdx = f.frame_index)
+              } else if (st.start >= 0) {
+                out += Segment(media, st.start, st.lastIdx,
+                  st.lastIdx - st.start + 1)
+                st = st.copy(start = -1, lastIdx = -1)
               }
-            } else {
-              open.foreach(r => out += Segment(media, r.start, r.lastIdx,
-                r.lastIdx - r.start + 1))
-              open = None
+              if (f.last) {
+                if (st.start >= 0) {
+                  out += Segment(media, st.start, st.lastIdx,
+                    st.lastIdx - st.start + 1)
+                  st = st.copy(start = -1, lastIdx = -1)
+                }
+                st = st.copy(closed = true)
+              }
             }
-            if (f.last) {
-              open.foreach(r => out += Segment(media, r.start, r.lastIdx,
-                r.lastIdx - r.start + 1))
-              open = None
-              done = true
-            }
+            state.update(st)
+            if (st.closed)
+              tombstoneMs.foreach(ms => state.setTimeoutDuration(ms))
+            out.iterator
           }
-          if (done) state.remove()
-          else open match {
-            case Some(r) => state.update(r)
-            case None => state.remove()
-          }
-          out.iterator
       }
   }
 

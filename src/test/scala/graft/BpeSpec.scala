@@ -87,6 +87,24 @@ class BpeSpec extends SparkSpecBase {
     assert(got.toSeq == Seq((1L, 3L, 2L + 4L + 2L), (2L, 1L, 3L)))
   }
 
+  test("token counts never drop unseen words: with merges the fallback " +
+      "is the exact trained segmentation, without it the char count") {
+    val session = spark
+    import session.implicits._
+    val (merges, vocab) = Bpe.train(corpus, "text", rounds = 6)
+    // 'lowest' is NOT in the training corpus; segment() says
+    // [low, est</w>] = 2 tokens (see the segment test above)
+    val docs = Seq((1L, "low lowest")).toDF("doc_id", "text")
+    val exact = Bpe.tokenCounts(docs, vocab, merges = merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(exact.toSeq == Seq((1L, 2L, 2L + 2L)))
+    // merges omitted: the miss falls back to chars+marker (7 for
+    // 'lowest') instead of silently vanishing from BOTH counts
+    val chars = Bpe.tokenCounts(docs, vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(chars.toSeq == Seq((1L, 2L, 2L + 7L)))
+  }
+
   test("training stops early when the vocabulary runs out of pairs") {
     val session = spark
     import session.implicits._

@@ -35,6 +35,20 @@ class CountMinSpec extends SparkSpecBase {
     assert(got == 0L, "CMS under-counted — one-sided invariant broken")
   }
 
+  test("out-of-corpus tokens get the textbook estimate: an untouched " +
+      "cell pins them to 0, and none is silently absent") {
+    val f = freqs(Seq(("alpha", 5L), ("beta", 3L)))
+    val cms = CountMin.sketch(f, "tok", "n")
+    // at 4x512 with 2 corpus tokens, any foreign token has ≥1
+    // untouched cell — the true CMS estimate is 0, not a drop
+    val probes = freqs(Seq(("alpha", 0L), ("never-seen", 0L),
+      ("also-unseen", 0L))).select("tok")
+    val est = CountMin.estimate(probes, "tok", cms)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est == Map(
+      "alpha" -> 5L, "never-seen" -> 0L, "also-unseen" -> 0L))
+  }
+
   test("sketches merge cell-wise: sketch(A) + sketch(B) == sketch(A∪B)") {
     val a = freqs(Seq(("x", 2L), ("y", 7L)))
     val b = freqs(Seq(("x", 3L), ("z", 1L)))

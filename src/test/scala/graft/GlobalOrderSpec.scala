@@ -57,4 +57,19 @@ class GlobalOrderSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("distinct 'k' keys exceed"))
   }
+
+  test("a too-heavy single key fails the maxRowsPerKey gate: per-key " +
+      "volume is the single-task sort ceiling, not key cardinality") {
+    val session = spark
+    import session.implicits._
+    // 3 keys pass the cardinality gate, but key 1 carries 50 rows
+    val rows = ((1L to 50L).map(i => (1L, i)) ++
+      Seq((2L, 51L), (3L, 52L))).toDF("k", "id")
+    val ex = intercept[IllegalArgumentException] {
+      GlobalOrder.enumerate(rows, "k", "id", maxRowsPerKey = 10L)
+    }
+    assert(ex.getMessage.contains("heaviest 'k' key holds 50"))
+    // and the same data passes when the gate admits it
+    assert(GlobalOrder.enumerate(rows, "k", "id").count() == 52L)
+  }
 }

@@ -53,6 +53,61 @@ class StreamingSilenceSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("a cross-batch regressing frame raises a named ordering error " +
+      "instead of silently splitting runs") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Frame]
+    val q = StreamingSilence.segments(input.toDS(), tau = 10L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("vad_disorder")
+      .start()
+    try {
+      input.addData(Frame(1L, 0, 50L, last = false),
+        Frame(1L, 1, 60L, last = false))
+      q.processAllAvailable()
+      // frame 1 again, one batch later: regression must be loud
+      input.addData(Frame(1L, 1, 5L, last = false))
+      val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("regresses")), ex.getMessage)
+    } finally q.stop()
+  }
+
+  test("a frame after the media's last frame raises instead of " +
+      "phantom-reopening the media") {
+    val session = spark
+    import session.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Frame]
+    val q = StreamingSilence.segments(input.toDS(), tau = 10L)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("vad_postclose")
+      .start()
+    try {
+      input.addData(Frame(1L, 0, 50L, last = false),
+        Frame(1L, 1, 60L, last = true))
+      q.processAllAvailable()
+      assert(spark.table("vad_postclose").as[Segment].collect().toSet ==
+        Set(Segment(1L, 0, 1, 2)))
+      // the tombstone remembers the close: frame 2 is a named error,
+      // not a fresh run for a "new" media
+      input.addData(Frame(1L, 2, 70L, last = false))
+      val ex = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(c =>
+        c.isInstanceOf[IllegalStateException] &&
+          c.getMessage.contains("AFTER")), ex.getMessage)
+    } finally q.stop()
+  }
+
   test("streamed segments equal the batch derivation on the real PCM " +
       "fixtures, split across three waves") {
     val session = spark
