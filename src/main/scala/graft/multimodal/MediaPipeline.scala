@@ -69,26 +69,56 @@ object MediaPipeline {
     * would gate on. One instance per partition via the factory
     * argument of [[extractImageFeatures]], exactly like the stub.
     */
-  final class ImageIoDecoder extends MediaDecoder {
-    private def read(payload: Array[Byte]): java.awt.image.BufferedImage = {
-      // Wrap the in-memory payload explicitly: the ImageIO.read(
-      // InputStream) convenience overload defaults to a
-      // FileCacheImageInputStream, which spools every payload to a
-      // java.io.tmpdir temp file and unlinks it — per-ROW disk I/O in
-      // the partition hot path (and an outright failure on a
-      // read-only tmpdir). The bytes are already fully in memory.
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(payload))
-      val img =
-        try javax.imageio.ImageIO.read(iis)
-        // read() closes the stream itself on success; a second close on
-        // an ImageInputStreamImpl throws, so swallow only that
-        finally { try iis.close() catch { case _: java.io.IOException => () } }
-      if (img == null)
-        throw new IllegalArgumentException(
-          "payload is not a decodable image (no registered reader)")
+  /** In-memory ImageIO read — shared by [[ImageIoDecoder]] and
+    * [[boxResize]]. Wraps the payload explicitly: the ImageIO.read(
+    * InputStream) convenience overload defaults to a
+    * FileCacheImageInputStream, which spools every payload to a
+    * java.io.tmpdir temp file and unlinks it — per-ROW disk I/O in
+    * the partition hot path (and an outright failure on a read-only
+    * tmpdir). The bytes are already fully in memory.
+    */
+  private[multimodal] def readImage(
+      payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val img =
+      try javax.imageio.ImageIO.read(iis)
+      // read() closes the stream itself on success; a second close on
+      // an ImageInputStreamImpl throws, so swallow only that
+      finally { try iis.close() catch { case _: java.io.IOException => () } }
+    if (img == null)
+      throw new IllegalArgumentException(
+        "payload is not a decodable image (no registered reader)")
+    img
+  }
+
+  /** Indexed/palette images (GIF, palette PNG, 1-bit PNG) decode to a
+    * raster whose single band holds palette INDICES, not intensities —
+    * reading it directly would report a 2-color white GIF as sample≈1,
+    * not ≈255, and disagree with the 3/4 channels the ColorModel
+    * advertises. Expand any such image to a component raster (one band
+    * per color component) so samples are always actual pixel
+    * intensities and the band count matches the channel count.
+    */
+  private[multimodal] def componentView(
+      img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+    if (img.getRaster.getNumBands == img.getColorModel.getNumComponents)
       img
+    else {
+      val t =
+        if (img.getColorModel.hasAlpha)
+          java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
+        else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+      val conv = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, t)
+      val g = conv.createGraphics()
+      try g.drawImage(img, 0, 0, null) finally g.dispose()
+      conv
     }
+
+  final class ImageIoDecoder extends MediaDecoder {
+    private def read(payload: Array[Byte]): java.awt.image.BufferedImage =
+      readImage(payload)
     def decodeDims(payload: Array[Byte]): (Int, Int, Int) = {
       val img = read(payload)
       (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
@@ -102,32 +132,8 @@ object MediaPipeline {
         meanOf(img))
     }
     def meanByte(payload: Array[Byte]): Double = meanOf(read(payload))
-    /** Indexed/palette images (GIF, palette PNG, 1-bit PNG) decode to a
-      * raster whose single band holds palette INDICES, not intensities —
-      * averaging it directly would report a 2-color white GIF as
-      * mean≈1, not ≈255, and disagree with the 3/4 channels the
-      * ColorModel advertises. Expand any such image to a component
-      * raster (one band per color component) before averaging, so
-      * mean_byte is always over actual pixel intensities and the band
-      * count matches `decodeDims`' channel count.
-      */
-    private def componentView(
-        img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
-      if (img.getRaster.getNumBands == img.getColorModel.getNumComponents)
-        img
-      else {
-        val t =
-          if (img.getColorModel.hasAlpha)
-            java.awt.image.BufferedImage.TYPE_4BYTE_ABGR
-          else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
-        val conv = new java.awt.image.BufferedImage(
-          img.getWidth, img.getHeight, t)
-        val g = conv.createGraphics()
-        try g.drawImage(img, 0, 0, null) finally g.dispose()
-        conv
-      }
     private def meanOf(src: java.awt.image.BufferedImage): Double = {
-      val img = componentView(src)
+      val img = MediaPipeline.componentView(src)
       val raster = img.getRaster
       val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
       var sum = 0L
@@ -212,6 +218,75 @@ object MediaPipeline {
         md.reset()
         val fp = hexFp(md, sub, 8)
         ResizedMedia(m.media_id, sub.length, fp)
+      }
+    }
+  }
+
+  /** A really-resized image: `samples` is the downsampled raster,
+    * row-major, channels interleaved in raster band order —
+    * `samples((y * out_w + x) * channels + b)`.
+    */
+  final case class BoxResized(
+      media_id: Long, out_w: Int, out_h: Int, channels: Int,
+      samples: Array[Int])
+
+  /** REAL integer image resize — the operator that retires [[resize]]'s
+    * byte-subsampling stub: decode the encoded payload (JDK ImageIO,
+    * the m7 decoder path), then box-filter downsample by `factor` —
+    * output sample (x, y, band) = the INTEGER mean (sum / factor²,
+    * truncating division, all values non-negative) of the factor×factor
+    * input block it covers; a ragged right/bottom edge narrower than
+    * `factor` is cropped, the standard exact-block convention. Exact
+    * integer arithmetic end-to-end, so over the lossless PNG fixtures
+    * a SQL oracle recomputes every output sample from the pixel
+    * formula alone (the m7 pattern) — a real scaler with a value
+    * oracle, where interpolating float resamplers could only be
+    * property-tested.
+    *
+    * Per-partition map work: decode + one pass over the raster per
+    * row, no shuffle, scales with input splits (the mapInPandas shape
+    * in Scala form). Images smaller than `factor` in either dimension
+    * produce an empty sample array (out dims 0) rather than an error —
+    * the caller's size filter is policy, not the operator's.
+    */
+  def boxResize(
+      media: Dataset[MediaFile], factor: Int): Dataset[BoxResized] = {
+    require(factor >= 1, s"factor must be positive, got $factor")
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        val img = componentView(readImage(m.payload))
+        val raster = img.getRaster
+        val (w, h) = (img.getWidth, img.getHeight)
+        val bands = raster.getNumBands
+        val (ow, oh) = (w / factor, h / factor)
+        val out = new Array[Int](ow * oh * bands)
+        val area = factor * factor
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            var b = 0
+            while (b < bands) {
+              var sum = 0
+              var dy = 0
+              while (dy < factor) {
+                var dx = 0
+                while (dx < factor) {
+                  sum += raster.getSample(x * factor + dx,
+                    y * factor + dy, b)
+                  dx += 1
+                }
+                dy += 1
+              }
+              out((y * ow + x) * bands + b) = sum / area
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        BoxResized(m.media_id, ow, oh, bands, out)
       }
     }
   }

@@ -19,22 +19,28 @@ import org.apache.spark.sql.functions._
   * round budget like PageRank/BfsHops so DuckDB can replay identical
   * rounds as CTEs and byte-match.
   *
-  * FRONTIER-STABILIZED (the BfsHops lesson): a node's next state is a
-  * pure function of its in-neighbors' current states, so once no
-  * in-neighbor changed between rounds, the node's vote is provably
-  * identical and need not be recomputed. Per round we track the
-  * CHANGED set (label flipped, node entered, or node dropped out of
-  * the labeled domain — all three are state changes an in-neighbor
-  * can observe), mark as AFFECTED only the out-neighbors of changed
-  * nodes, re-vote exactly the affected nodes over their FULL
-  * in-neighborhood, and carry every other node's state forward
+  * FRONTIER-STABILIZED, HYBRID (the BfsHops lesson): a node's next
+  * state is a pure function of its in-neighbors' current states, so
+  * once no in-neighbor changed between rounds, the node's vote is
+  * provably identical and need not be recomputed. Per round we track
+  * the CHANGED set (label flipped, node entered, or node dropped out
+  * of the labeled domain — all three are state changes an
+  * in-neighbor can observe); while it is LARGE (> `frontierFraction`
+  * of the nodes — every early round on a fresh graph, where the
+  * frontier bookkeeping would only add two edge scans on top of a
+  * vote it cannot shrink) the round is the plain full vote, and once
+  * it is small the round marks as AFFECTED only the out-neighbors of
+  * changed nodes, re-votes exactly those over their FULL
+  * in-neighborhood, and carries every other node's state forward
   * untouched. Round 1 is always a full vote: the initial self-labels
   * are not a product of the transition function, so the fixed-point
   * argument does not apply to them (a pure source node must DROP in
   * round 1 even though none of its — zero — in-neighbors changed).
-  * When the changed set empties the labeling is a fixed point and the
-  * remaining rounds are skipped outright — the unrolled-round output
-  * is bit-identical by induction.
+  * When the changed set empties the labeling is a fixed point and
+  * the remaining rounds are skipped outright; the final round skips
+  * the diff bookkeeping entirely (it only steers future rounds). The
+  * unrolled-round output is bit-identical to the naive unroll by
+  * induction in every mode mix.
   *
   * Vote mechanics are unchanged: the node-sized label/frontier tables
   * join INTO the stationary checkpointed edge table — broadcast while
@@ -42,13 +48,13 @@ import org.apache.spark.sql.functions._
   * shape), degrading to plain shuffled equi-joins past it. The vote
   * count is a map-side-combinable (node, label) aggregate and the
   * argmax is `max_by(label, (cnt, -label))` — a second aggregate, not
-  * a rank window. Labels and the changed set are node-sized and are
-  * eagerly localCheckpoint-ed EVERY round: the frontier plan
-  * references the prior labels three times (vote join, carry-forward
-  * anti-join, change diff), so per-round materialization is what
-  * keeps the lineage linear instead of exponential; `checkpointEvery`
-  * is retained for API compatibility but the per-round cadence
-  * supersedes it.
+  * a rank window. Labels (and the changed set, on every non-final
+  * round) are node-sized and eagerly localCheckpoint-ed per round:
+  * the frontier plan references the prior labels three times (vote
+  * join, carry-forward anti-join, change diff), so per-round
+  * materialization is what keeps the lineage linear instead of
+  * exponential; `checkpointEvery` is retained for API compatibility
+  * but the per-round cadence supersedes it.
   *
   * On an undirected graph pass both edge directions (the co-purchase
   * edge table already is symmetric). Nodes without in-edges drop out
@@ -63,11 +69,17 @@ object LabelProp {
     *        reached it is called with the (stable, checkpointed)
     *        label table so the per-round call count stays `rounds`.
     */
+  /** @param frontierFraction changed-set fraction (of the initial node
+    *        count) below which a round switches from the full vote to
+    *        the frontier recompute; 0 disables the frontier path, 1
+    *        forces it from round 2 on.
+    */
   def run(
       edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, checkpointEvery: Int = 2,
       broadcastNodeLimit: Long = 5000000L,
-      inspectRound: DataFrame => Unit = _ => ()): DataFrame = {
+      inspectRound: DataFrame => Unit = _ => (),
+      frontierFraction: Double = 0.3): DataFrame = {
     require(rounds >= 0, s"negative rounds: $rounds")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
@@ -94,66 +106,77 @@ object LabelProp {
       // smallest label — lexicographic struct ordering
       .agg(expr("max_by(lbl, struct(cnt, -lbl))").as("lbl"))
 
+    // symmetric state difference between two label tables, restricted
+    // to `within` when given (flip, entry, and drop all count)
+    def stateDiff(
+        oldL: DataFrame, newL: DataFrame,
+        within: Option[DataFrame]): DataFrame = {
+      def slice(df: DataFrame) = within match {
+        case Some(w) => df.join(maybeBroadcast(w), Seq("node"))
+        case None => df
+      }
+      slice(oldL).withColumnRenamed("lbl", "oldLbl")
+        .join(slice(newL).withColumnRenamed("lbl", "newLbl"),
+          Seq("node"), "full_outer")
+        .where(col("oldLbl").isNull || col("newLbl").isNull ||
+          col("oldLbl") =!= col("newLbl"))
+        .select("node")
+    }
+
     var changed: DataFrame = null // nodes whose state changed last round
-    var converged = false
+    var changedCount = Long.MaxValue
     for (i <- 1 to rounds) {
-      if (converged) {
+      if (changedCount == 0L) {
         inspectRound(labels) // stable fixed point: the round is a no-op
-      } else if (i == 1) {
-        // round 1: every node's vote is new AND pure sources must drop,
-        // so the carry-forward rule cannot apply — full vote.
-        val newLabels = vote(e)
-        inspectRound(newLabels)
-        val cpLabels = newLabels.localCheckpoint(true)
-        // changed = symmetric difference vs the initial self-labels
-        changed = labels.withColumnRenamed("lbl", "oldLbl")
-          .join(cpLabels.withColumnRenamed("lbl", "newLbl"),
-            Seq("node"), "full_outer")
-          .where(col("oldLbl").isNull || col("newLbl").isNull ||
-            col("oldLbl") =!= col("newLbl"))
-          .select("node")
-          .localCheckpoint(true)
-        unpersistCp(labels)
-        labels = cpLabels
-        converged = changed.isEmpty
       } else {
-        // affected = out-neighbors of last round's changed nodes; only
-        // they can observe a changed input. Everyone else's vote is
-        // provably identical and is carried forward without touching
-        // their in-edges.
-        val affected = e
-          .join(maybeBroadcast(changed.withColumnRenamed("node", "src")),
-            "src")
-          .select(col("dst").as("node")).distinct()
-          .localCheckpoint(true)
-        val eAffected = e.join(
-          maybeBroadcast(affected.withColumnRenamed("node", "dst")), "dst")
-        val votes = vote(eAffected) // affected nodes with no labeled
-        // in-neighbor get no vote row and thereby drop, as in the
-        // full vote
-        val newLabels = labels
-          .join(maybeBroadcast(affected), Seq("node"), "left_anti")
-          .union(votes.select("node", "lbl"))
+        // HYBRID round choice: the frontier machinery (2 extra edge
+        // scans + carry-forward joins) only pays once the changed set
+        // is small — while most nodes are still flipping (every early
+        // round on a fresh graph), a plain full vote is cheaper.
+        // Round 1 is ALWAYS full: the initial self-labels are not a
+        // product of the transition function, so the carry-forward
+        // fixed-point argument does not apply (a pure source must
+        // drop in round 1 even though none of its zero in-neighbors
+        // changed).
+        val frontierPays = i > 1 &&
+          changedCount <= (frontierFraction * nNodes).toLong
+        val (newLabels, affectedOpt) =
+          if (!frontierPays) (vote(e), None)
+          else {
+            // affected = out-neighbors of last round's changed nodes;
+            // only they can observe a changed input. Everyone else's
+            // vote is provably identical and is carried forward
+            // without touching their in-edges.
+            val affected = e
+              .join(
+                maybeBroadcast(changed.withColumnRenamed("node", "src")),
+                "src")
+              .select(col("dst").as("node")).distinct()
+              .localCheckpoint(true)
+            val eAffected = e.join(
+              maybeBroadcast(affected.withColumnRenamed("node", "dst")),
+              "dst")
+            val votes = vote(eAffected) // affected nodes with no
+            // labeled in-neighbor get no vote row and drop, as in
+            // the full vote
+            (labels
+              .join(maybeBroadcast(affected), Seq("node"), "left_anti")
+              .union(votes.select("node", "lbl")), Some(affected))
+          }
         inspectRound(newLabels)
         val cpLabels = newLabels.localCheckpoint(true)
-        // next frontier: affected nodes whose state actually changed
-        // (flip, entry, or drop — full-outer over the affected slice)
-        val newChanged = labels
-          .join(maybeBroadcast(affected), Seq("node"))
-          .withColumnRenamed("lbl", "oldLbl")
-          .join(cpLabels.join(maybeBroadcast(affected), Seq("node"))
-              .withColumnRenamed("lbl", "newLbl"),
-            Seq("node"), "full_outer")
-          .where(col("oldLbl").isNull || col("newLbl").isNull ||
-            col("oldLbl") =!= col("newLbl"))
-          .select("node")
-          .localCheckpoint(true)
+        if (i < rounds) {
+          // the diff only steers FUTURE rounds — the last round skips
+          // it (and its checkpoint) outright
+          val newChanged = stateDiff(labels, cpLabels, affectedOpt)
+            .localCheckpoint(true)
+          if (changed != null) unpersistCp(changed)
+          changed = newChanged
+          changedCount = changed.count()
+        }
         unpersistCp(labels)
-        unpersistCp(changed)
-        unpersistCp(affected)
+        affectedOpt.foreach(unpersistCp)
         labels = cpLabels
-        changed = newChanged
-        converged = changed.isEmpty
       }
     }
     if (changed != null) unpersistCp(changed)

@@ -1651,6 +1651,84 @@ object AnalyticsQueries {
         GROUP BY 1""")
     )),
 
+    // "Waiting supplier" (TPC-H Q21 shape) — the hardest classic
+    // warehouse plan the q-family didn't exercise: a big-big
+    // fact⋈orders join, then a SEMI and an ANTI SELF-join on the
+    // flagged fact table, both equi on the order key with an extra
+    // supplier-inequality predicate — exactly the multi-way big-big
+    // self-join planning a 100 TB warehouse lives on (all three fact
+    // roles hash-partition on the SAME orderkey, so the two
+    // self-joins reuse the one shuffle layout; exchange reuse keeps
+    // the flagged subtree single-execution). The synthetic lineitem
+    // has no receipt/commit dates, so "late" is the deterministic
+    // proxy l_shipdate > o_orderdate + 90 days, computed on the same
+    // orders join that applies the classic o_orderstatus='F' gate.
+    // A supplier kept an F-order waiting if its line was late, the
+    // order had ANOTHER supplier (semi), and no OTHER supplier was
+    // late on it (anti). Dims follow the q63 rule: supplier grows
+    // with SF so its join is un-hinted (AQE broadcasts at bench
+    // scale, shuffles at 100 TB); nation is a true 25-row constant
+    // and broadcasts by hint. Top-100 = TakeOrderedAndProject
+    // (partition-local heaps), never a global sort.
+    "q67_waiting_suppliers" -> ((
+      (s: SparkSession, d: String) => {
+        val flagged = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .join(t(s, d, "orders")
+              .filter(col("o_orderstatus") === "F")
+              .select(col("o_orderkey"), col("o_orderdate")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+            (col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+        val l1 = flagged.filter(col("late"))
+        // self-join columns need explicit disambiguation: alias the
+        // right side before writing the mixed equi+inequality condition
+        val other = flagged.select(col("ok").as("ok_r"),
+          col("sk").as("sk_r"))
+        val semi = l1.join(other,
+          col("ok") === col("ok_r") && col("sk_r") =!= col("sk"),
+          "left_semi")
+        val otherLate = flagged.filter(col("late"))
+          .select(col("ok").as("ok_r"), col("sk").as("sk_r"))
+        val anti = semi.join(otherLate,
+          col("ok") === col("ok_r") && col("sk_r") =!= col("sk"),
+          "left_anti")
+        anti
+          .join(t(s, d, "supplier")
+              .select(col("s_suppkey"), col("s_name"), col("s_nationkey")),
+            col("sk") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")
+              .filter(col("n_name") === "NATION_3")
+              .select(col("n_nationkey"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some("""WITH li AS (
+            SELECT l.l_orderkey AS ok, l.l_suppkey AS sk,
+                   l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F')
+        SELECT s.s_name, count(*) AS numwait
+        FROM li l1
+        JOIN supplier s ON l1.sk = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE l1.late
+          AND n.n_name = 'NATION_3'
+          AND EXISTS (SELECT 1 FROM li l2
+                      WHERE l2.ok = l1.ok AND l2.sk <> l1.sk)
+          AND NOT EXISTS (SELECT 1 FROM li l3
+                          WHERE l3.ok = l1.ok AND l3.sk <> l1.sk
+                            AND l3.late)
+        GROUP BY 1
+        ORDER BY numwait DESC, s_name
+        LIMIT 100""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime

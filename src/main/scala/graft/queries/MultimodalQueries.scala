@@ -32,9 +32,12 @@ object MultimodalQueries {
         FROM documents""")
     )),
 
-    // Resize stub: every-4th-byte subsampling with byte accounting and
+    // Resize STUB, kept for the text-payload corpus where no pixels
+    // exist: every-4th-byte subsampling with byte accounting and
     // content fingerprint (corpus is ASCII → DuckDB recomputes the
-    // subsample from characters).
+    // subsample from characters). The REAL pixel resize is m12
+    // (MediaPipeline.boxResize over the PNG fixtures) — use that for
+    // actual images; this remains the byte-plumbing check.
     "m4_resized_features" -> ((
       (s: SparkSession, d: String) => MediaPipeline.resizedDf(s, d),
       Some("""SELECT doc_id AS media_id,
@@ -311,6 +314,143 @@ object MultimodalQueries {
                CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
                CAST(coalesce(longest_run, 0) AS BIGINT) AS longest_run
         FROM fs LEFT JOIN rs ON fs.doc_id = rs.doc_id""")
+    )),
+
+    // REAL integer image resize (MediaPipeline.boxResize) — retires
+    // m4's byte-subsampling stub for actual pixels: decode the
+    // lossless PNG fixtures (m7's decoder path), box-filter
+    // downsample 2× with exact integer block means (sum // 4 per
+    // channel), and publish position-pinning integer stats — the
+    // plain sample sum AND a position-weighted checksum (sample ×
+    // (its 1-based interleaved index)) so a transposed, flipped, or
+    // off-by-one-block resampler flips the hash even when the value
+    // multiset survives. DuckDB recomputes every output sample from
+    // the pixel formula alone: fixture pixels are gray (3 equal
+    // channels), so block means are channel-independent and the
+    // 3-channel interleave contributes 9p+6 per gray pixel p to the
+    // weighted sum. Scale shape: per-partition decode + one raster
+    // pass, no shuffle — the mapInPandas shape in Scala form.
+    "m12_box_resize" -> ((
+      (s: SparkSession, d: String) =>
+        MediaPipeline.boxResize(MediaPipeline.pngFixtures(s, d), factor = 2)
+          .toDF()
+          .select(col("media_id"),
+            col("out_w").cast("long").as("out_w"),
+            col("out_h").cast("long").as("out_h"),
+            col("channels").cast("long").as("channels"),
+            expr("aggregate(samples, 0L, (a, x) -> a + x)")
+              .as("pixel_sum"),
+            expr("""aggregate(
+                zip_with(samples, sequence(1L, size(samples)),
+                         (v, i) -> CAST(v AS BIGINT) * i),
+                0L, (a, x) -> a + x)""").as("pos_weighted_sum")),
+      Some("""WITH ids AS (
+            SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 7) % 16 AS h
+            FROM documents WHERE doc_id % 5 = 0),
+          px AS (
+            SELECT i.doc_id, i.w // 2 AS ow, i.h // 2 AS oh,
+                   gx.x AS x, gy.y AS y,
+                   ((i.doc_id * 31 + (2 * gx.x) * 7 + (2 * gy.y) * 13) % 256
+                  + (i.doc_id * 31 + (2 * gx.x + 1) * 7 + (2 * gy.y) * 13) % 256
+                  + (i.doc_id * 31 + (2 * gx.x) * 7 + (2 * gy.y + 1) * 13) % 256
+                  + (i.doc_id * 31 + (2 * gx.x + 1) * 7 + (2 * gy.y + 1) * 13) % 256)
+                   // 4 AS v
+            FROM ids i,
+                 (SELECT unnest(range(0, 12)) AS x) gx,
+                 (SELECT unnest(range(0, 12)) AS y) gy
+            WHERE gx.x < i.w // 2 AND gy.y < i.h // 2)
+        SELECT doc_id AS media_id,
+               CAST(ow AS BIGINT) AS out_w,
+               CAST(oh AS BIGINT) AS out_h,
+               CAST(3 AS BIGINT) AS channels,
+               CAST(3 * sum(v) AS BIGINT) AS pixel_sum,
+               CAST(sum(v * (9 * (y * ow + x) + 6)) AS BIGINT)
+                 AS pos_weighted_sum
+        FROM px GROUP BY 1, 2, 3, 4""")
+    )),
+
+    // CROSS-MODAL curation join — the first m-query that composes
+    // modalities: a doc survives only if its image decodes clean at
+    // usable resolution (m7's real PNG decode, min-area gate ≥150 px)
+    // AND its text clears the t28 Gopher rules — the
+    // image+caption-pair curation shape (LAION-style) where each
+    // modality's filter gates the OTHER modality's data. Reuses the
+    // exact m7 decoder path and the exact TextProfile.withGopherRules
+    // derivation (one definition each side), equi-joined on doc id —
+    // at 100 TB a co-partitioned join on the shared key — then
+    // aggregated to per-source yields with exact ppm integers.
+    "m13_crossmodal_yield" -> ((
+      (s: SparkSession, d: String) => {
+        val media = MediaPipeline.extractImageFeatures(
+            MediaPipeline.pngFixtures(s, d),
+            () => new MediaPipeline.ImageIoDecoder).toDF()
+          .select(col("media_id").as("doc_id"),
+            (col("width") * col("height") >= 150).as("media_ok"))
+        val text = graft.operators.TextProfile
+          .withGopherRules(Derived.table(s, d, "documents"))
+          .select(col("doc_id"), col("kept").as("text_ok"))
+        val src = Derived.table(s, d, "documents")
+          .select(col("doc_id"), col("source"))
+        media.join(text, Seq("doc_id"))
+          .join(src, Seq("doc_id"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_media"),
+            sum(when(col("media_ok"), 1L).otherwise(0L)).as("n_media_ok"),
+            sum(when(col("text_ok"), 1L).otherwise(0L)).as("n_text_ok"),
+            sum(when(col("media_ok") && col("text_ok"), 1L).otherwise(0L))
+              .as("n_curated"))
+          .select(col("source"), col("n_media"), col("n_media_ok"),
+            col("n_text_ok"), col("n_curated"),
+            expr("n_curated * 1000000L div n_media").as("yield_ppm"))
+      },
+      Some("""WITH ids AS (
+            SELECT doc_id,
+                   (8 + doc_id % 16) * (8 + (doc_id // 7) % 16) >= 150
+                     AS media_ok
+            FROM documents WHERE doc_id % 5 = 0),
+          t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          base AS (
+            SELECT doc_id, CAST(len(w) AS BIGINT) AS n,
+                   CAST(list_sum(list_transform(w, x -> length(x)))
+                     AS BIGINT) AS chars,
+                   CAST(len(list_filter(w,
+                     x -> x IN ('the', 'a', 'of', 'and', 'to')))
+                     AS BIGINT) AS stops
+            FROM t),
+          bg AS (
+            SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+            FROM (SELECT doc_id,
+                    unnest([{'w1': w[i], 'w2': w[i+1]}
+                            for i in range(1, len(w))]) AS b
+                  FROM t)),
+          bc AS (SELECT doc_id, count(*) AS c FROM bg
+                 GROUP BY doc_id, w1, w2),
+          bm AS (SELECT doc_id, max(c) AS mx, sum(c) AS nb FROM bc
+                 GROUP BY doc_id),
+          kept AS (
+            SELECT b.doc_id,
+                   ((b.n >= 20 AND b.n <= 200)
+                    AND (b.chars >= b.n * 4 AND b.chars <= b.n * 10)
+                    AND (b.stops >= 2)
+                    AND (bm.mx IS NULL OR bm.mx * 25 <= bm.nb * 2))
+                     AS text_ok
+            FROM base b LEFT JOIN bm USING (doc_id))
+        SELECT d.source,
+               count(*) AS n_media,
+               CAST(sum(CASE WHEN i.media_ok THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_media_ok,
+               CAST(sum(CASE WHEN k.text_ok THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_text_ok,
+               CAST(sum(CASE WHEN i.media_ok AND k.text_ok THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_curated,
+               CAST(sum(CASE WHEN i.media_ok AND k.text_ok THEN 1 ELSE 0 END)
+                    * 1000000
+                    // count(*) AS BIGINT) AS yield_ppm
+        FROM ids i
+        JOIN kept k USING (doc_id)
+        JOIN documents d USING (doc_id)
+        GROUP BY 1""")
     )),
   )
 }

@@ -94,4 +94,29 @@ class LabelPropSpec extends AnyFunSuite {
       SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status)
   }
+
+  test("the FORCED frontier path (frontierFraction=1) matches the " +
+      "reference too — carry-forward, entry, and drop-out all exact") {
+    val genEdges = for {
+      n <- Gen.choose(2, 12)
+      m <- Gen.choose(1, 40)
+      e <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong) if a != b
+      } yield (a, b))
+    } yield e
+    def runFrontier(
+        edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+      LabelProp.run(edges.toDF("src", "dst"), "src", "dst", rounds,
+          frontierFraction = 1.0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = Prop.forAll(genEdges, Gen.choose(0, 4)) {
+      (edges: List[(Long, Long)], rounds: Int) =>
+        edges.isEmpty ||
+          runFrontier(edges, rounds) == reference(edges, rounds)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status)
+  }
 }

@@ -136,6 +136,34 @@ class MediaPipelineSpec extends SparkSpecBase {
       != got.map(f => (f.width, f.height)))
   }
 
+  test("boxResize golden: exact integer 2x block means over a real " +
+      "PNG gradient, ragged edge cropped, channels interleaved") {
+    val session = spark
+    import session.implicits._
+    // 5x4 gray gradient v = x*10 + y: 2x2 blocks mean to 5, 25, 7, 27
+    // (sum/4 truncating); the ragged x=4 column is cropped
+    val img = new java.awt.image.BufferedImage(
+      5, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 4; x <- 0 until 5) {
+      val v = x * 10 + y
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ds = spark.createDataset(Seq(media(7L, "image", bos.toByteArray)))
+    val got = MediaPipeline.boxResize(ds, factor = 2).collect().toSeq
+    assert(got.map(r => (r.media_id, r.out_w, r.out_h, r.channels))
+      == Seq((7L, 2, 2, 3)))
+    assert(got.head.samples.toSeq ==
+      Seq(5, 5, 5, 25, 25, 25, 7, 7, 7, 27, 27, 27))
+    // an image narrower than the factor resizes to the empty raster,
+    // not an error (the caller's size gate is policy)
+    val tiny = spark.createDataset(Seq(media(8L, "image",
+      pngBytes(1, 3, 0x646464))))
+    val t = MediaPipeline.boxResize(tiny, factor = 2).collect().head
+    assert(t.out_w == 0 && t.out_h == 1 && t.samples.isEmpty)
+  }
+
   test("ImageIoDecoder averages pixel INTENSITIES for indexed/palette " +
       "images, not palette indices") {
     // A 2-color palette GIF, all pixels white: the raster's single band
