@@ -146,6 +146,33 @@ class PlanShapeSpec extends SparkSpecBase {
       }
   }
 
+  test("q63/q64/q65/q67's SF-growing dim legs broadcast via AQE at " +
+      "bench scale — the size-aware degradation the comments promise") {
+    // These joins deliberately carry NO broadcast hint (supplier and
+    // customer grow with SF), so the broadcast must come from AQE's
+    // runtime size estimate. Run at sf0.01 — bench-representative —
+    // and assert the adaptive FINAL plan broadcast-hash-joins the
+    // named dim key; a future hint/threshold regression turns these
+    // into SortMergeJoins and fails here instead of only in BENCH.
+    val bench = "/root/testdata/sf0.01"
+    val wantKeys = Seq(
+      "q63_nation_trade_volume" -> Seq("suppkey", "custkey"),
+      "q64_shipping_priority" -> Seq("custkey"),
+      "q65_large_orders" -> Seq("custkey"),
+      "q67_waiting_suppliers" -> Seq("suppkey"))
+    wantKeys.foreach { case (name, keys) =>
+      val df = SparkEntry.queries(name)(spark, bench)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = finalPlan(df.queryExecution.executedPlan)
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      keys.foreach { k =>
+        assert(bhj.exists(b =>
+          (b.leftKeys ++ b.rightKeys).mkString(",").contains(k)),
+          s"$name: expected AQE BroadcastHashJoin on '$k', got:\n$plan")
+      }
+    }
+  }
+
   test("the exact cosine scan is a broadcast nested loop, not a " +
       "cartesian shuffle") {
     val s = planOf("s1_cosine_topk").toString
