@@ -111,6 +111,10 @@ object ScaleBench {
         val outDir = args.lift(1).getOrElse("/tmp/graft-scale/sf1")
         gen(spark, args.lift(2).getOrElse(baseDir), outDir,
           args.lift(3).map(_.toLong).getOrElse(1000000L))
+      case "genconst" =>
+        val outDir = args.lift(1).getOrElse("/tmp/graft-scale-cb/sf1")
+        genConstDocs(spark, args.lift(2).getOrElse(baseDir), outDir,
+          args.lift(3).map(_.toLong).getOrElse(1000000L))
       case "bench100" =>
         bench100(spark, baseDir, args(1), args(2), args.drop(3).toSet)
       case _ =>
@@ -123,6 +127,47 @@ object ScaleBench {
   private def copies(df: DataFrame): DataFrame =
     df.withColumn("c", explode(sequence(lit(0L), lit(F - 1L))))
 
+  /** CONSTANT-BYTE ×10 replication of the documents table only — the
+    * control for the `gen` suffix scheme's byte inflation (`_c` word
+    * suffixes add ~2 chars per word per decade, 12.47× bytes over two
+    * decades — exactly the log₁₀=1.10 component SCALE.md triages in
+    * d15/t28/t29's exponents). Copy c substitutes letters through a
+    * seeded alphabet permutation (Spark `translate`) instead of
+    * suffixing: text LENGTH is preserved byte-for-byte, within-copy
+    * token/shingle structure is isomorphic (a bijection on the
+    * alphabet), and cross-copy vocabularies stay disjoint up to
+    * negligible permutation coincidences (a whole word must map
+    * identically under two independent random permutations). Copy 0
+    * keeps the original text. Nest like `gen`; documents is the only
+    * table the d15/t28/t29 control targets read.
+    */
+  private def genConstDocs(spark: SparkSession, baseDir: String,
+      outDir: String, unit: Long): Unit = {
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def perm(seed: Int): String = {
+      val arr = alpha.toCharArray
+      val rnd = new java.util.Random(seed.toLong * 2654435761L)
+      var i = arr.length - 1
+      while (i >= 1) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      new String(arr)
+    }
+    val docs = copies(spark.read.parquet(s"$baseDir/documents.parquet"))
+    val sub = (1 until F).foldLeft(
+      when(col("c") === 0L, col("text"))) { (acc, k) =>
+      acc.when(col("c") === k.toLong,
+        translate(col("text"), alpha, perm(k)))
+    }
+    docs.select((col("doc_id") + col("c") * unit).as("doc_id"),
+        sub.as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(32) // split files — see the `wr` note in gen()
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   /** Disjoint-keyspace ×10 replication of `baseDir` into `outDir`.
     * `unit` is the id-shift per copy for the ~1e6-keyspace ids
     * (doc/vec/part/user); order/event keys shift by `10*unit`. Nest by
@@ -131,8 +176,16 @@ object ScaleBench {
   private def gen(spark: SparkSession, baseDir: String, outDir: String,
       unit: Long): Unit = {
     def rd(t: String) = spark.read.parquet(s"$baseDir/$t.parquet")
+    // repartition(32) before writing: the explode-by-copy otherwise
+    // inherits the (single-file) input's partitioning and writes ONE
+    // parquet file — under 128 MB even at 100×, so every downstream
+    // scan+explode ran as ONE task while the data grew 100×. That
+    // parallelism starvation, not operator cost, was the round-12
+    // d15 "superlinearity" (see SCALE.md round-13 control); split
+    // files give the scan the task granularity a real corpus has.
     def wr(df: DataFrame, t: String) =
-      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      df.repartition(32).write.mode("overwrite")
+        .parquet(s"$outDir/$t.parquet")
 
     // per-copy word suffix → disjoint shingle spaces; copy 0 keeps the
     // original text byte-for-byte

@@ -160,4 +160,84 @@ object TextProfile {
         col("r_word_count") && col("r_mean_word_len")
           && col("r_stopwords") && col("r_top_bigram"))
   }
+
+  /** The REPETITION half of the Gopher rules (Rae et al. 2021 §A1.1)
+    * t28's top-bigram rule only samples: per document, the character
+    * mass of the single most frequent word n-gram for n = 2, 3, 4
+    * (`top{n}_ppm`), and the character mass of ALL duplicated word
+    * n-grams for n = 5, 6 (`dup{n}_ppm`), each as exact ppm of the
+    * document's word characters, gated at the published thresholds
+    * (top: 20/18/16%, dup: 15/14%).
+    *
+    * Exact-integer conventions (what makes this oracle-checkable):
+    * characters of one n-gram occurrence = the sum of its word
+    * lengths (separators excluded — computed as length of the
+    * joined gram minus n−1); occurrences count OVERLAPPING positions
+    * (the sliding window, the published definition); the duplicate
+    * mass counts every occurrence of every gram with count ≥ 2
+    * WITHOUT position-overlap dedup (the standard reimplementation
+    * convention — Dolma/NeMo do the same — so a heavily repeated
+    * long document can exceed 1e6 ppm; the ≤ gates judge it
+    * correctly). The top-gram tie rule is: highest count, then
+    * highest character mass — encoded as max(count·10⁵ + mass),
+    * exact because a document's gram mass is < 10⁵ at the 200-token
+    * cap upstream of this filter.
+    *
+    * Scale shape: one n-gram explode per n (5 total), each a
+    * map-side-combinable (doc, gram) count aggregate then a doc
+    * aggregate — no windows, no cross-doc work.
+    */
+  def withRepetitionRules(
+      df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      topPpm: Map[Int, Long] = Map(2 -> 200000L, 3 -> 180000L,
+        4 -> 160000L),
+      dupPpm: Map[Int, Long] = Map(5 -> 150000L, 6 -> 140000L))
+      : DataFrame = {
+    val t = df.select(col(idCol), split(col(textCol), " ").as("w"))
+    val chars = t.select(col(idCol),
+      expr("aggregate(transform(w, x -> CAST(length(x) AS BIGINT))," +
+        " 0L, (a, x) -> a + x)").as("chars"))
+
+    def grams(n: Int) = t.filter(size(col("w")) >= n)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(w, i, $n)))")).as("g"))
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"),
+        (length(col("g")) - (n - 1)).cast("long").as("len"))
+
+    def topMass(n: Int) = grams(n)
+      .groupBy(idCol)
+      .agg(max(col("c") * 100000L + col("c") * col("len")).as("k"))
+      .select(col(idCol), (col("k") % 100000L).as(s"top${n}_mass"))
+
+    def dupMass(n: Int) = grams(n)
+      .filter(col("c") >= 2)
+      .groupBy(idCol)
+      .agg(sum(col("c") * col("len")).as(s"dup${n}_mass"))
+
+    val joined = Seq(topMass(2), topMass(3), topMass(4),
+      dupMass(5), dupMass(6))
+      .foldLeft(chars)((acc, m) => acc.join(m, Seq(idCol), "left"))
+    // `div`, never `/`: long / long is a DOUBLE division in Spark and
+    // a 53-bit mantissa rounding away from the oracle's exact `//`
+    val withPpm = joined.select(col(idCol) +: col("chars") +: (
+      Seq(2, 3, 4).map(n =>
+        expr(s"coalesce(top${n}_mass, 0L) * 1000000L div chars")
+          .as(s"top${n}_ppm")) ++
+      Seq(5, 6).map(n =>
+        expr(s"coalesce(dup${n}_mass, 0L) * 1000000L div chars")
+          .as(s"dup${n}_ppm"))): _*)
+    Seq(2, 3, 4).map(n => (s"r_top$n",
+        col(s"top${n}_ppm") <= topPpm(n))) ++
+      Seq(5, 6).map(n => (s"r_dup$n", col(s"dup${n}_ppm") <= dupPpm(n)))
+      match {
+        case rules =>
+          val flagged = rules.foldLeft(withPpm) { case (acc, (nm, c)) =>
+            acc.withColumn(nm, c)
+          }
+          flagged.withColumn("rep_kept",
+            rules.map(r => col(r._1)).reduce(_ && _))
+      }
+  }
 }

@@ -2401,6 +2401,85 @@ object TextQueries {
         FROM top t JOIN est e ON t.tok = e.tok"""
       }
     )),
+
+    // REPETITION Gopher rules (TextProfile.withRepetitionRules) —
+    // the half of Rae et al.'s quality gate t28's top-bigram rule
+    // only samples: per doc, the char mass of the single most
+    // frequent 2/3/4-gram and of ALL duplicated 5/6-grams, exact ppm
+    // of word chars, gated at the published 20/18/16% and 15/14%
+    // thresholds. Overlapping sliding-window occurrences; duplicate
+    // mass counts every occurrence of every c≥2 gram without
+    // position dedup (the Dolma/NeMo reimplementation convention).
+    // Top-gram ties: highest count then highest mass, encoded as
+    // max(c·10⁵ + c·len) — exact int64 at the corpus's doc sizes.
+    // Scale shape: five n-gram explodes, each a map-side-combinable
+    // (doc, gram) count then a doc aggregate — no windows, no
+    // cross-doc work.
+    "t38_repetition_rules" -> ((
+      (s: SparkSession, d: String) =>
+        graft.operators.TextProfile.withRepetitionRules(docs(s, d)),
+      Some {
+        val gram = (n: Int) =>
+          s"""g$n AS (
+            SELECT doc_id,
+                   list_aggregate(w[i:i + ${n - 1}], 'string_agg', ' ')
+                     AS g
+            FROM t, unnest(range(1, len(w) - ${n - 2})) s(i)
+            WHERE len(w) >= $n),
+          c$n AS (
+            SELECT doc_id, g, count(*) AS c,
+                   CAST(length(g) - ${n - 1} AS BIGINT) AS len
+            FROM g$n GROUP BY 1, 2)"""
+        val tops = (n: Int) =>
+          s"""top$n AS (
+            SELECT doc_id,
+                   CAST(max(c * 100000 + c * len) % 100000 AS BIGINT)
+                     AS mass
+            FROM c$n GROUP BY 1)"""
+        val dups = (n: Int) =>
+          s"""dup$n AS (
+            SELECT doc_id, CAST(sum(c * len) AS BIGINT) AS mass
+            FROM c$n WHERE c >= 2 GROUP BY 1)"""
+        s"""WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          ch AS (
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(w, x -> length(x)))
+                     AS BIGINT) AS chars
+            FROM t),
+          ${Seq(2, 3, 4, 5, 6).map(gram).mkString(",\n          ")},
+          ${Seq(2, 3, 4).map(tops).mkString(",\n          ")},
+          ${Seq(5, 6).map(dups).mkString(",\n          ")}
+        SELECT ch.doc_id, ch.chars,
+               coalesce(t2.mass, 0) * 1000000 // ch.chars AS top2_ppm,
+               coalesce(t3.mass, 0) * 1000000 // ch.chars AS top3_ppm,
+               coalesce(t4.mass, 0) * 1000000 // ch.chars AS top4_ppm,
+               coalesce(d5.mass, 0) * 1000000 // ch.chars AS dup5_ppm,
+               coalesce(d6.mass, 0) * 1000000 // ch.chars AS dup6_ppm,
+               coalesce(t2.mass, 0) * 1000000 // ch.chars <= 200000
+                 AS r_top2,
+               coalesce(t3.mass, 0) * 1000000 // ch.chars <= 180000
+                 AS r_top3,
+               coalesce(t4.mass, 0) * 1000000 // ch.chars <= 160000
+                 AS r_top4,
+               coalesce(d5.mass, 0) * 1000000 // ch.chars <= 150000
+                 AS r_dup5,
+               coalesce(d6.mass, 0) * 1000000 // ch.chars <= 140000
+                 AS r_dup6,
+               (coalesce(t2.mass, 0) * 1000000 // ch.chars <= 200000
+                AND coalesce(t3.mass, 0) * 1000000 // ch.chars <= 180000
+                AND coalesce(t4.mass, 0) * 1000000 // ch.chars <= 160000
+                AND coalesce(d5.mass, 0) * 1000000 // ch.chars <= 150000
+                AND coalesce(d6.mass, 0) * 1000000 // ch.chars <= 140000)
+                 AS rep_kept
+        FROM ch
+        LEFT JOIN top2 t2 USING (doc_id)
+        LEFT JOIN top3 t3 USING (doc_id)
+        LEFT JOIN top4 t4 USING (doc_id)
+        LEFT JOIN dup5 d5 USING (doc_id)
+        LEFT JOIN dup6 d6 USING (doc_id)"""
+      }
+    )),
   )
 
   /** DuckDB unroll of `rounds` BPE training rounds (t31/t32): v0 is
