@@ -80,7 +80,11 @@ object ScaleBench {
     "q61_rich_inactive_customers", "q62_top_suppliers",
     "s13_range_search", "q63_nation_trade_volume",
     "t36_cms_frequency", "q64_shipping_priority", "t37_overlap_chunks",
-    "q65_large_orders", "q66_promo_share")
+    "q65_large_orders", "q66_promo_share",
+    // round-13: graph-ANN beam, real image resize, cross-modal yield,
+    // waiting-supplier Q21 shape, repetition Gopher rules
+    "s14_knn_beam", "m12_box_resize", "m13_crossmodal_yield",
+    "q67_waiting_suppliers", "t38_repetition_rules")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.
@@ -239,6 +243,10 @@ object ScaleBench {
     // lineitem rows spread over the same suppliers (q62's per-supplier
     // revenue grows 10×, which is the realistic dimension-table shape)
     wr(rd("supplier"), "supplier")
+    // nation/region are true constants (25/5 rows) — pass through so
+    // nation-gated queries (q63/q67) run against the scaled dirs
+    wr(rd("nation"), "nation")
+    wr(rd("region"), "region")
 
     // events: ids AND users shift per copy (10x rows, 10x distinct
     // users — the HLL/percentile sketches see genuinely larger
