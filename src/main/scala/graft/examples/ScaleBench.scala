@@ -84,7 +84,16 @@ object ScaleBench {
     // round-13: graph-ANN beam, real image resize, cross-modal yield,
     // waiting-supplier Q21 shape, repetition Gopher rules
     "s14_knn_beam", "m12_box_resize", "m13_crossmodal_yield",
-    "q67_waiting_suppliers", "t38_repetition_rules")
+    "q67_waiting_suppliers", "t38_repetition_rules",
+    // round-13 second batch: window-decorrelated Q17, disjunctive
+    // Q19, mixed equi+theta semi Q4, reciprocal-rank fusion
+    "q68_small_qty_revenue", "q69_banded_revenue",
+    "q70_priority_check", "s15_rrf_fusion",
+    "q71_returned_items", "q72_local_supplier_revenue",
+    // round-13 third batch: MMR diversification, unigram entropy,
+    // Q8 market-share and Q9 profit shapes
+    "s16_mmr_diversify", "t39_unigram_entropy",
+    "q73_market_share", "q74_product_profit")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

@@ -1729,6 +1729,374 @@ object AnalyticsQueries {
         LIMIT 100""")
     )),
 
+    // Small-quantity revenue (TPC-H Q17 shape): revenue lost to
+    // below-average-quantity lines of one brand/type slice — the
+    // classic CORRELATED-scalar-aggregate plan (compare each row to
+    // its own group's average) that none of the other q's exercise.
+    // De-correlated to a per-key WINDOW aggregate, not the textbook
+    // aggregate+rejoin: the rejoin plan re-executes the fact subtree
+    // (TWO full scans of a 100 TB lineitem — explain showed exactly
+    // that), while partitionBy(l_partkey) windows hash-partition the
+    // GATED slice once and read the fact once. The brand/type gate
+    // SEMI-joins lineitem down to the slice BEFORE the window (the
+    // dim filter prunes first; the slice is ~1/150th of the fact, so
+    // the shuffle moves slice-sized rows, never the full fact).
+    // "quantity < 0.2*avg" compares as integer cross-multiplication
+    // over per-row-quantized centiquantities (5*qc*cnt < sum_qc) —
+    // no doubles, no division.
+    "q68_small_qty_revenue" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            expr("CAST(floor(l_quantity * 100D + 0.5D) AS BIGINT)")
+              .as("qc"),
+            expr("CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)")
+              .as("rc"))
+        val slice = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#3" && col("p_type") === "MEDIUM")
+          .select(col("p_partkey"))
+        val w = Window.partitionBy("l_partkey")
+        li.join(slice, col("l_partkey") === col("p_partkey"), "left_semi")
+          .withColumn("sum_qc", sum("qc").over(w))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter(col("qc") * col("cnt") * 5 < col("sum_qc"))
+          .agg(expr("coalesce(sum(rc), 0L) div 7").as("avg_yearly_cents"))
+      },
+      Some("""WITH gated AS (
+            SELECT l_partkey,
+                   CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+                   CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                     AS rc
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_brand = 'Brand#3'
+                                  AND p_type = 'MEDIUM')),
+          stats AS (
+            SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS sum_qc,
+                   count(*) AS cnt
+            FROM gated GROUP BY 1)
+        SELECT CAST(coalesce(sum(g.rc), 0) // 7 AS BIGINT)
+                 AS avg_yearly_cents
+        FROM gated g JOIN stats s USING (l_partkey)
+        WHERE g.qc * s.cnt * 5 < s.sum_qc""")
+    )),
+
+    // Discounted revenue from banded brand/size/quantity slices
+    // (TPC-H Q19 shape): the DISJUNCTIVE OR-of-ANDs predicate that
+    // mixes columns from BOTH join sides — the planning stress the
+    // conjunctive q's never apply. Catalyst's constraint propagation
+    // is what makes this scale: from the disjunction it derives the
+    // per-side envelopes — p_brand IN (…) AND p_size ≤ 15 pushed
+    // into the part scan, l_quantity ≤ 30 pushed into the lineitem
+    // scan (both visible as PushedFilters) — so the join only sees
+    // rows that can satisfy SOME branch, and the exact branch
+    // predicate re-applies post-join. Per-brand revenue (not Q19's
+    // single scalar) so the hash pins each branch separately; cents
+    // quantized per-row before the sum.
+    "q69_banded_revenue" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_quantity"),
+            expr("CAST(floor(l_extendedprice * (1D - l_discount)" +
+              " * 100D + 0.5D) AS BIGINT)").as("rc"))
+        val p = t(s, d, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 5)
+              && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 10)
+              && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 15)
+              && col("l_quantity").between(20, 30)))
+          .groupBy(col("p_brand"))
+          .agg(sum("rc").as("revenue_cents"))
+      },
+      Some("""SELECT p_brand,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                 AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                 AND l_quantity BETWEEN 20 AND 30)
+        GROUP BY 1""")
+    )),
+
+    // Order-priority check (TPC-H Q4 shape): per-priority count of
+    // one quarter's orders that had at least one LATE line — an
+    // EXISTS whose correlation carries an INEQUALITY against the
+    // outer row (l_shipdate > o_orderdate + 60 days), so the
+    // semi-join condition is mixed equi+theta: Spark hash-partitions
+    // both sides on the order key and evaluates the date predicate
+    // as a post-probe residual — still one shuffle, never a
+    // nested-loop. The quarter filter prunes orders FIRST (the
+    // selective side drives), and left_semi means lineitem rows
+    // never duplicate orders — no post-join distinct. Same 60-day
+    // lateness proxy family as q67 (the synthetic lineitem has no
+    // commit/receipt dates).
+    "q70_priority_check" -> ((
+      (s: SparkSession, d: String) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"))
+        o.join(li,
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") >
+                col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate
+                          + INTERVAL 60 DAY)
+        GROUP BY 1""")
+    )),
+
+    // Returned-item customer ranking (TPC-H Q10 shape): which
+    // customers returned the most revenue in one quarter — the
+    // 4-way fact⋈orders⋈customer⋈nation chain where BOTH fact sides
+    // arrive pre-pruned (returnflag='R' and the quarter window each
+    // push into their parquet scans, so the big-big orderkey join
+    // runs on ~1/12 × ~1/3 of the tables). Customer follows the q63
+    // rule (grows with SF → un-hinted; AQE broadcasts at bench scale,
+    // shuffles at 100 TB); nation is the true 25-row constant and
+    // broadcasts by hint. Top-20 = TakeOrderedAndProject
+    // (partition-local heaps), never a global sort; cents quantized
+    // per-row before the sum.
+    "q71_returned_items" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            expr("CAST(floor(l_extendedprice * (1D - l_discount)" +
+              " * 100D + 0.5D) AS BIGINT)").as("rc"))
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer")
+              .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")
+              .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+          .agg(sum("rc").as("rev_cents"))
+          .orderBy(col("rev_cents").desc, col("c_custkey"))
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1, 2, 3
+        ORDER BY rev_cents DESC, c_custkey
+        LIMIT 20""")
+    )),
+
+    // Local-supplier revenue (TPC-H Q5 shape): one region's yearly
+    // revenue from orders whose customer and supplier sit in the
+    // SAME nation — the one classic shape with a join predicate
+    // between two DIMENSIONS (c_nationkey = s_nationkey) that only
+    // connects THROUGH the fact table, stressing join ordering: the
+    // planner must route lineitem⋈orders⋈customer and lineitem⋈
+    // supplier before the cross-dimension equality can apply.
+    // Customer and supplier both follow the q63 rule (un-hinted,
+    // SF-growing); nation⋈region prereduces to the region's nation
+    // list and broadcasts by hint (≤25 rows). Year + region filters
+    // push into their scans; cents per-row quantized.
+    "q72_local_supplier_revenue" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            expr("CAST(floor(l_extendedprice * (1D - l_discount)" +
+              " * 100D + 0.5D) AS BIGINT)").as("rc"))
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"))
+        val nr = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region")
+              .filter(col("r_name") === "ASIA")
+              .select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer")
+              .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "supplier")
+              .select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .filter(col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum("rc").as("rev_cents"))
+      },
+      Some("""SELECT n_name,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1""")
+    )),
+
+    // National market share (TPC-H Q8 shape): of one region's
+    // PROMO-part revenue across two order years, the fraction
+    // supplied from one nation, per year — the classic conditional-
+    // aggregate-over-a-deep-join: ONE pass computes numerator and
+    // denominator together (sum(CASE) / sum), never two subqueries
+    // re-walking the join. The nation table joins TWICE with
+    // different roles (customer-region gate vs supplier-nation
+    // attribution): the gate prereduces through region to a ≤25-row
+    // semi-join broadcast; the attribution side broadcasts whole.
+    // Part gate = left_semi (prunes the fact before the big-big
+    // orderkey join); date window pushes into the orders scan.
+    // Share is integer ppm via `div` — no doubles.
+    "q73_market_share" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            expr("CAST(floor(l_extendedprice * (1D - l_discount)" +
+              " * 100D + 0.5D) AS BIGINT)").as("rc"))
+        val promo = t(s, d, "part")
+          .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        val gateNations = t(s, d, "nation")
+          .join(broadcast(t(s, d, "region")
+              .filter(col("r_name") === "ASIA")
+              .select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))
+        val supN = t(s, d, "nation")
+          .select(col("n_nationkey").as("sn_nationkey"), col("n_name"))
+        li.join(promo, col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer")
+              .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(gateNations),
+            col("c_nationkey") === col("n_nationkey"), "left_semi")
+          .join(t(s, d, "supplier")
+              .select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(supN),
+            col("s_nationkey") === col("sn_nationkey"))
+          .groupBy(col("o_year"))
+          .agg(
+            sum(when(col("n_name") === "NATION_3", col("rc"))
+              .otherwise(0L)).as("nation_cents"),
+            sum(col("rc")).as("total_cents"))
+          .withColumn("mkt_share_ppm",
+            expr("nation_cents * 1000000L div total_cents"))
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN rc
+                             ELSE 0 END) AS BIGINT) AS nation_cents,
+               CAST(sum(rc) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN rc
+                             ELSE 0 END) * 1000000 // sum(rc)
+                 AS BIGINT) AS mkt_share_ppm
+        FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+                CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                  + 0.5) AS BIGINT) AS rc
+              FROM lineitem) l
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'PROMO')
+        GROUP BY 1""")
+    )),
+
+    // Product-line profit (TPC-H Q9 shape): net amount (revenue
+    // minus tax, both quantized to cents PER ROW before summing —
+    // the subtraction of two floors, not a floor of the difference,
+    // so the oracle replays it exactly) for one part family, by
+    // supplier nation and order year. The p_name LIKE gate is a
+    // left_semi that prunes the fact before lineitem⋈orders — the
+    // one big-big join; supplier follows the q63 rule (SF-growing →
+    // un-hinted, AQE broadcasts at bench scale); nation is the
+    // 25-row constant and broadcasts by hint. No date filter: the
+    // year axis comes out of the join, exercising a wide group-by
+    // over the full fact rather than a pruned slice.
+    "q74_product_profit" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            expr("CAST(floor(l_extendedprice * (1D - l_discount)" +
+              " * 100D + 0.5D) AS BIGINT)" +
+              " - CAST(floor(l_extendedprice * l_tax * 100D + 0.5D)" +
+              " AS BIGINT)").as("amount_cents"))
+        val family = t(s, d, "part")
+          .filter(col("p_name").contains("widget"))
+          .select(col("p_partkey"))
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+        li.join(family, col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "supplier")
+              .select(col("s_suppkey"), col("s_nationkey")),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, d, "nation")
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("o_year"))
+          .agg(sum("amount_cents").as("profit_cents"))
+      },
+      Some("""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                        * 100 + 0.5) AS BIGINT)
+                      - CAST(floor(l_extendedprice * l_tax * 100 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS profit_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE '%widget%')
+        GROUP BY 1, 2""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime

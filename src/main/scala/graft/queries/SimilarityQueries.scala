@@ -708,6 +708,240 @@ object SimilarityQueries {
         SELECT q_id, n_id, rank, sim_r, TRUE AS beam_recall_floor_ok
         FROM exact5""")
     )),
+
+    // Reciprocal-Rank Fusion (the Cormack et al. hybrid-retrieval
+    // standard): two INDEPENDENT rankers — the exact 64-dim cosine
+    // and the 32-dim Matryoshka-prefix cosine (s11's cheap arm) —
+    // each produce a top-20 list per query, fused by
+    // rrf = Σ 1/(60 + rank) with a ranker contributing 0 where the
+    // candidate missed its list. This is the ensemble shape every
+    // hybrid (lexical + dense, or multi-encoder) retrieval stack
+    // runs, and it is fully DETERMINISTIC — unlike the
+    // recall-contract family (s5/s9/s11/s14) the fused list itself
+    // hash-compares against a live DuckDB oracle: contributions are
+    // integer ppm (1000000 div (60 + rank)) so no float summation
+    // order exists, and every cut is (score desc, n_id) total-ordered.
+    // Scale shape: each ranker is ONE corpus pass with the query side
+    // broadcast + a per-query top-20 window (partition-local heaps);
+    // the fusion itself joins two (q × 20)-row lists — size q·k, not
+    // corpus — and the final top-5 window runs on ≤ 40 rows per
+    // query. At 100 TB the ranker passes are the cost; fusion is free.
+    "s15_rrf_fusion" -> ((
+      (s: SparkSession, d: String) => {
+        val q = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            expr("slice(embedding, 1, 32)").as("qp"))
+        val c = emb(s, d)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+            expr("slice(embedding, 1, 32)").as("np"))
+        def top20(simCol: org.apache.spark.sql.Column, rank: String) = {
+          val w = Window.partitionBy("q_id")
+            .orderBy(col("__sim").desc, col("n_id"))
+          broadcast(q).crossJoin(c)
+            .filter(col("q_id") =!= col("n_id"))
+            .withColumn("__sim", simCol)
+            .withColumn(rank, row_number().over(w).cast("long"))
+            .filter(col(rank) <= 20)
+            .select(col("q_id"), col("n_id"), col(rank))
+        }
+        val full = top20(cosineExpr, "rank_full")
+        val pre = top20(graft.functions.VectorExprs
+          .cosine_similarity(col("qp"), col("np")), "rank_pre")
+        val w5 = Window.partitionBy("q_id")
+          .orderBy(col("rrf_ppm").desc, col("n_id"))
+        full.join(pre, Seq("q_id", "n_id"), "full")
+          .withColumn("rrf_ppm",
+            expr("""coalesce(1000000L div (60L + rank_full), 0L)
+                  + coalesce(1000000L div (60L + rank_pre), 0L)"""))
+          .withColumn("fused_rank", row_number().over(w5).cast("long"))
+          .filter(col("fused_rank") <= 5)
+          .select(col("q_id"), col("n_id"), col("fused_rank"),
+            col("rrf_ppm"),
+            coalesce(col("rank_full"), lit(0L)).as("rank_full"),
+            coalesce(col("rank_pre"), lit(0L)).as("rank_pre"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+                     embedding[1:32] AS qp
+              FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv,
+                     embedding[1:32] AS np FROM embeddings),
+          fsims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id),
+          frank AS (
+            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank_full
+            FROM fsims),
+          psims AS (
+            SELECT q_id, n_id, ${cosineSql
+              .replace("qv", "qp").replace("nv", "np")} AS sim
+            FROM q, c WHERE q_id <> n_id),
+          prank AS (
+            SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank_pre
+            FROM psims),
+          fused AS (
+            SELECT q_id, n_id,
+                   coalesce(1000000 // (60 + f.rank_full), 0)
+                 + coalesce(1000000 // (60 + p.rank_pre), 0) AS rrf_ppm,
+                   f.rank_full, p.rank_pre
+            FROM (SELECT * FROM frank WHERE rank_full <= 20) f
+            FULL JOIN (SELECT * FROM prank WHERE rank_pre <= 20) p
+              USING (q_id, n_id))
+        SELECT q_id, n_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY rrf_ppm DESC, n_id) AS BIGINT) AS fused_rank,
+               CAST(rrf_ppm AS BIGINT) AS rrf_ppm,
+               CAST(coalesce(rank_full, 0) AS BIGINT) AS rank_full,
+               CAST(coalesce(rank_pre, 0) AS BIGINT) AS rank_pre
+        FROM fused
+        QUALIFY row_number() OVER (PARTITION BY q_id
+          ORDER BY rrf_ppm DESC, n_id) <= 5""")
+    )),
+
+    // Maximal Marginal Relevance (Carbonell & Goldstein): the
+    // diversified re-ranker every retrieval stack runs after its
+    // top-k — greedily pick 5 of the top-20 candidates maximizing
+    // λ·relevance − (1−λ)·max-sim-to-already-picked (λ=0.7, so the
+    // integer objective is 7·rel_ppm − 3·pen_ppm). Fully
+    // DETERMINISTIC like s15: similarities quantize to integer ppm
+    // before any comparison and every argmax is (score desc, n_id)
+    // total-ordered, so the greedy trace — and therefore the hash —
+    // replays exactly in DuckDB (5-round unrolled CTE).
+    // Scale shape: ONE broadcast-query corpus pass builds the
+    // top-20 pool (WindowGroupLimit partition-local heaps); the
+    // pool is localCheckpointed at q·20 rows, the candidate-pair
+    // similarity table is q·20·19 rows, and each greedy round is a
+    // per-query window argmax over ≤20 rows — the selection loop
+    // never touches the corpus again and runs fully distributed
+    // (no driver-side greedy). At 100 TB the corpus pass is the
+    // cost; the re-rank is corpus-size-independent.
+    "s16_mmr_diversify" -> ((
+      (s: SparkSession, d: String) => {
+        val q = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val c = emb(s, d)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        val wr = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        val pool = broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rnk", row_number().over(wr))
+          .filter(col("rnk") <= 20)
+          .select(col("q_id"), col("n_id"),
+            expr("CAST(floor(sim * 1000000D + 0.5D) AS BIGINT)")
+              .as("rel_ppm"),
+            col("nv"))
+          .localCheckpoint()
+        val pairs = pool
+          .select(col("q_id"), col("n_id").as("a_id"), col("nv").as("av"))
+          .join(pool.select(col("q_id"), col("n_id").as("b_id"),
+            col("nv").as("bv")), Seq("q_id"))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("psim", graft.functions.VectorExprs
+            .cosine_similarity(col("av"), col("bv")))
+          .select(col("q_id"), col("a_id"), col("b_id"),
+            expr("CAST(floor(psim * 1000000D + 0.5D) AS BIGINT)")
+              .as("pair_ppm"))
+          .localCheckpoint()
+        val rel = pool.select(col("q_id"), col("n_id"), col("rel_ppm"))
+        val w1 = Window.partitionBy("q_id")
+          .orderBy(col("rel_ppm").desc, col("n_id"))
+        var selected = rel
+          .withColumn("rn", row_number().over(w1))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("n_id"), lit(1L).as("mmr_rank"),
+            (col("rel_ppm") * 7).as("mmr_score"))
+          .localCheckpoint()
+        for (k <- 2 to 5) {
+          val pen = pairs
+            .join(selected.select(col("q_id"), col("n_id").as("b_id")),
+              Seq("q_id", "b_id"))
+            .groupBy(col("q_id"), col("a_id"))
+            .agg(max(col("pair_ppm")).as("pen_ppm"))
+            .withColumnRenamed("a_id", "n_id")
+          val wk = Window.partitionBy("q_id")
+            .orderBy(col("mmr_score").desc, col("n_id"))
+          val next = rel
+            .join(selected.select(col("q_id"), col("n_id")),
+              Seq("q_id", "n_id"), "left_anti")
+            .join(pen, Seq("q_id", "n_id"))
+            .withColumn("mmr_score",
+              col("rel_ppm") * 7 - col("pen_ppm") * 3)
+            .withColumn("rn", row_number().over(wk))
+            .filter(col("rn") === 1)
+            .select(col("q_id"), col("n_id"),
+              lit(k.toLong).as("mmr_rank"), col("mmr_score"))
+          selected = selected.unionByName(next).localCheckpoint()
+        }
+        selected
+      },
+      Some {
+        val pairSql = cosineSql.replace("qv", "av").replace("nv", "bv")
+        val round = (k: Int) => {
+          val prev = (1 until k).map(i => s"SELECT * FROM sel$i")
+            .mkString(" UNION ALL ")
+          s"""cand$k AS (
+            SELECT p.q_id, p.n_id,
+                   p.rel_ppm * 7 - mx.pen_ppm * 3 AS mmr_score
+            FROM pool p
+            JOIN (SELECT pr.q_id, pr.a_id, max(pr.pair_ppm) AS pen_ppm
+                  FROM pairs pr JOIN ($prev) s
+                    ON pr.q_id = s.q_id AND pr.b_id = s.n_id
+                  GROUP BY 1, 2) mx
+              ON mx.q_id = p.q_id AND mx.a_id = p.n_id
+            WHERE NOT EXISTS (SELECT 1 FROM ($prev) s2
+                              WHERE s2.q_id = p.q_id
+                                AND s2.n_id = p.n_id)),
+          sel$k AS (
+            SELECT q_id, n_id, CAST($k AS BIGINT) AS mmr_rank, mmr_score
+            FROM (SELECT q_id, n_id, mmr_score,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY mmr_score DESC, n_id) AS rn
+                  FROM cand$k)
+            WHERE rn = 1)"""
+        }
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+          sims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id),
+          pool AS (
+            SELECT q_id, n_id,
+                   CAST(floor(sim * 1000000 + 0.5) AS BIGINT) AS rel_ppm
+            FROM (SELECT q_id, n_id, sim,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY sim DESC, n_id) AS rnk
+                  FROM sims)
+            WHERE rnk <= 20),
+          pairs AS (
+            SELECT q_id, a_id, b_id,
+                   CAST(floor(($pairSql) * 1000000 + 0.5) AS BIGINT)
+                     AS pair_ppm
+            FROM (SELECT p1.q_id, p1.n_id AS a_id, p2.n_id AS b_id,
+                         ca.nv AS av, cb.nv AS bv
+                  FROM pool p1
+                  JOIN pool p2
+                    ON p1.q_id = p2.q_id AND p1.n_id <> p2.n_id
+                  JOIN c ca ON ca.n_id = p1.n_id
+                  JOIN c cb ON cb.n_id = p2.n_id)),
+          sel1 AS (
+            SELECT q_id, n_id, CAST(1 AS BIGINT) AS mmr_rank,
+                   rel_ppm * 7 AS mmr_score
+            FROM (SELECT q_id, n_id, rel_ppm,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY rel_ppm DESC, n_id) AS rn
+                  FROM pool)
+            WHERE rn = 1),
+          ${Seq(2, 3, 4, 5).map(round).mkString(",\n          ")}
+        SELECT q_id, n_id, mmr_rank, CAST(mmr_score AS BIGINT) AS mmr_score
+        FROM (SELECT * FROM sel1 UNION ALL SELECT * FROM sel2
+              UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
+              UNION ALL SELECT * FROM sel5)"""
+      }
+    )),
   )
 
   /** Deterministic ±1 hyperplane component for plane `i`, dimension

@@ -2480,6 +2480,62 @@ object TextQueries {
         LEFT JOIN dup6 d6 USING (doc_id)"""
       }
     )),
+
+    // Unigram-entropy quality signal: the Shannon entropy (nats) of
+    // each doc's word distribution — the information-density filter
+    // (low entropy = repetitive/templated junk; degenerate one-word
+    // spam scores exactly 0) that complements t38's n-gram repetition
+    // rules with a distribution-level view. Float discipline: the
+    // per-WORD term c·(ln n − ln c)/n is quantized to integer
+    // micro-nats BEFORE the per-doc sum (the cents pattern), so no
+    // cross-engine double-summation order exists — ln/division on
+    // identical doubles are bit-identical, and the only sum is over
+    // BIGINTs. Scale shape: one (doc, word) map-side-combinable
+    // count, then a doc-partitioned window and final agg that REUSE
+    // the same hash partitioning (one logical shuffle chain, no
+    // global structures, rows bounded by vocab × docs).
+    "t39_unigram_entropy" -> ((
+      (s: SparkSession, d: String) => {
+        val w = Window.partitionBy("doc_id")
+        docs(s, d)
+          .select(col("doc_id"),
+            explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("word"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("n", sum("c").over(w))
+          .withColumn("n_types", count(lit(1)).over(w))
+          .withColumn("term_unat", expr(
+            "CAST(floor(CAST(c AS DOUBLE)" +
+              " * (ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))" +
+              " / CAST(n AS DOUBLE) * 1000000D + 0.5D) AS BIGINT)"))
+          .groupBy(col("doc_id"))
+          .agg(max("n").as("n_words"), max("n_types").as("n_types"),
+            sum("term_unat").as("entropy_unat"))
+          .withColumn("ent_kept", col("entropy_unat") >= lit(2500000L))
+      },
+      Some("""WITH counts AS (
+            SELECT doc_id, word, count(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM documents)
+            GROUP BY 1, 2),
+          stats AS (
+            SELECT doc_id, c,
+                   sum(c) OVER (PARTITION BY doc_id) AS n,
+                   count(*) OVER (PARTITION BY doc_id) AS n_types
+            FROM counts),
+          terms AS (
+            SELECT doc_id, n, n_types,
+                   CAST(floor(CAST(c AS DOUBLE)
+                     * (ln(CAST(n AS DOUBLE)) - ln(CAST(c AS DOUBLE)))
+                     / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+                     AS term_unat
+            FROM stats)
+        SELECT doc_id, CAST(max(n) AS BIGINT) AS n_words,
+               CAST(max(n_types) AS BIGINT) AS n_types,
+               CAST(sum(term_unat) AS BIGINT) AS entropy_unat,
+               CAST(sum(term_unat) AS BIGINT) >= 2500000 AS ent_kept
+        FROM terms GROUP BY 1""")
+    )),
   )
 
   /** DuckDB unroll of `rounds` BPE training rounds (t31/t32): v0 is

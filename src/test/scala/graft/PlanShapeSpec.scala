@@ -173,6 +173,117 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q68's correlated average is de-correlated to a window over " +
+      "the gated slice — ONE fact scan, never an aggregate+rejoin " +
+      "that re-executes the lineitem subtree") {
+    val s = planOf("q68_small_qty_revenue").toString
+    val factScans = "lineitem\\.parquet".r.findAllIn(s).size
+    assert(factScans == 1,
+      s"expected exactly one lineitem scan, found $factScans in:\n$s")
+    assert(s.contains("Window"), s"per-part stats must be a window:\n$s")
+  }
+
+  test("q69's OR-of-ANDs pushes its per-side envelopes into BOTH " +
+      "scans — the disjunction reaches part AND the derived quantity " +
+      "union reaches lineitem") {
+    val s = planOf("q69_banded_revenue").toString
+    assert(s.contains("Or(Or(And(EqualTo(p_brand"),
+      s"part-side disjunction must push into the part scan:\n$s")
+    assert(s.contains("Or(Or(And(GreaterThanOrEqual(l_quantity"),
+      s"quantity envelope must push into the lineitem scan:\n$s")
+  }
+
+  test("q70's EXISTS plans as one left-semi hash join with the date " +
+      "inequality as a residual — no dedup aggregate, no nested loop") {
+    val s = finalPlan(planOf("q70_priority_check")).toString
+    assert(s.contains("LeftSemi"), s"expected a semi join:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin")
+      && !s.contains("CartesianProduct"),
+      s"mixed equi+theta semi must stay a hash join:\n$s")
+    assert(!s.contains("HashAggregate(keys=[o_orderkey"),
+      s"left_semi means no post-join distinct:\n$s")
+  }
+
+  test("s15's fusion is LIVE: the fused order differs from the " +
+      "full-cosine order (the prefix ranker actually contributes), " +
+      "and each ranker cut is a WindowGroupLimit") {
+    val rows = SparkEntry.queries("s15_rrf_fusion")(spark, dir)
+      .select("q_id", "fused_rank", "rank_full").collect()
+    assert(rows.length == 50, s"10 queries x top-5, got ${rows.length}")
+    assert(rows.exists(r => r.getLong(1) != r.getLong(2)),
+      "fused rank never diverged from the full-cosine rank — " +
+        "fusion is a no-op on this corpus")
+    val s = planOf("s15_rrf_fusion").toString
+    assert(s.contains("WindowGroupLimit"),
+      s"top-20 cuts must push into WindowGroupLimit:\n$s")
+  }
+
+  test("q71 pre-prunes BOTH fact sides in the scans and plans its " +
+      "top-20 as TakeOrderedAndProject, never a global sort") {
+    val s = planOf("q71_returned_items").toString
+    assert(s.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag must push into the lineitem scan:\n$s")
+    assert(s.contains("GreaterThanOrEqual(o_orderdate"),
+      s"quarter window must push into the orders scan:\n$s")
+    assert(s.contains("TakeOrderedAndProject"),
+      s"limit 20 must be partition-local heaps:\n$s")
+  }
+
+  test("q72's cross-dimension correlation stays routed through " +
+      "equi-joins — no cartesian, no nested loop") {
+    val s = finalPlan(planOf("q72_local_supplier_revenue")).toString
+    assert(!s.contains("CartesianProduct")
+      && !s.contains("BroadcastNestedLoopJoin"),
+      s"c_nationkey = s_nationkey must resolve post-join:\n$s")
+  }
+
+  test("s16's diversification is LIVE: the MMR pick differs from the " +
+      "pure-relevance top-5 for at least one query") {
+    val mmr = SparkEntry.queries("s16_mmr_diversify")(spark, dir)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mmr.size == 50, s"10 queries x 5 picks, got ${mmr.size}")
+    val rel = SparkEntry.queries("s1_cosine_topk")(spark, dir)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mmr != rel,
+      "MMR never deviated from the relevance top-5 — the diversity " +
+        "penalty is a no-op on this corpus")
+  }
+
+  test("t39's shuffle chain is minimal: a map-side-combinable word " +
+      "count, then the doc window and final agg REUSE one doc_id " +
+      "partitioning — exactly two exchanges, no more") {
+    val s = finalPlan(planOf("t39_unigram_entropy")).toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(s).size
+    assert(exchanges == 2,
+      s"expected (doc,word) + doc_id exchanges only, found $exchanges:\n$s")
+    assert(s.contains("partial_count"),
+      s"word count must have a map-side partial:\n$s")
+  }
+
+  test("q73 computes numerator and denominator in ONE pass — a " +
+      "single lineitem scan feeding sum(CASE), with the part gate " +
+      "and date window pushed down") {
+    val s = planOf("q73_market_share").toString
+    val factScans = "lineitem\\.parquet".r.findAllIn(s).size
+    assert(factScans == 1,
+      s"share must not re-walk the join per aggregate, found $factScans scans:\n$s")
+    assert(s.contains("EqualTo(p_type,PROMO)"),
+      s"part gate must push into the part scan:\n$s")
+    assert(s.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date window must push into the orders scan:\n$s")
+  }
+
+  test("q74 pushes the p_name LIKE gate into the part scan as a " +
+      "StringContains and keeps a single fact scan") {
+    val s = planOf("q74_product_profit").toString
+    assert(s.contains("StringContains(p_name,widget)"),
+      s"LIKE gate must push into the part scan:\n$s")
+    val factScans = "lineitem\\.parquet".r.findAllIn(s).size
+    assert(factScans == 1, s"expected one lineitem scan:\n$s")
+  }
+
   test("the exact cosine scan is a broadcast nested loop, not a " +
       "cartesian shuffle") {
     val s = planOf("s1_cosine_topk").toString
