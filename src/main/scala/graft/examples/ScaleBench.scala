@@ -93,7 +93,10 @@ object ScaleBench {
     // round-13 third batch: MMR diversification, unigram entropy,
     // Q8 market-share and Q9 profit shapes
     "s16_mmr_diversify", "t39_unigram_entropy",
-    "q73_market_share", "q74_product_profit")
+    "q73_market_share", "q74_product_profit",
+    // round-13 fourth batch: Q16/Q6/Q12/Q20 shapes
+    "q75_supplier_variety", "q76_revenue_forecast",
+    "q77_late_priority_lines", "q78_excess_shipments")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

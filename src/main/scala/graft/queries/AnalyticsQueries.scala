@@ -2097,6 +2097,175 @@ object AnalyticsQueries {
         GROUP BY 1, 2""")
     )),
 
+    // Supplier variety (TPC-H Q16 shape): how many DISTINCT suppliers
+    // ship each (brand, size) class outside one excluded part type,
+    // excluding flagged suppliers — the count(DISTINCT)-over-a-fact
+    // plan plus a NOT-IN rewritten as left_anti. The supplier pairs
+    // come from the fact itself (lineitem is the part↔supplier
+    // bridge); Spark plans count(DISTINCT l_suppkey) as the two-level
+    // partial-dedup aggregate (dedup (keys, suppkey) map-side FIRST,
+    // then count), so the shuffle carries distinct pairs, not raw
+    // fact rows. The exclusion list (negative-balance suppliers) is
+    // tiny and broadcast-anti-joins; the p_type<>'PROMO' gate and the
+    // brand IN list push into the part scan.
+    "q75_supplier_variety" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"))
+        val p = t(s, d, "part")
+          .filter(col("p_type") =!= "PROMO"
+            && col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))
+        val flagged = t(s, d, "supplier")
+          .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+        li.join(broadcast(flagged),
+            col("l_suppkey") === col("s_suppkey"), "left_anti")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, CAST(p_size AS INTEGER) AS p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type <> 'PROMO'
+          AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2""")
+    )),
+
+    // Revenue forecast (TPC-H Q6 shape): the pure-scan aggregate —
+    // one year of below-25-quantity lines in a discount band, summed
+    // as quantity-independent discount revenue. NO joins: the whole
+    // query is predicate pushdown (all three ranges reach the parquet
+    // scan as PushedFilters, plan-guarded) + a map-side partial sum.
+    // This is the query whose 100 TB cost is pure I/O — it measures
+    // the scan path with zero shuffle beyond the single-row gather,
+    // which is exactly why every TPC-H kit keeps it.
+    "q76_revenue_forecast" -> ((
+      (s: SparkSession, d: String) => {
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+            && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+            && col("l_discount").between(0.05, 0.07)
+            && col("l_quantity") < 25)
+          .select(expr("CAST(floor(l_extendedprice * l_discount" +
+            " * 100D + 0.5D) AS BIGINT)").as("rc"))
+          .agg(coalesce(sum("rc"), lit(0L)).as("revenue_cents"),
+            count(lit(1)).as("line_cnt"))
+      },
+      Some("""SELECT CAST(coalesce(sum(CAST(floor(l_extendedprice
+                 * l_discount * 100 + 0.5) AS BIGINT)), 0) AS BIGINT)
+                 AS revenue_cents,
+               count(*) AS line_cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 25""")
+    )),
+
+    // Late-line priority mix (TPC-H Q12 shape): per line status, how
+    // many LATE lines (shipped >60 days after order date — the q67/
+    // q70 lateness proxy) belong to urgent/high-priority orders vs
+    // the rest — the conditional two-way count over a big-big join.
+    // The lateness predicate correlates row-vs-row so it CANNOT push
+    // into a scan; what scales the plan is everything else: both
+    // sides prune to two columns each, the orderkey join is the one
+    // shuffle, and both CASE sums ride a single aggregate pass (no
+    // per-priority re-walk). Group cardinality is 2 — the aggregate
+    // is all map-side.
+    "q77_late_priority_lines" -> ((
+      (s: SparkSession, d: String) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_linestatus"),
+            col("l_shipdate"))
+        val o = t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderdate"),
+            col("o_orderpriority"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .groupBy(col("l_linestatus"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              1L).otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+              0L).otherwise(1L)).as("low_line_count"))
+      },
+      Some("""SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                   ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN
+                   ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        GROUP BY 1""")
+    )),
+
+    // Excess shipments (TPC-H Q20 shape): suppliers who shipped more
+    // than 1.5× the per-part average (supplier, part) volume of one
+    // part family — the nested-aggregate-inside-IN plan: an inner
+    // per-(supplier, part) aggregate, a correlated per-part threshold,
+    // and a semi join lifting the qualifying suppliers. Like q68 the
+    // correlated threshold de-correlates to a WINDOW over the first
+    // aggregate (partitionBy part reuses the aggregate's hash
+    // partitioning — no rejoin, no second fact scan), and the
+    // comparison is integer cross-multiplication over centi-quantities
+    // (2·qc·cnt > 3·sum_qc). The family gate semi-joins the fact
+    // before anything aggregates; supplier attaches AFTER the
+    // qualifying set is supplier-sized, nation broadcasts.
+    "q78_excess_shipments" -> ((
+      (s: SparkSession, d: String) => {
+        val family = t(s, d, "part")
+          .filter(col("p_name").contains("widget"))
+          .select(col("p_partkey"))
+        val sp = t(s, d, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            expr("CAST(floor(l_quantity * 100D + 0.5D) AS BIGINT)")
+              .as("qc"))
+          .join(family, col("l_partkey") === col("p_partkey"),
+            "left_semi")
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum("qc").as("pair_qc"))
+        val w = Window.partitionBy("l_partkey")
+        val qualifying = sp
+          .withColumn("sum_qc", sum("pair_qc").over(w))
+          .withColumn("cnt", count(lit(1)).over(w))
+          .filter(col("pair_qc") * col("cnt") * 2 > col("sum_qc") * 3)
+          .select(col("l_suppkey")).distinct()
+        t(s, d, "supplier")
+          .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+          .join(qualifying, col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+          .join(broadcast(t(s, d, "nation")
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      },
+      Some("""WITH sp AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS pair_qc
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%widget%')
+            GROUP BY 1, 2),
+          stats AS (
+            SELECT l_suppkey, pair_qc,
+                   CAST(sum(pair_qc) OVER (PARTITION BY l_partkey)
+                     AS BIGINT) AS sum_qc,
+                   count(*) OVER (PARTITION BY l_partkey) AS cnt
+            FROM sp)
+        SELECT DISTINCT s_suppkey, s_name, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (SELECT l_suppkey FROM stats
+                            WHERE pair_qc * cnt * 2 > sum_qc * 3)""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime

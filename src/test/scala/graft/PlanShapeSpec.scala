@@ -284,6 +284,59 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(factScans == 1, s"expected one lineitem scan:\n$s")
   }
 
+  test("q75's count(DISTINCT) dedups (brand, size, suppkey) MAP-SIDE " +
+      "before any exchange, the NOT IN is a broadcast anti join, and " +
+      "both part gates push into the scan") {
+    val s = planOf("q75_supplier_variety").toString
+    assert(s.contains("partial_count(distinct l_suppkey"),
+      s"distinct agg must be the two-level partial plan:\n$s")
+    assert(s.contains("LeftAnti"),
+      s"the exclusion list must plan as an anti join:\n$s")
+    assert(s.contains("Not(EqualTo(p_type,PROMO))")
+      && s.contains("In(p_brand"),
+      s"part gates must push into the part scan:\n$s")
+  }
+
+  test("q76 is the pure-scan aggregate: all three range predicates " +
+      "reach the parquet scan and the plan has NO joins") {
+    val plan = finalPlan(planOf("q76_revenue_forecast"))
+    // the plan's toString truncates long PushedFilters lists — read
+    // the scan node's (untruncated) metadata instead
+    val pushed = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metadata("PushedFilters")
+    }.mkString
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate")
+      && pushed.contains("GreaterThanOrEqual(l_discount,0.05")
+      && pushed.contains("LessThan(l_quantity,25"),
+      s"all three ranges must appear in PushedFilters: $pushed")
+    val s = plan.toString
+    assert(!s.contains("Join"), s"Q6 shape must not join:\n$s")
+  }
+
+  test("q77's row-vs-row lateness predicate keeps the orderkey join " +
+      "a hash join and both CASE sums ride ONE aggregate pass") {
+    val s = finalPlan(planOf("q77_late_priority_lines")).toString
+    assert(!s.contains("BroadcastNestedLoopJoin")
+      && !s.contains("CartesianProduct"),
+      s"big-big join must stay a hash/sort-merge join:\n$s")
+    val aggScans = "lineitem\\.parquet".r.findAllIn(s).size
+    assert(aggScans == 1,
+      s"both conditional counts must share one pass, found $aggScans scans:\n$s")
+  }
+
+  test("q78's correlated threshold de-correlates to a window over " +
+      "the pair aggregate — ONE fact scan — and the qualifying set " +
+      "lifts through a left-semi join") {
+    val s = planOf("q78_excess_shipments").toString
+    val factScans = "lineitem\\.parquet".r.findAllIn(s).size
+    assert(factScans == 1,
+      s"expected one lineitem scan, found $factScans:\n$s")
+    assert(s.contains("Window"), s"per-part stats must be a window:\n$s")
+    assert(s.contains("LeftSemi"),
+      s"qualifying suppliers must lift via semi join:\n$s")
+  }
+
   test("the exact cosine scan is a broadcast nested loop, not a " +
       "cartesian shuffle") {
     val s = planOf("s1_cosine_topk").toString
