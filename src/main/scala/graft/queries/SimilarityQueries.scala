@@ -734,27 +734,20 @@ object SimilarityQueries {
         val c = emb(s, d)
           .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
             expr("slice(embedding, 1, 32)").as("np"))
-        def top20(simCol: org.apache.spark.sql.Column, rank: String) = {
-          val w = Window.partitionBy("q_id")
-            .orderBy(col("__sim").desc, col("n_id"))
-          broadcast(q).crossJoin(c)
-            .filter(col("q_id") =!= col("n_id"))
-            .withColumn("__sim", simCol)
-            .withColumn(rank, row_number().over(w).cast("long"))
-            .filter(col(rank) <= 20)
+        // (delegates to the operators.Retrieval library API — same
+        // expressions, same WindowGroupLimit cuts)
+        def arm(simCol: org.apache.spark.sql.Column, rank: String) =
+          graft.operators.Retrieval.rankTopK(
+            broadcast(q).crossJoin(c)
+              .filter(col("q_id") =!= col("n_id"))
+              .withColumn("__sim", simCol),
+            col("__sim"), 20, rank)
             .select(col("q_id"), col("n_id"), col(rank))
-        }
-        val full = top20(cosineExpr, "rank_full")
-        val pre = top20(graft.functions.VectorExprs
+        val full = arm(cosineExpr, "rank_full")
+        val pre = arm(graft.functions.VectorExprs
           .cosine_similarity(col("qp"), col("np")), "rank_pre")
-        val w5 = Window.partitionBy("q_id")
-          .orderBy(col("rrf_ppm").desc, col("n_id"))
-        full.join(pre, Seq("q_id", "n_id"), "full")
-          .withColumn("rrf_ppm",
-            expr("""coalesce(1000000L div (60L + rank_full), 0L)
-                  + coalesce(1000000L div (60L + rank_pre), 0L)"""))
-          .withColumn("fused_rank", row_number().over(w5).cast("long"))
-          .filter(col("fused_rank") <= 5)
+        graft.operators.Retrieval
+          .rrfFuse(full, pre, "rank_full", "rank_pre", 60, 5)
           .select(col("q_id"), col("n_id"), col("fused_rank"),
             col("rrf_ppm"),
             coalesce(col("rank_full"), lit(0L)).as("rank_full"),
@@ -822,13 +815,12 @@ object SimilarityQueries {
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val c = emb(s, d)
           .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
-        val wr = Window.partitionBy("q_id")
-          .orderBy(col("sim").desc, col("n_id"))
-        val pool = broadcast(q).crossJoin(c)
-          .filter(col("q_id") =!= col("n_id"))
-          .withColumn("sim", cosineExpr)
-          .withColumn("rnk", row_number().over(wr))
-          .filter(col("rnk") <= 20)
+        // (delegates to the operators.Retrieval library API)
+        val pool = graft.operators.Retrieval.rankTopK(
+            broadcast(q).crossJoin(c)
+              .filter(col("q_id") =!= col("n_id"))
+              .withColumn("sim", cosineExpr),
+            col("sim"), 20, "rnk")
           .select(col("q_id"), col("n_id"),
             expr("CAST(floor(sim * 1000000D + 0.5D) AS BIGINT)")
               .as("rel_ppm"),
@@ -845,37 +837,7 @@ object SimilarityQueries {
             expr("CAST(floor(psim * 1000000D + 0.5D) AS BIGINT)")
               .as("pair_ppm"))
           .localCheckpoint()
-        val rel = pool.select(col("q_id"), col("n_id"), col("rel_ppm"))
-        val w1 = Window.partitionBy("q_id")
-          .orderBy(col("rel_ppm").desc, col("n_id"))
-        var selected = rel
-          .withColumn("rn", row_number().over(w1))
-          .filter(col("rn") === 1)
-          .select(col("q_id"), col("n_id"), lit(1L).as("mmr_rank"),
-            (col("rel_ppm") * 7).as("mmr_score"))
-          .localCheckpoint()
-        for (k <- 2 to 5) {
-          val pen = pairs
-            .join(selected.select(col("q_id"), col("n_id").as("b_id")),
-              Seq("q_id", "b_id"))
-            .groupBy(col("q_id"), col("a_id"))
-            .agg(max(col("pair_ppm")).as("pen_ppm"))
-            .withColumnRenamed("a_id", "n_id")
-          val wk = Window.partitionBy("q_id")
-            .orderBy(col("mmr_score").desc, col("n_id"))
-          val next = rel
-            .join(selected.select(col("q_id"), col("n_id")),
-              Seq("q_id", "n_id"), "left_anti")
-            .join(pen, Seq("q_id", "n_id"))
-            .withColumn("mmr_score",
-              col("rel_ppm") * 7 - col("pen_ppm") * 3)
-            .withColumn("rn", row_number().over(wk))
-            .filter(col("rn") === 1)
-            .select(col("q_id"), col("n_id"),
-              lit(k.toLong).as("mmr_rank"), col("mmr_score"))
-          selected = selected.unionByName(next).localCheckpoint()
-        }
-        selected
+        graft.operators.Retrieval.mmrDiversify(pool, pairs, 5, 7, 3)
       },
       Some {
         val pairSql = cosineSql.replace("qv", "av").replace("nv", "bv")
