@@ -93,12 +93,17 @@ object Retrieval {
         .withColumnRenamed("a_id", "n_id")
       val wk = Window.partitionBy("q_id")
         .orderBy(col("mmr_score").desc, col("n_id"))
+      // LEFT join + coalesce 0: a candidate with NO pair row to any
+      // selected item takes the textbook zero penalty — an
+      // incompletely-built pairs table must not silently DROP
+      // candidates from contention (the inner-join footgun)
       val next = rel
         .join(selected.select(col("q_id"), col("n_id")),
           Seq("q_id", "n_id"), "left_anti")
-        .join(pen, Seq("q_id", "n_id"))
+        .join(pen, Seq("q_id", "n_id"), "left")
         .withColumn("mmr_score",
-          col("rel_ppm") * lamNum - col("pen_ppm") * lamDen)
+          col("rel_ppm") * lamNum
+            - coalesce(col("pen_ppm"), lit(0L)) * lamDen)
         .withColumn("rn", row_number().over(wk))
         .filter(col("rn") === 1)
         .select(col("q_id"), col("n_id"),

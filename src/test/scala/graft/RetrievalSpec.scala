@@ -66,6 +66,25 @@ class RetrievalSpec extends SparkSpecBase {
     assert(picks(2)._2 == 7L * 900000L - 3L * 999999L)
   }
 
+  test("mmrDiversify keeps a candidate with NO pair rows in " +
+      "contention at the textbook zero penalty — an incomplete pairs " +
+      "table must not silently drop it") {
+    // B is a clone of A; C has no pair rows at all. Round 2 must
+    // still consider C (penalty 0) and pick it over the penalized B.
+    val pool = Seq(
+      (1L, 1L, 1000000L), (1L, 2L, 900000L), (1L, 3L, 500000L)
+    ).toDF("q_id", "n_id", "rel_ppm")
+    val pairs = Seq(
+      (1L, 1L, 2L, 999999L), (1L, 2L, 1L, 999999L)
+    ).toDF("q_id", "a_id", "b_id", "pair_ppm")
+    val picks = Retrieval.mmrDiversify(pool, pairs, 2, 7, 3)
+      .orderBy("mmr_rank").select("n_id", "mmr_score").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(picks.map(_._1) == Seq(1L, 3L),
+      s"C must survive with zero penalty — got $picks")
+    assert(picks(1)._2 == 3500000L)
+  }
+
   test("mmrDiversify with a zero diversity weight degenerates to " +
       "the pure relevance order — the λ=1 boundary") {
     val pool = Seq(
