@@ -532,6 +532,48 @@ object MediaPipeline {
     }
   }
 
+  final case class FrameCrossings(media_id: Long, frame_index: Int,
+      crossings: Long)
+
+  /** Per-frame zero-crossing counts of a headerless 16-bit LE PCM
+    * payload — the voiced/unvoiced discriminator that pairs with
+    * [[pcmFrameEnergies]] (high energy + low ZCR = voiced; low
+    * energy + high ZCR = fricative/noise). A crossing is a
+    * consecutive-sample pair WITHIN the frame whose signs differ
+    * under `s >= 0` (zero counts as positive — the convention both
+    * the operator and the oracle must share, since a sample equal to
+    * 0 is common in synthetic ramps); frame-boundary pairs belong to
+    * no frame, and the trailing partial frame is dropped (the
+    * [[pcmEnergy]] convention). Exact integer output; narrow
+    * flatMap, fan-out = frames per payload, no shuffle.
+    */
+  def pcmZeroCrossings(
+      media: Dataset[MediaFile], frameSamples: Int = 256)
+      : Dataset[FrameCrossings] = {
+    require(frameSamples >= 2,
+      s"frameSamples must be >= 2 for within-frame pairs, got $frameSamples")
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val buf = java.nio.ByteBuffer.wrap(m.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val n = m.payload.length / 2
+      val nFrames = n / frameSamples
+      (0 until nFrames).map { k =>
+        var crossings = 0L
+        var i = k * frameSamples
+        val end = i + frameSamples - 1
+        var prevNonNeg = buf.getShort(i * 2) >= 0
+        while (i < end) {
+          val nextNonNeg = buf.getShort((i + 1) * 2) >= 0
+          if (nextNonNeg != prevNonNeg) crossings += 1
+          prevNonNeg = nextNonNeg
+          i += 1
+        }
+        FrameCrossings(m.media_id, k, crossings)
+      }
+    }
+  }
+
   /** PCM frame-energy extraction: parse a headerless 16-bit LE PCM
     * payload and emit EXACT integer statistics — energy Σ s² over the
     * `n div frameSamples` full frames (the VAD / silence-trim

@@ -2266,6 +2266,136 @@ object AnalyticsQueries {
                             WHERE pair_qc * cnt * 2 > sum_qc * 3)""")
     )),
 
+    // Min-cost supplier (TPC-H Q2 shape): for every part in a
+    // type/size slice, the EUROPE suppliers offering the region-wide
+    // minimum cost — the correlated-MIN-subquery classic. The
+    // part-supplier cost relation derives from lineitem (this schema
+    // has no partsupp): per (part, supplier), min line cents — an
+    // integer min, so no float drift. The correlated `cost =
+    // (SELECT min ...)` de-correlates to a WINDOW min over the pair
+    // aggregate (q68/q78 rule: partitionBy partkey reuses the
+    // aggregate's hash partitioning — no rejoin, no second fact
+    // scan). Scale: the part slice semi-joins the fact BEFORE the
+    // pair aggregate (the only fact-sized shuffle); the region gate
+    // is a supplier-sized broadcast semi; part/supplier/nation attach
+    // to the qualifying PAIRS (slice-sized) via broadcast.
+    "q79_mincost_supplier" -> ((
+      (s: SparkSession, d: String) => {
+        val slice = t(s, d, "part")
+          .filter(col("p_type") === "STANDARD" && col("p_size") === 7)
+          .select(col("p_partkey"), col("p_type"), col("p_size"))
+        val euroSupp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+              .join(broadcast(t(s, d, "region")
+                  .filter(col("r_name") === "EUROPE")),
+                col("n_regionkey") === col("r_regionkey"))
+              .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("s_acctbal"), col("n_name"))
+        val pairs = t(s, d, "lineitem")
+          .join(broadcast(slice.select("p_partkey")),
+            col("l_partkey") === col("p_partkey"), "left_semi")
+          .join(broadcast(euroSupp.select("s_suppkey")),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .select(col("l_partkey"), col("l_suppkey"),
+            expr("CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)")
+              .as("pc"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min("pc").as("cost_c"))
+        val w = Window.partitionBy("l_partkey")
+        pairs
+          .withColumn("min_c", min("cost_c").over(w))
+          .filter(col("cost_c") === col("min_c"))
+          .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+          .select(round(col("s_acctbal"), 2).as("acctbal_r"),
+            col("s_name"), col("n_name"),
+            col("l_partkey").as("p_partkey"), col("p_type"),
+            col("cost_c"))
+      },
+      Some("""WITH euro AS (
+            SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'),
+          slice AS (
+            SELECT p_partkey, p_type FROM part
+            WHERE p_type = 'STANDARD' AND p_size = 7),
+          pairs AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(min(CAST(floor(l_extendedprice * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS cost_c
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM slice)
+              AND l_suppkey IN (SELECT s_suppkey FROM euro)
+            GROUP BY 1, 2),
+          best AS (
+            SELECT l_partkey, l_suppkey, cost_c,
+                   CAST(min(cost_c) OVER (PARTITION BY l_partkey)
+                     AS BIGINT) AS min_c
+            FROM pairs)
+        SELECT round(e.s_acctbal, 2) AS acctbal_r, e.s_name, e.n_name,
+               b.l_partkey AS p_partkey, s.p_type, b.cost_c
+        FROM best b
+        JOIN euro e ON b.l_suppkey = e.s_suppkey
+        JOIN slice s ON b.l_partkey = s.p_partkey
+        WHERE b.cost_c = b.min_c""")
+    )),
+
+    // Important stock (TPC-H Q11 shape): parts whose shipped value
+    // through ONE nation's suppliers exceeds a threshold derived from
+    // the nation's total — the HAVING-vs-global-scalar plan. Value =
+    // cents(extendedprice) summed per part (integer, this schema's
+    // supplycost·availqty proxy); the global total re-aggregates the
+    // PER-PART sums (part-cardinality rows, never a second fact
+    // scan) and broadcasts as a one-row cross join. The threshold is
+    // SCALE-FREE — value > 2× the mean per-part value (TPC-H itself
+    // divides Q11's fraction by SF for the same reason; a fixed
+    // fraction of total selects nothing once parts grow) — and the
+    // compare is integer cross-multiplication (value·cnt > total·2),
+    // so both engines decide every borderline part identically.
+    // Scale: the nation's supplier keys broadcast-semi the fact
+    // before the one per-part shuffle; the scalar join is a
+    // BroadcastNestedLoopJoin over ONE row.
+    "q80_important_stock" -> ((
+      (s: SparkSession, d: String) => {
+        val natSupp = t(s, d, "supplier")
+          .join(broadcast(t(s, d, "nation")
+              .filter(col("n_name") === "NATION_3")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"))
+        val perPart = t(s, d, "lineitem")
+          .join(broadcast(natSupp),
+            col("l_suppkey") === col("s_suppkey"), "left_semi")
+          .select(col("l_partkey"),
+            expr("CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)")
+              .as("vc"))
+          .groupBy(col("l_partkey"))
+          .agg(sum("vc").as("value_c"))
+        val total = perPart.agg(sum("value_c").as("total_c"),
+          count(lit(1)).as("part_cnt"))
+        perPart.join(broadcast(total))
+          .filter(col("value_c") * col("part_cnt") > col("total_c") * 2)
+          .select(col("l_partkey").as("p_partkey"), col("value_c"))
+      },
+      Some("""WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS value_c
+            FROM lineitem
+            WHERE l_suppkey IN (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_3')
+            GROUP BY 1)
+        SELECT l_partkey AS p_partkey, value_c
+        FROM per_part
+        WHERE value_c * (SELECT count(*) FROM per_part) >
+              (SELECT CAST(sum(value_c) AS BIGINT) * 2 FROM per_part)""")
+    )),
+
     // RFM customer segmentation — the classic recency/frequency/
     // monetary scoring every CRM/marketing warehouse derives:
     // per customer, days since last order, order count, lifetime

@@ -245,6 +245,48 @@ object MultimodalQueries {
     // longest run. Scale shape: narrow per-frame flatMap decode, one
     // per-media window (frame-cardinality partitions), two media-
     // keyed aggregates — no cross-media work anywhere.
+    // Per-frame zero-crossing counts + voiced/unvoiced flags — the
+    // classic ZCR feature beside m8's energy (voiced speech = low
+    // ZCR, fricatives/noise = high). Crossing = within-frame
+    // consecutive pair changing sign under `s >= 0` (zero counts
+    // positive; the operator/oracle shared convention), boundary
+    // pairs excluded, trailing partial frame dropped. The oracle
+    // re-derives every crossing from the synthesis formula via a
+    // lead() window — the decode loop's indexing, endianness and
+    // sign handling all pin or the counts drift. Scale: narrow
+    // flatMap, no shuffle; the flag is per-row policy.
+    "m14_zero_crossings" -> ((
+      (s: SparkSession, d: String) =>
+        MediaPipeline
+          .pcmZeroCrossings(MediaPipeline.pcmFixtures(s, d)).toDF()
+          .select(col("media_id"),
+            col("frame_index").cast("long").as("frame_index"),
+            col("crossings"),
+            (col("crossings") >= 64).as("unvoiced")),
+      Some("""WITH ids AS (
+            SELECT doc_id, 512 + doc_id % 512 AS n
+            FROM documents WHERE doc_id % 4 = 1),
+          s AS (
+            SELECT doc_id, n, i,
+                   (doc_id * 17 + i * 31) % 4096 - 2048 AS v
+            FROM ids, unnest(range(0, n)) AS t(i)),
+          p AS (
+            SELECT doc_id, n, i, i // 256 AS k,
+                   v >= 0 AS nonneg,
+                   lead(v >= 0) OVER (PARTITION BY doc_id
+                     ORDER BY i) AS next_nonneg
+            FROM s)
+        SELECT doc_id AS media_id, CAST(k AS BIGINT) AS frame_index,
+               CAST(sum(CASE WHEN nonneg <> next_nonneg
+                             THEN 1 ELSE 0 END) AS BIGINT) AS crossings,
+               CAST(sum(CASE WHEN nonneg <> next_nonneg
+                             THEN 1 ELSE 0 END) AS BIGINT) >= 64
+                 AS unvoiced
+        FROM p
+        WHERE k < n // 256 AND i % 256 < 255
+        GROUP BY 1, 2""")
+    )),
+
     "m10_silence_segments" -> ((
       (s: SparkSession, d: String) => {
         import org.apache.spark.sql.expressions.Window

@@ -240,6 +240,82 @@ object SimilarityQueries {
         FROM exact5""")
     )),
 
+    // Metadata-FILTERED vector search — the query shape vector DBs
+    // actually serve ("nearest docs WHERE label IN …") and the one
+    // that breaks naive ANN: a pre-built index knows nothing about
+    // the predicate, so probed cells yield fewer eligible candidates.
+    // The deployed answer, implemented here: keep the one shared IVF
+    // index over the FULL corpus (s5's train/assign, label riding
+    // the posting rows), OVER-PROBE (nprobe 4 vs s5's 2) to
+    // compensate for filter losses, and apply the predicate to
+    // candidates inside the probed cells — never a post-filter of an
+    // unfiltered top-k, which silently returns < k. Published rows =
+    // the exact filtered top-5 (label IN (0,1,2), ~30% selectivity;
+    // one broadcast-q corpus pass with the predicate pushed into the
+    // parquet scan) + the live filtered-IVF recall contract, s5's
+    // pattern: left-join hits onto exact rows, one bounded window.
+    // Floor 20/50 calibrated on the bundled corpora (sf0.001-0.1
+    // measure 34-43 hits; random 2-of-8-cell baseline ~12.5) —
+    // recalibrate on a regenerated corpus (the s5 caveat).
+    "s17_filtered_ann" -> ((
+      (s: SparkSession, d: String) => {
+        val labels = Seq(0, 1, 2)
+        val model = graft.operators.IvfIndex.train(
+          emb(s, d), "vec_id", "embedding", k = 8, iters = 3)
+        val index = graft.operators.IvfIndex.assign(
+          emb(s, d).select(col("vec_id").as("n_id"),
+            col("embedding").as("nv"), col("label")), "nv", model)
+        val queries = graft.operators.IvfIndex.probe(
+          emb(s, d).filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("qv")),
+          "qv", model, nprobe = 4)
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        val ivf5 = broadcast(queries)
+          .join(index, col("probe_cell") === col("cell"))
+          .filter(col("label").isin(labels: _*))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("n_id"))
+        val q = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val c = emb(s, d).filter(col("label").isin(labels: _*))
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        val exact5 = broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("n_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+        exact5
+          .join(ivf5.withColumn("__hit", lit(1L)),
+            Seq("q_id", "n_id"), "left")
+          .withColumn("__hits",
+            sum(coalesce(col("__hit"), lit(0L)))
+              .over(Window.partitionBy()))
+          .select(col("q_id"), col("n_id"), col("rank"), col("sim_r"),
+            (col("__hits") >= 20).as("recall_floor_ok"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv
+            FROM embeddings WHERE label IN (0, 1, 2)),
+          sims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id),
+          ranked AS (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank
+            FROM sims)
+        SELECT q_id, n_id, rank, round(sim, 6) AS sim_r,
+               TRUE AS recall_floor_ok
+        FROM ranked WHERE rank <= 5""")
+    )),
+
     // Product quantization ANN (the memory-side half of IVF-PQ, the
     // architecture 100 TB vector search actually runs): the corpus is
     // encoded once to m=8 4-bit codes per vector (a codegen'd narrow
@@ -450,6 +526,172 @@ object SimilarityQueries {
       Some(s"""WITH exact5 AS (${exactTopKSql()})
         SELECT q_id, n_id, rank, sim_r, TRUE AS mrl_recall_floor_ok
         FROM exact5""")
+    )),
+
+    // Hard-negative mining — the contrastive-training data op: for
+    // each query vector, the 5 nearest neighbors with a DIFFERENT
+    // label (nearest same-label rows are positives; nearest
+    // other-label rows are the hard negatives a triplet/InfoNCE
+    // batch wants). Same physical shape as s1 — ONE broadcast-q
+    // corpus pass, the label inequality rides the probe as a cheap
+    // residual — so the cost is the pass the exact baseline already
+    // pays, not a second index. Fully deterministic → value oracle.
+    "s18_hard_negatives" -> ((
+      (s: SparkSession, d: String) => {
+        val q = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("label").as("q_label"))
+        val c = emb(s, d)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+            col("label").as("n_label"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id")
+            && col("q_label") =!= col("n_label"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("q_label").cast("long").as("q_label"),
+            col("n_id"), col("n_label").cast("long").as("n_label"),
+            col("rank"), round(col("sim"), 6).as("sim_r"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+              label AS q_label
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv,
+              label AS n_label
+            FROM embeddings),
+          sims AS (
+            SELECT q_id, q_label, n_id, n_label, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id AND q_label <> n_label),
+          ranked AS (
+            SELECT q_id, q_label, n_id, n_label, sim,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank
+            FROM sims)
+        SELECT q_id, CAST(q_label AS BIGINT) AS q_label, n_id,
+               CAST(n_label AS BIGINT) AS n_label, rank,
+               round(sim, 6) AS sim_r
+        FROM ranked WHERE rank <= 5""")
+    )),
+
+    // Retrieval evaluation metrics — the harness every ANN/retrieval
+    // change is judged by, as a QUERY: truth = exact full-dim top-10,
+    // system = the 32-dim Matryoshka-prefix top-10 (s11's cheap first
+    // tier), and per query recall@10, MRR and NDCG@10. Both rankings
+    // are deterministic (double cosine + total tiebreak), so unlike
+    // s5/s11 this needs no recall-floor contract — the METRICS
+    // themselves get a value oracle. Float discipline: each DCG term
+    // 1e6/log2(rank+1) is floor(+0.5)-quantized to integer micro-
+    // units BEFORE summing (the t39 rule), MRR is 1e6 // first-hit
+    // rank, NDCG is integer micro-DCG over micro-IDCG; IDCG sums the
+    // TRUTH ranks' terms, so both engines derive it from the same
+    // quantized pieces. Scale: two broadcast-q corpus passes (full +
+    // prefix — at 100 TB the prefix is its own half-width column, the
+    // s11 note), WindowGroupLimit-bounded top-10s, then all metric
+    // math on q×k = 100 rows.
+    "s19_retrieval_metrics" -> ((
+      (s: SparkSession, d: String) => {
+        val k = 10
+        val truth = exactTopK(s, d, k = k)
+          .select(col("q_id"), col("n_id"), col("rank"))
+        val qp = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            expr("slice(embedding, 1, 32)").as("qp"))
+        val cp = emb(s, d)
+          .select(col("vec_id").as("n_id"),
+            expr("slice(embedding, 1, 32)").as("np"))
+        val wPre = Window.partitionBy("q_id")
+          .orderBy(col("psim").desc, col("n_id"))
+        val sys = broadcast(qp).crossJoin(cp)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("psim", graft.functions.VectorExprs
+            .cosine_similarity(col("qp"), col("np")))
+          .withColumn("srank", row_number().over(wPre).cast("long"))
+          .filter(col("srank") <= k)
+          .select(col("q_id"), col("n_id"), col("srank"))
+        val dcgTerm = (r: org.apache.spark.sql.Column) =>
+          expr(s"CAST(floor(1000000D / log2(CAST(${r} AS DOUBLE)" +
+            s" + 1D) + 0.5D) AS BIGINT)")
+        val perSys = sys
+          .join(truth.withColumn("__hit", lit(1L)),
+            Seq("q_id", "n_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(
+            sum(coalesce(col("__hit"), lit(0L))).as("hits10"),
+            coalesce(
+              (lit(1000000L) / min(when(col("__hit") === 1L,
+                col("srank")))).cast("long"),
+              lit(0L)).as("mrr_micro"),
+            sum(when(col("__hit") === 1L, dcgTerm(col("srank")))
+              .otherwise(lit(0L))).as("dcg_micro"))
+        val perTruth = truth.groupBy(col("q_id"))
+          .agg(sum(dcgTerm(col("rank"))).as("idcg_micro"))
+        perSys.join(perTruth, Seq("q_id"))
+          .select(col("q_id"), col("hits10"),
+            (col("hits10") * 100000).as("recall_ppm"),
+            col("mrr_micro"), col("dcg_micro"), col("idcg_micro"),
+            (col("dcg_micro") * 1000000L / col("idcg_micro"))
+              .cast("long").as("ndcg_ppm"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+              embedding[1:32] AS qp
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv,
+              embedding[1:32] AS np
+            FROM embeddings),
+          fsims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id),
+          truth AS (
+            SELECT q_id, n_id, rank FROM (
+              SELECT q_id, n_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY sim DESC, n_id) AS rank
+              FROM fsims) WHERE rank <= 10),
+          psims AS (
+            SELECT q_id, n_id,
+              list_sum([qp[i]::DOUBLE * np[i]::DOUBLE
+                        for i in range(1, len(qp) + 1)])
+              / (sqrt(list_sum([qp[i]::DOUBLE * qp[i]::DOUBLE
+                                for i in range(1, len(qp) + 1)]))
+                 * sqrt(list_sum([np[i]::DOUBLE * np[i]::DOUBLE
+                                  for i in range(1, len(np) + 1)])))
+                AS psim
+            FROM q, c WHERE q_id <> n_id),
+          sys AS (
+            SELECT q_id, n_id, srank FROM (
+              SELECT q_id, n_id,
+                     row_number() OVER (PARTITION BY q_id
+                       ORDER BY psim DESC, n_id) AS srank
+              FROM psims) WHERE srank <= 10),
+          j AS (
+            SELECT s.q_id, s.srank, t.rank IS NOT NULL AS hit
+            FROM sys s LEFT JOIN truth t
+              ON s.q_id = t.q_id AND s.n_id = t.n_id),
+          per_sys AS (
+            SELECT q_id,
+              CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                AS hits10,
+              CAST(coalesce(1000000 // min(CASE WHEN hit THEN srank END),
+                0) AS BIGINT) AS mrr_micro,
+              CAST(sum(CASE WHEN hit THEN
+                  CAST(floor(1000000 / log2(CAST(srank AS DOUBLE) + 1)
+                    + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+                AS dcg_micro
+            FROM j GROUP BY 1),
+          per_truth AS (
+            SELECT q_id,
+              CAST(sum(CAST(floor(1000000 / log2(CAST(rank AS DOUBLE)
+                + 1) + 0.5) AS BIGINT)) AS BIGINT) AS idcg_micro
+            FROM truth GROUP BY 1)
+        SELECT s.q_id, s.hits10,
+               CAST(s.hits10 * 100000 AS BIGINT) AS recall_ppm,
+               s.mrr_micro, s.dcg_micro, t.idcg_micro,
+               CAST(s.dcg_micro * 1000000 // t.idcg_micro AS BIGINT)
+                 AS ndcg_ppm
+        FROM per_sys s JOIN per_truth t USING (q_id)""")
     )),
 
     // Cosine RANGE search (every neighbor with sim ≥ τ — the

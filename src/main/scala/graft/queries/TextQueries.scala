@@ -1010,6 +1010,58 @@ object TextQueries {
         SELECT doc AS doc_id, min(comp) AS component
         FROM reach GROUP BY doc""")
     )),
+
+    // Canonical-doc selection per near-dup cluster — the step that
+    // turns d8's clustering into an actual dedup POLICY: every doc is
+    // labeled with its cluster (singletons are their own), and per
+    // cluster exactly one canonical survives — the longest doc
+    // (n_chars), doc_id as the total tiebreak. This is how production
+    // corpus dedup retains "the best copy" rather than an arbitrary
+    // one. Scale shape: d8's machinery unchanged (banded LSH →
+    // verified edges → pointer-jumping CC, component table is
+    // doc-sized), one doc-sized left join, and the size/argmax
+    // windows partition by COMPONENT — cluster-sized partitions,
+    // never a global sort.
+    "d17_canonical_dedup" -> ((
+      (s: SparkSession, d: String) => {
+        val edges = verifiedNearDupEdges(s, d, threshold = 0.2)
+        val comp = graft.operators.ConnectedComponents
+          .run(edges, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+        val w = Window.partitionBy("component")
+        docs(s, d).select(col("doc_id"), col("n_chars"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("component",
+            coalesce(col("component"), col("doc_id")))
+          .withColumn("cluster_size", count(lit(1)).over(w))
+          .withColumn("rk", row_number().over(
+            w.orderBy(col("n_chars").desc, col("doc_id"))))
+          .select(col("doc_id"), col("component"), col("cluster_size"),
+            (col("rk") === 1).as("keep"))
+      },
+      Some(s"""WITH RECURSIVE d7 AS ($verifiedJaccardSql),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM d7 WHERE jaccard >= 0.2
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM d7 WHERE jaccard >= 0.2),
+          reach(doc, comp) AS (
+            SELECT a, a FROM e
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN e ON r.doc = e.a),
+          comp AS (
+            SELECT doc AS doc_id, min(comp) AS component
+            FROM reach GROUP BY doc),
+          lab AS (
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component,
+                   d.n_chars
+            FROM documents d LEFT JOIN comp c USING (doc_id))
+        SELECT doc_id, component,
+               CAST(count(*) OVER (PARTITION BY component) AS BIGINT)
+                 AS cluster_size,
+               row_number() OVER (PARTITION BY component
+                 ORDER BY n_chars DESC, doc_id) = 1 AS keep
+        FROM lab""")
+    )),
   ) ++ entriesTail
 
   /** Verified near-duplicate edges at a Jaccard threshold — the public
@@ -2535,6 +2587,93 @@ object TextQueries {
                CAST(sum(term_unat) AS BIGINT) AS entropy_unat,
                CAST(sum(term_unat) AS BIGINT) >= 2500000 AS ent_kept
         FROM terms GROUP BY 1""")
+    )),
+
+    // PII detection + redaction — the scrub pass every released
+    // training corpus runs (emails, phone-shaped, long id-number
+    // runs). The bundled corpus is digit-free, so the query first
+    // AUGMENTS it deterministically from doc_id (both engines build
+    // the identical text — the m-family's synthesize-then-operate
+    // pattern), then counts each PII class on the original and
+    // replaces in a fixed order (email → phone → id; the classes are
+    // disjoint by construction: email digits ≤5, phone runs split by
+    // the dash, id runs ≥7). Patterns stay in the RE2 ∩ java.regex
+    // dialect ([...] classes, explicit {m,n} — no \\d, no
+    // lookaround) so both engines match identical spans; md5 of the
+    // redacted text pins the actual output BYTES, not just counts.
+    // Scale: one narrow map over docs — no shuffle at all before the
+    // final per-source rollup, which is map-side-combinable over 4
+    // groups.
+    "t40_pii_redaction" -> ((
+      (s: SparkSession, d: String) => {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "[0-9]{3}-[0-9]{4}"
+        val idnum = "[0-9]{7,}"
+        docs(s, d)
+          .withColumn("aug", concat(col("text"),
+            when(col("doc_id") % 3 === 0,
+              concat(lit(" contact user"),
+                (col("doc_id") % 100000).cast("string"),
+                lit("@example.com"))).otherwise(lit("")),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" call 555-"),
+                lpad((col("doc_id") % 9000 + 1000).cast("string"),
+                  4, "0"))).otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" ref 9"),
+                lpad((col("doc_id") % 1000000).cast("string"),
+                  6, "0"))).otherwise(lit(""))))
+          .select(col("doc_id"), col("source"),
+            regexp_count(col("aug"), lit(email)).cast("long")
+              .as("emails"),
+            regexp_count(col("aug"), lit(phone)).cast("long")
+              .as("phones"),
+            regexp_count(col("aug"), lit(idnum)).cast("long")
+              .as("idnums"),
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("aug"), email, "<EMAIL>"),
+                phone, "<PHONE>"),
+              idnum, "<ID>").as("red"))
+          .select(col("doc_id"), col("source"), col("emails"),
+            col("phones"), col("idnums"),
+            length(col("red")).cast("long").as("red_chars"),
+            md5(col("red")).as("red_md5"),
+            (col("emails") + col("phones") + col("idnums") > 0)
+              .as("has_pii"))
+      },
+      Some("""WITH aug AS (
+            SELECT doc_id, source, text
+              || CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                   || CAST(doc_id % 100000 AS VARCHAR) || '@example.com'
+                 ELSE '' END
+              || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                   || lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+              || CASE WHEN doc_id % 7 = 0 THEN ' ref 9'
+                   || lpad(CAST(doc_id % 1000000 AS VARCHAR), 6, '0')
+                 ELSE '' END AS a
+            FROM documents),
+          scan AS (
+            SELECT doc_id, source,
+              CAST(len(regexp_extract_all(a,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS BIGINT) AS emails,
+              CAST(len(regexp_extract_all(a, '[0-9]{3}-[0-9]{4}'))
+                AS BIGINT) AS phones,
+              CAST(len(regexp_extract_all(a, '[0-9]{7,}'))
+                AS BIGINT) AS idnums,
+              regexp_replace(regexp_replace(regexp_replace(a,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                '[0-9]{7,}', '<ID>', 'g') AS red
+            FROM aug)
+        SELECT doc_id, source, emails, phones, idnums,
+               CAST(length(red) AS BIGINT) AS red_chars,
+               md5(red) AS red_md5,
+               emails + phones + idnums > 0 AS has_pii
+        FROM scan""")
     )),
   )
 
