@@ -96,7 +96,20 @@ object ScaleBench {
     "q73_market_share", "q74_product_profit",
     // round-13 fourth batch: Q16/Q6/Q12/Q20 shapes
     "q75_supplier_variety", "q76_revenue_forecast",
-    "q77_late_priority_lines", "q78_excess_shipments")
+    "q77_late_priority_lines", "q78_excess_shipments",
+    // round-13 fifth batch: Q2/Q11 shapes, PII redaction, canonical
+    // dedup, filtered/hard-negative/metrics similarity ops, ZCR
+    "q79_mincost_supplier", "q80_important_stock",
+    "t40_pii_redaction", "d17_canonical_dedup", "s17_filtered_ann",
+    "s18_hard_negatives", "s19_retrieval_metrics",
+    "m14_zero_crossings", "s20_cluster_metrics",
+    // round-13 sixth batch: GNN neighbor agg, Pareto skyline,
+    // dedup yield accounting
+    "p9_neighbor_agg", "q81_pareto_parts", "d18_dedup_yield",
+    // round-13 seventh batch: distributed Lloyd k-means, SQ8 coded
+    // search, ABC classes, temperature mixture, deletion propagation
+    "s21_kmeans_lloyd", "s22_sq8_rerank", "q82_abc_inventory",
+    "t41_source_temperature", "d19_deletion_propagation")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

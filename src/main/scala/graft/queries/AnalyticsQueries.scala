@@ -856,6 +856,62 @@ object AnalyticsQueries {
       }
     )),
 
+    // GNN-style neighbor aggregation — two rounds of mean message
+    // passing over the co-purchase graph (the GraphSAGE-mean /
+    // LightGCN propagation step, and what a feature-engineering
+    // pipeline ships to a recommender): h₁(v) = mean of neighbors'
+    // price features, h₂(v) = mean of neighbors' h₁. Exact integers:
+    // features are retailprice CENTS, each mean is sum div degree
+    // (operands non-negative, so Spark's truncating div IS floor and
+    // matches DuckDB's //). Per round: ONE edge⋈feature equi-join +
+    // a map-side-combinable per-dst aggregate — p2's shape, so a
+    // billion-edge round is the same two shuffles; features stay
+    // node-sized, nothing broadcasts the graph.
+    "p9_neighbor_agg" -> ((
+      (s: SparkSession, d: String) => {
+        val e = copurchasePairs(s, d, ordered = false)
+          .select(col("a").as("src"), col("b").as("dst")).distinct()
+        val cents = t(s, d, "part").select(col("p_partkey").as("node"),
+          expr("CAST(floor(p_retailprice * 100D + 0.5D) AS BIGINT)")
+            .as("h0"))
+        val h0 = e.select(col("src").as("node")).distinct()
+          .join(cents, Seq("node"))
+        def mp(h: DataFrame, in: String, out: String) =
+          e.join(h.select(col("node").as("src"), col(in)), Seq("src"))
+            .groupBy(col("dst"))
+            .agg(expr(s"CAST(sum($in) div count(1) AS BIGINT)").as(out))
+            .select(col("dst").as("node"), col(out))
+        val h1 = mp(h0, "h0", "h1")
+        val h2 = mp(h1, "h1", "h2")
+        h0.join(h1, Seq("node")).join(h2, Seq("node"))
+          .select(col("node").as("part"), col("h0"), col("h1"),
+            col("h2"))
+      },
+      Some("""WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          e AS (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+          feat AS (
+            SELECT p_partkey AS node,
+                   CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS h0
+            FROM part),
+          h0t AS (
+            SELECT n.node, f.h0
+            FROM (SELECT DISTINCT src AS node FROM e) n
+            JOIN feat f ON n.node = f.node),
+          h1 AS (
+            SELECT e.dst AS node,
+                   CAST(sum(h.h0) // count(*) AS BIGINT) AS h1
+            FROM e JOIN h0t h ON e.src = h.node GROUP BY 1),
+          h2 AS (
+            SELECT e.dst AS node,
+                   CAST(sum(h.h1) // count(*) AS BIGINT) AS h2
+            FROM e JOIN h1 h ON e.src = h.node GROUP BY 1)
+        SELECT h0t.node AS part, h0t.h0, h1.h1, h2.h2
+        FROM h0t JOIN h1 USING (node) JOIN h2 USING (node)""")
+    )),
+
     // Z-order (Morton) key derivation over (user, hour-of-epoch) — the
     // write-time layout key that makes 2-D box predicates prunable by
     // parquet min/max stats at 100 TB (see operators.ZOrder and
@@ -2394,6 +2450,170 @@ object AnalyticsQueries {
         FROM per_part
         WHERE value_c * (SELECT count(*) FROM per_part) >
               (SELECT CAST(sum(value_c) AS BIGINT) * 2 FROM per_part)""")
+    )),
+
+    // Exact 2-D Pareto skyline — parts no other part dominates on
+    // (total shipped quantity, total revenue), the multi-objective
+    // "best frontier" ask (price-vs-volume catalogs, quality-vs-cost
+    // corpus pruning). The textbook plans both fail at scale: the
+    // NOT EXISTS dominance self-join is O(n²) (it IS the oracle), and
+    // the sort-sweep needs one global running max — a SinglePartition
+    // window the t14 rule forbids. This plan decomposes the sweep so
+    // every step distributes, exactly:
+    //   dominated(p) ⟺ max rev over SAME qty > p.rev
+    //               OR max rev over HIGHER qty ≥ p.rev
+    // with the higher-qty max split into (a) strictly-higher BUCKETS
+    // (fixed-width qty ranges; their maxes form a bounded table whose
+    // prefix-max window is over buckets, not data) and (b) strictly
+    // higher qty WITHIN the bucket — a running max over the per-qty
+    // GROUPED rows (distinct qty values, so a ROWS 1-preceding frame
+    // is exactly "strictly higher"), partitioned by bucket. One fact
+    // aggregate, two qty-keyed aggregates that reuse its partitioning,
+    // a broadcast bucket table; duplicates handled by definition (two
+    // identical points don't dominate each other — both survive).
+    "q81_pareto_parts" -> ((
+      (s: SparkSession, d: String) => {
+        val W = 8192L
+        val pts = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            expr("CAST(floor(l_quantity * 100D + 0.5D) AS BIGINT)")
+              .as("qc"),
+            expr("CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)")
+              .as("rc"))
+          .groupBy(col("l_partkey"))
+          .agg(sum("qc").as("qty_c"), sum("rc").as("rev_c"))
+          .withColumn("bucket", (col("qty_c") / W).cast("long"))
+          // three consumers (points, per-qty maxes, bucket table) —
+          // materialize the PART-sized aggregate once so the fact
+          // scans exactly once, instead of three plan copies
+          .localCheckpoint()
+        // per-qty group maxes (reuses the aggregate's hash partitioning
+        // up to the narrower key; map-side-combinable)
+        val perQty = pts.groupBy(col("bucket"), col("qty_c"))
+          .agg(max("rev_c").as("qmax"))
+        val wIn = Window.partitionBy("bucket")
+          .orderBy(col("qty_c").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val inBucket = perQty
+          .withColumn("higher_in_bucket", max("qmax").over(wIn))
+        // bounded bucket table: one row per occupied qty range
+        val wB = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val buckets = perQty.groupBy(col("bucket"))
+          .agg(max("qmax").as("bmax"))
+          .withColumn("higher_bucket_max", max("bmax").over(wB))
+          .select(col("bucket").as("b2"), col("higher_bucket_max"))
+        // qmax doubles as the same-qty max (it includes p itself, so
+        // "another point strictly higher" is qmax > rev); the per-qty
+        // table is O(distinct qty) — equi-joined, NEVER broadcast.
+        // Only the bounded bucket table broadcasts.
+        pts
+          .join(inBucket
+              .select(col("bucket").as("b1"), col("qty_c").as("q1"),
+                col("qmax"), col("higher_in_bucket")),
+            col("bucket") === col("b1") && col("qty_c") === col("q1"))
+          .join(broadcast(buckets), col("bucket") === col("b2"), "left")
+          .withColumn("higher_qty_max",
+            greatest(coalesce(col("higher_in_bucket"), lit(Long.MinValue)),
+              coalesce(col("higher_bucket_max"), lit(Long.MinValue))))
+          .filter(!(col("qmax") > col("rev_c")
+            || col("higher_qty_max") >= col("rev_c")))
+          .select(col("l_partkey").as("p_partkey"),
+            col("qty_c"), col("rev_c"))
+      },
+      Some("""WITH pts AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS qty_c,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_c
+            FROM lineitem GROUP BY 1)
+        SELECT p.l_partkey AS p_partkey, p.qty_c, p.rev_c
+        FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts o
+          WHERE o.qty_c >= p.qty_c AND o.rev_c >= p.rev_c
+            AND (o.qty_c > p.qty_c OR o.rev_c > p.rev_c))""")
+    )),
+
+    // ABC inventory classification — the 80/20 cumulative-share
+    // bucketing every ops/inventory warehouse derives (class A =
+    // parts covering the top 70% of revenue, B to 90%, C the tail).
+    // The textbook plan is a GLOBAL running sum ordered by revenue
+    // desc — a SinglePartition window over the whole part table. This
+    // plan reuses q81's two-level decomposition so the running sum
+    // distributes EXACTLY: bucket parts by fixed-width revenue band
+    // (every higher band's revenues are strictly greater, so band
+    // order is consistent with the global rev-desc order), take the
+    // within-band running sum under a window PARTITIONED by band,
+    // and add the exclusive prefix of band totals — a window over the
+    // BOUNDED band table (max-revenue/W rows, independent of part
+    // count), never the data. Class thresholds compare cum·10 against
+    // total·7/9 — all int64 (cents ~1e16 at 100 TB, ·10 still fits);
+    // the ppm share uses rev·1e6 which holds to ~9e12 cents per
+    // class — the scale where this column moves to decimal(38).
+    "q82_abc_inventory" -> ((
+      (s: SparkSession, d: String) => {
+        val W = 1L << 20
+        val pr = t(s, d, "lineitem")
+          .select(col("l_partkey"),
+            expr("CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)")
+              .as("rc"))
+          .groupBy(col("l_partkey")).agg(sum("rc").as("rev_c"))
+          .withColumn("bucket", expr(s"rev_c div ${W}L"))
+          // three consumers (rows, band totals, grand total) —
+          // materialize the PART-sized aggregate once so the fact
+          // scans exactly once, instead of three plan copies
+          .localCheckpoint()
+        val wIn = Window.partitionBy("bucket")
+          .orderBy(col("rev_c").desc, col("l_partkey"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wB = Window.orderBy(col("bucket").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bands = pr.groupBy(col("bucket"))
+          .agg(sum("rev_c").as("btot"))
+          .withColumn("higher", coalesce(sum("btot").over(wB), lit(0L)))
+          .select(col("bucket").as("b2"), col("higher"))
+        val tot = pr.agg(sum("rev_c").as("total"))
+        pr.join(broadcast(bands), col("bucket") === col("b2"))
+          .withColumn("cum",
+            col("higher") + sum("rev_c").over(wIn))
+          .crossJoin(broadcast(tot))
+          .withColumn("abc_class",
+            when(col("cum") * 10L <= col("total") * 7L, "A")
+              .when(col("cum") * 10L <= col("total") * 9L, "B")
+              .otherwise("C"))
+          .groupBy(col("abc_class"))
+          .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("rev_c"),
+            first("total").as("total"))
+          .withColumn("share_ppm",
+            expr("rev_c * 1000000L div total"))
+          .select(col("abc_class"), col("n_parts"), col("rev_c"),
+            col("share_ppm"))
+      },
+      Some("""WITH pr AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS rev_c
+            FROM lineitem GROUP BY 1),
+          tot AS (SELECT sum(rev_c) AS total FROM pr),
+          cum AS (
+            SELECT l_partkey, rev_c,
+                   sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey)
+                     AS cum
+            FROM pr),
+          cls AS (
+            SELECT rev_c,
+                   CASE WHEN cum * 10 <= t.total * 7 THEN 'A'
+                        WHEN cum * 10 <= t.total * 9 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   t.total
+            FROM cum, tot t)
+        SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev_c) AS BIGINT) AS rev_c,
+               CAST(sum(rev_c) * 1000000 // any_value(total) AS BIGINT)
+                 AS share_ppm
+        FROM cls GROUP BY 1""")
     )),
 
     // RFM customer segmentation — the classic recency/frequency/

@@ -694,6 +694,277 @@ object SimilarityQueries {
         FROM per_sys s JOIN per_truth t USING (q_id)""")
     )),
 
+    // Clustering-quality metrics — s19's evaluation discipline applied
+    // to partitions: per cluster (the label column as the clustering
+    // under audit), exact integer inertia, mean within-distance, and
+    // nearest-other-centroid separation. Float discipline, twice:
+    // vectors quantize to integer MILLIS before any sum (so no
+    // cross-engine summation-order drift AND the 100x-corpus worst
+    // case stays ~1.8e13, far inside int64 — micro-units would
+    // overflow at scale), and every division is an explicit
+    // double-floor, never `//` (DuckDB's `//` truncates toward zero
+    // on negatives, Spark's `div` too — but floor is what the
+    // centroid mean wants, and coordinates GO negative; the quotient
+    // sits >= 1/n from any integer, ~1e9 x the double ulp, so the
+    // floor is engine-exact). Scale: one narrow posexplode (n x 64
+    // rows), a map-side-combinable (label, dim) sum, the k x dim
+    // centroid table broadcast back, per-vector partial aggregates;
+    // the centroid self-join is k^2 x dim rows — constant.
+    "s20_cluster_metrics" -> ((
+      (s: SparkSession, d: String) => {
+        val xq = emb(s, d)
+          .select(col("vec_id"), col("label"),
+            posexplode(col("embedding")).as(Seq("j", "x")))
+          .select(col("vec_id"), col("label"), col("j"),
+            expr("CAST(floor(CAST(x AS DOUBLE) * 1000D + 0.5D)" +
+              " AS BIGINT)").as("xq"))
+        val cent = xq.groupBy(col("label"), col("j"))
+          .agg(sum("xq").as("sj"), count(lit(1)).as("n"))
+          .select(col("label"), col("j"), col("n"),
+            expr("CAST(floor(CAST(sj AS DOUBLE) / CAST(n AS DOUBLE))" +
+              " AS BIGINT)").as("cj"))
+        val perVec = xq
+          .join(broadcast(cent.select("label", "j", "cj")),
+            Seq("label", "j"))
+          .withColumn("t2", (col("xq") - col("cj"))
+            * (col("xq") - col("cj")))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(sum("t2").as("d2"))
+        val inert = perVec.groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), sum("d2").as("inertia_mm2"))
+        val ca = cent.select(col("label").as("la"), col("j"),
+          col("cj").as("ca"))
+        val cb = cent.select(col("label").as("lb"), col("j").as("jb"),
+          col("cj").as("cb"))
+        val sep = ca.join(broadcast(cb),
+            col("j") === col("jb") && col("la") =!= col("lb"))
+          .withColumn("t2", (col("ca") - col("cb"))
+            * (col("ca") - col("cb")))
+          .groupBy(col("la"), col("lb"))
+          .agg(sum("t2").as("cd2"))
+          .groupBy(col("la"))
+          .agg(min("cd2").as("min_sep_mm2"))
+        inert.join(broadcast(sep), col("label") === col("la"))
+          .select(col("label").cast("long").as("label"), col("n"),
+            col("inertia_mm2"),
+            expr("CAST(floor(CAST(inertia_mm2 AS DOUBLE)" +
+              " / CAST(n AS DOUBLE)) AS BIGINT)").as("mean_d2_mm2"),
+            col("min_sep_mm2"))
+      },
+      Some("""WITH xq AS (
+            SELECT vec_id, label, i - 1 AS j,
+                   CAST(floor(embedding[CAST(i AS INTEGER)]::DOUBLE
+                     * 1000 + 0.5) AS BIGINT) AS xq
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS t(i)),
+          cent AS (
+            SELECT label, j, count(*) AS n,
+                   CAST(floor(CAST(sum(xq) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cj
+            FROM xq GROUP BY 1, 2),
+          pervec AS (
+            SELECT x.vec_id, x.label,
+                   CAST(sum((x.xq - c.cj) * (x.xq - c.cj)) AS BIGINT)
+                     AS d2
+            FROM xq x JOIN cent c ON x.label = c.label AND x.j = c.j
+            GROUP BY 1, 2),
+          inert AS (
+            SELECT label, count(*) AS n,
+                   CAST(sum(d2) AS BIGINT) AS inertia_mm2
+            FROM pervec GROUP BY 1),
+          cd AS (
+            SELECT a.label AS la, b.label AS lb,
+                   CAST(sum((a.cj - b.cj) * (a.cj - b.cj)) AS BIGINT)
+                     AS cd2
+            FROM cent a JOIN cent b
+              ON a.j = b.j AND a.label <> b.label
+            GROUP BY 1, 2),
+          sep AS (
+            SELECT la, CAST(min(cd2) AS BIGINT) AS min_sep_mm2
+            FROM cd GROUP BY 1)
+        SELECT CAST(i.label AS BIGINT) AS label,
+               CAST(i.n AS BIGINT) AS n, i.inertia_mm2,
+               CAST(floor(CAST(i.inertia_mm2 AS DOUBLE)
+                 / CAST(i.n AS DOUBLE)) AS BIGINT) AS mean_d2_mm2,
+               s.min_sep_mm2
+        FROM inert i JOIN sep s ON i.label = s.la""")
+    )),
+
+    // Fully distributed Lloyd k-means (operators.KMeans) — the
+    // clustering step curation pipelines run between embedding and
+    // SemDedup-style pruning, where the clustering ITSELF is the
+    // product and therefore must see every row (contrast IvfIndex's
+    // sample-capped driver trainer, which only needs approximate
+    // cells). k=8 seeds = the 8 lowest vec_ids (no RNG — the oracle
+    // replays the run), 2 Lloyd rounds, distance ties → lowest cid.
+    // Integer-milli discipline per s20; every phase is a map-side-
+    // combinable aggregate (argmin is min-of-struct, never a window).
+    // 100 TB: k×64 centroids broadcast per round, one corpus shuffle
+    // per round, fixed round count — no driver loop state.
+    "s21_kmeans_lloyd" -> ((
+      (s: SparkSession, d: String) => {
+        val asg = graft.operators.KMeans.fit(emb(s, d), k = 8, rounds = 2)
+        asg.groupBy(col("cid").as("cluster"))
+          .agg(count(lit(1)).as("n"), sum("d2").as("inertia_mm2"))
+          .select(col("cluster"), col("n"), col("inertia_mm2"),
+            expr("CAST(floor(CAST(inertia_mm2 AS DOUBLE)" +
+              " / CAST(n AS DOUBLE)) AS BIGINT)").as("mean_d2_mm2"))
+      },
+      Some("""WITH xq AS (
+            SELECT vec_id, i - 1 AS j,
+                   CAST(floor(embedding[CAST(i AS INTEGER)]::DOUBLE
+                     * 1000 + 0.5) AS BIGINT) AS xq
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS t(i)),
+          c0 AS (
+            SELECT vec_id AS cid, j, xq AS cj FROM xq
+            WHERE vec_id IN (SELECT vec_id FROM embeddings
+                             ORDER BY vec_id LIMIT 8)),
+          d1 AS (
+            SELECT x.vec_id, c.cid,
+                   sum((x.xq - c.cj) * (x.xq - c.cj)) AS d2
+            FROM xq x JOIN c0 c ON x.j = c.j GROUP BY 1, 2),
+          a1 AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM d1)
+            WHERE rk = 1),
+          c1 AS (
+            SELECT a.cid, x.j,
+                   CAST(floor(CAST(sum(x.xq) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cj
+            FROM xq x JOIN a1 a ON x.vec_id = a.vec_id GROUP BY 1, 2),
+          e1 AS (
+            SELECT x.vec_id, c.cid,
+                   sum((x.xq - c.cj) * (x.xq - c.cj)) AS d2
+            FROM xq x JOIN c1 c ON x.j = c.j GROUP BY 1, 2),
+          a2 AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM e1)
+            WHERE rk = 1),
+          c2 AS (
+            SELECT a.cid, x.j,
+                   CAST(floor(CAST(sum(x.xq) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cj
+            FROM xq x JOIN a2 a ON x.vec_id = a.vec_id GROUP BY 1, 2),
+          e2 AS (
+            SELECT x.vec_id, c.cid,
+                   sum((x.xq - c.cj) * (x.xq - c.cj)) AS d2
+            FROM xq x JOIN c2 c ON x.j = c.j GROUP BY 1, 2),
+          a3 AS (
+            SELECT vec_id, cid, d2 FROM (
+              SELECT vec_id, cid, d2, row_number() OVER (
+                PARTITION BY vec_id ORDER BY d2, cid) AS rk FROM e2)
+            WHERE rk = 1)
+        SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d2) AS BIGINT) AS inertia_mm2,
+               CAST(floor(CAST(sum(d2) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_d2_mm2
+        FROM a3 GROUP BY 1""")
+    )),
+
+    // Per-DIMENSION scalar uint8 quantization + coded search + exact
+    // rerank — the SQ8 serving path vector stores default to (4×
+    // smaller index than float32, one byte per dim), complementing
+    // s8 (which quantizes per-VECTOR and doesn't search) and s9/s12
+    // (codebook PQ): codes = (x - min_j) * 255 / (max_j - min_j)
+    // floored, approximate distance = Σ(code_q - code_n)², top-20
+    // coded candidates per query, exact integer-milli rerank to
+    // top-5. ALL integer (operands non-negative, so truncating div
+    // IS floor in both engines) — the oracle replays the exact
+    // algorithm, so approximation error is pinned, not waived.
+    // 100 TB: the 64-row per-dim bounds table broadcasts; the coded
+    // scan is one corpus pass with the query side broadcast; only
+    // q×20 candidate pairs ever touch full-precision coordinates.
+    "s22_sq8_rerank" -> ((
+      (s: SparkSession, d: String) => {
+        val xq = emb(s, d)
+          .select(col("vec_id"),
+            posexplode(col("embedding")).as(Seq("j", "x")))
+          .select(col("vec_id"), col("j"),
+            expr("CAST(floor(CAST(x AS DOUBLE) * 1000D + 0.5D)" +
+              " AS BIGINT)").as("xq"))
+        val bounds = xq.groupBy(col("j"))
+          .agg(min("xq").as("mn"),
+            greatest(max("xq") - min("xq"), lit(1L)).as("span"))
+        val codes = xq.join(broadcast(bounds), Seq("j"))
+          .select(col("vec_id"), col("j"),
+            expr("(xq - mn) * 255L div span").as("c"))
+        val qc = codes.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("j"), col("c").as("cq"))
+        val approx = codes.join(broadcast(qc), Seq("j"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("t2", (col("cq") - col("c")) * (col("cq") - col("c")))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(sum("t2").as("ad2"))
+        val wA = Window.partitionBy("q_id")
+          .orderBy(col("ad2"), col("vec_id"))
+        val cand = approx
+          .withColumn("rk", row_number().over(wA))
+          .filter(col("rk") <= 20)
+          .select(col("q_id"), col("vec_id").as("n_id"))
+        val qx = xq.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("j"), col("xq").as("qx"))
+        val exact = cand
+          .join(xq.select(col("vec_id").as("n_id"), col("j"), col("xq")),
+            Seq("n_id"))
+          .join(broadcast(qx), Seq("q_id", "j"))
+          .withColumn("t2", (col("qx") - col("xq")) * (col("qx") - col("xq")))
+          .groupBy(col("q_id"), col("n_id"))
+          .agg(sum("t2").as("d2_mm2"))
+        val wE = Window.partitionBy("q_id")
+          .orderBy(col("d2_mm2"), col("n_id"))
+        exact.withColumn("rank", row_number().over(wE).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("n_id"), col("d2_mm2"))
+      },
+      Some("""WITH xq AS (
+            SELECT vec_id, i - 1 AS j,
+                   CAST(floor(embedding[CAST(i AS INTEGER)]::DOUBLE
+                     * 1000 + 0.5) AS BIGINT) AS xq
+            FROM embeddings,
+                 unnest(range(1, len(embedding) + 1)) AS t(i)),
+          bounds AS (
+            SELECT j, min(xq) AS mn,
+                   greatest(max(xq) - min(xq), 1) AS span
+            FROM xq GROUP BY 1),
+          codes AS (
+            SELECT x.vec_id, x.j,
+                   CAST((x.xq - b.mn) * 255 // b.span AS BIGINT) AS c
+            FROM xq x JOIN bounds b ON x.j = b.j),
+          qc AS (
+            SELECT vec_id AS q_id, j, c AS cq FROM codes
+            WHERE vec_id < 10),
+          approx AS (
+            SELECT q.q_id, n.vec_id,
+                   sum((q.cq - n.c) * (q.cq - n.c)) AS ad2
+            FROM codes n JOIN qc q ON n.j = q.j
+            WHERE n.vec_id <> q.q_id GROUP BY 1, 2),
+          cand AS (
+            SELECT q_id, vec_id AS n_id FROM (
+              SELECT q_id, vec_id, row_number() OVER (
+                PARTITION BY q_id ORDER BY ad2, vec_id) AS rk
+              FROM approx) WHERE rk <= 20),
+          qx AS (
+            SELECT vec_id AS q_id, j, xq AS qx FROM xq
+            WHERE vec_id < 10),
+          exact AS (
+            SELECT c.q_id, c.n_id,
+                   sum((q.qx - x.xq) * (q.qx - x.xq)) AS d2_mm2
+            FROM cand c
+            JOIN xq x ON c.n_id = x.vec_id
+            JOIN qx q ON c.q_id = q.q_id AND x.j = q.j
+            GROUP BY 1, 2)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id,
+               CAST(d2_mm2 AS BIGINT) AS d2_mm2
+        FROM (
+          SELECT q_id, n_id, d2_mm2, row_number() OVER (
+            PARTITION BY q_id ORDER BY d2_mm2, n_id) AS rank
+          FROM exact)
+        WHERE rank <= 5""")
+    )),
+
     // Cosine RANGE search (every neighbor with sim ≥ τ — the
     // "find all sufficiently-similar" retrieval top-k can't express:
     // result size is data-driven, not k) — EXACT by construction,

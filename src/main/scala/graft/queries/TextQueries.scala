@@ -1062,6 +1062,234 @@ object TextQueries {
                  ORDER BY n_chars DESC, doc_id) = 1 AS keep
         FROM lab""")
     )),
+
+    // Dedup yield accounting — the dataset-card numbers every corpus
+    // release reports: per source, docs and tokens before vs after
+    // d17's canonical-dedup policy, and the retained-token ppm. One
+    // definition of "keep" (d17's derivation, shared code) composed
+    // with one narrow per-doc token count; the rollup is a map-side-
+    // combinable 4-group aggregate. The oracle extends d17's SQL with
+    // the same join — the two queries cannot drift onto different
+    // retention decisions.
+    "d18_dedup_yield" -> ((
+      (s: SparkSession, d: String) => {
+        val edges = verifiedNearDupEdges(s, d, threshold = 0.2)
+        val comp = graft.operators.ConnectedComponents
+          .run(edges, "doc_a", "doc_b")
+          .select(col("id").as("doc_id"), col("component"))
+        val w = Window.partitionBy("component")
+        val kept = docs(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .join(comp, Seq("doc_id"), "left")
+          .withColumn("component",
+            coalesce(col("component"), col("doc_id")))
+          .withColumn("rk", row_number().over(
+            w.orderBy(col("n_chars").desc, col("doc_id"))))
+        kept.groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_total"),
+            sum(when(col("rk") === 1, 1L).otherwise(0L)).as("docs_kept"),
+            sum("toks").as("tokens_total"),
+            sum(when(col("rk") === 1, col("toks")).otherwise(0L))
+              .as("tokens_kept"))
+          .withColumn("kept_ppm",
+            col("tokens_kept") * 1000000L / col("tokens_total"))
+          .withColumn("kept_ppm", col("kept_ppm").cast("long"))
+      },
+      Some(s"""WITH RECURSIVE d7 AS ($verifiedJaccardSql),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM d7 WHERE jaccard >= 0.2
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM d7 WHERE jaccard >= 0.2),
+          reach(doc, comp) AS (
+            SELECT a, a FROM e
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN e ON r.doc = e.a),
+          comp AS (
+            SELECT doc AS doc_id, min(comp) AS component
+            FROM reach GROUP BY doc),
+          lab AS (
+            SELECT d.doc_id, d.source, d.n_chars,
+                   CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                     AS toks,
+                   coalesce(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+          ranked AS (
+            SELECT source, toks,
+                   row_number() OVER (PARTITION BY component
+                     ORDER BY n_chars DESC, doc_id) AS rk
+            FROM lab)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS docs_total,
+               CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_kept,
+               CAST(sum(toks) AS BIGINT) AS tokens_total,
+               CAST(sum(CASE WHEN rk = 1 THEN toks ELSE 0 END)
+                 AS BIGINT) AS tokens_kept,
+               CAST(sum(CASE WHEN rk = 1 THEN toks ELSE 0 END)
+                 * 1000000 // sum(toks) AS BIGINT) AS kept_ppm
+        FROM ranked GROUP BY 1""")
+    )),
+
+    // Temperature-resampled source mixture — the α=0.5 sampling
+    // weights multilingual/multi-source pretraining uses (XLM-R/mT5
+    // style: p_i ∝ share_i^α) to up-weight small sources without
+    // letting any one dominate: per source, weight = ⌊√tokens⌋, the
+    // sampled share in ppm, the natural share in ppm, and the
+    // resulting up/down-sampling factor in percent. All integer
+    // except the √ — and floor(sqrt(double)) is engine-exact: IEEE
+    // sqrt is correctly rounded in both JVM and DuckDB, and token
+    // counts sit far below 2^52. Scale: ONE map-side-combinable
+    // per-source aggregate over the corpus; everything after runs on
+    // the SOURCE-sized table (a handful of rows at any corpus size)
+    // with its totals re-aggregated and broadcast back.
+    "t41_source_temperature" -> ((
+      (s: SparkSession, d: String) => {
+        val per = docs(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_toks"))
+          .withColumn("w",
+            expr("CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT)"))
+        val tot = per.agg(sum("n_toks").as("tot_toks"),
+          sum("w").as("tot_w"))
+        per.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("n_toks"),
+            expr("w * 1000000L div tot_w").as("sample_ppm"),
+            expr("n_toks * 1000000L div tot_toks").as("natural_ppm"))
+          .withColumn("upsample_pct",
+            expr("sample_ppm * 100L div greatest(natural_ppm, 1L)"))
+      },
+      Some("""WITH per AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS n_toks
+            FROM documents GROUP BY 1),
+          w AS (
+            SELECT source, n_docs, n_toks,
+                   CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT)
+                     AS w
+            FROM per),
+          tot AS (
+            SELECT sum(n_toks) AS tot_toks, sum(w) AS tot_w FROM w)
+        SELECT source, n_docs, n_toks,
+               CAST(w * 1000000 // t.tot_w AS BIGINT) AS sample_ppm,
+               CAST(n_toks * 1000000 // t.tot_toks AS BIGINT)
+                 AS natural_ppm,
+               CAST((w * 1000000 // t.tot_w) * 100
+                 // greatest(n_toks * 1000000 // t.tot_toks, 1)
+                 AS BIGINT) AS upsample_pct
+        FROM w, tot t""")
+    )),
+
+    // Right-to-be-forgotten propagation — GDPR/CCPA deletion is a
+    // first-class corpus operation, and it does NOT commute with
+    // dedup: removing a doc can orphan its cluster's canonical (the
+    // survivor set must re-elect) and can SPLIT a component when the
+    // deleted doc was the bridge between two near-dup neighborhoods.
+    // Per source: total docs, deleted (the delete list — doc_id ≡ 0
+    // mod 97 as the deterministic stand-in), canonicals before,
+    // canonicals among survivors after re-election, and promoted =
+    // docs that became canonical only through the deletion. MinHash
+    // signatures are per-doc, so the survivor edge set is EXACTLY the
+    // full edge set with deleted endpoints anti-joined out — the
+    // expensive LSH+verify machinery runs ONCE; only the (cheap,
+    // edge-sized) CC re-runs on the filtered edges. 100 TB: two
+    // equi-anti-joins on the delete list, the d8 pointer-jumping CC,
+    // component-partitioned windows — no new shapes.
+    "d19_deletion_propagation" -> ((
+      (s: SparkSession, d: String) => {
+        val base = docs(s, d)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("is_del", col("doc_id") % 97 === 0)
+        val del = base.filter(col("is_del")).select("doc_id")
+        // verifiedJaccardDf localCheckpoints its scan internally, so
+        // the LSH+verify work is computed once across both CC runs.
+        val edges = verifiedNearDupEdges(s, d, threshold = 0.2)
+        def keepFlags(docsIn: DataFrame, e: DataFrame, name: String) = {
+          val comp = graft.operators.ConnectedComponents
+            .run(e, "doc_a", "doc_b")
+            .select(col("id").as("doc_id"), col("component"))
+          val w = Window.partitionBy("component")
+            .orderBy(col("n_chars").desc, col("doc_id"))
+          docsIn.join(comp, Seq("doc_id"), "left")
+            .withColumn("component",
+              coalesce(col("component"), col("doc_id")))
+            .withColumn(name, row_number().over(w) === 1)
+            .select(col("doc_id"), col(name))
+        }
+        val before = keepFlags(base, edges, "keep_before")
+        val edgesAfter = edges
+          .join(del.withColumnRenamed("doc_id", "doc_a"),
+            Seq("doc_a"), "left_anti")
+          .join(del.withColumnRenamed("doc_id", "doc_b"),
+            Seq("doc_b"), "left_anti")
+        val after = keepFlags(base.filter(!col("is_del")), edgesAfter,
+          "keep_after")
+        base
+          .join(before, Seq("doc_id"))
+          .join(after, Seq("doc_id"), "left")
+          .withColumn("keep_after", coalesce(col("keep_after"),
+            lit(false)))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("docs_total"),
+            sum(when(col("is_del"), 1L).otherwise(0L)).as("deleted"),
+            sum(when(col("keep_before"), 1L).otherwise(0L))
+              .as("kept_before"),
+            sum(when(col("keep_after"), 1L).otherwise(0L))
+              .as("kept_after"),
+            sum(when(col("keep_after") && !col("keep_before"), 1L)
+              .otherwise(0L)).as("promoted"))
+      },
+      Some(s"""WITH RECURSIVE d7 AS ($verifiedJaccardSql),
+          e AS (SELECT doc_a AS a, doc_b AS b FROM d7 WHERE jaccard >= 0.2
+                UNION
+                SELECT doc_b AS a, doc_a AS b FROM d7 WHERE jaccard >= 0.2),
+          reach_b(doc, comp) AS (
+            SELECT a, a FROM e
+            UNION
+            SELECT e.b, r.comp FROM reach_b r JOIN e ON r.doc = e.a),
+          comp_b AS (
+            SELECT doc AS doc_id, min(comp) AS component
+            FROM reach_b GROUP BY doc),
+          ea AS (SELECT a, b FROM e
+                 WHERE a % 97 <> 0 AND b % 97 <> 0),
+          reach_a(doc, comp) AS (
+            SELECT a, a FROM ea
+            UNION
+            SELECT ea.b, r.comp FROM reach_a r JOIN ea ON r.doc = ea.a),
+          comp_a AS (
+            SELECT doc AS doc_id, min(comp) AS component
+            FROM reach_a GROUP BY doc),
+          lab_b AS (
+            SELECT d.doc_id, d.source, d.doc_id % 97 = 0 AS is_del,
+                   row_number() OVER (
+                     PARTITION BY coalesce(c.component, d.doc_id)
+                     ORDER BY d.n_chars DESC, d.doc_id) = 1
+                     AS keep_before
+            FROM documents d LEFT JOIN comp_b c USING (doc_id)),
+          lab_a AS (
+            SELECT d.doc_id,
+                   row_number() OVER (
+                     PARTITION BY coalesce(c.component, d.doc_id)
+                     ORDER BY d.n_chars DESC, d.doc_id) = 1
+                     AS keep_after
+            FROM documents d LEFT JOIN comp_a c USING (doc_id)
+            WHERE d.doc_id % 97 <> 0)
+        SELECT b.source,
+               CAST(count(*) AS BIGINT) AS docs_total,
+               CAST(sum(CASE WHEN b.is_del THEN 1 ELSE 0 END)
+                 AS BIGINT) AS deleted,
+               CAST(sum(CASE WHEN b.keep_before THEN 1 ELSE 0 END)
+                 AS BIGINT) AS kept_before,
+               CAST(sum(CASE WHEN coalesce(a.keep_after, false)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS kept_after,
+               CAST(sum(CASE WHEN coalesce(a.keep_after, false)
+                 AND NOT b.keep_before THEN 1 ELSE 0 END) AS BIGINT)
+                 AS promoted
+        FROM lab_b b LEFT JOIN lab_a a USING (doc_id)
+        GROUP BY 1""")
+    )),
   ) ++ entriesTail
 
   /** Verified near-duplicate edges at a Jaccard threshold — the public

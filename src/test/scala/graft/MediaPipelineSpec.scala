@@ -269,6 +269,40 @@ class MediaPipelineSpec extends SparkSpecBase {
     assert(perFrame == totals)
   }
 
+  test("pcmZeroCrossings counts within-frame sign changes under the " +
+      "zero-counts-positive convention, excluding boundary pairs") {
+    val session = spark
+    import session.implicits._
+    // frameSamples=4; samples 1,-1,2,-2 | 3,3,-3,0 | 5 →
+    // frame 0: (1,-1)(−1,2)(2,−2) all flip = 3; frame 1: (3,3) no,
+    // (3,−3) yes, (−3,0) yes — 0 is NON-NEGATIVE = 2; trailing 5
+    // dropped. The boundary pair (−2,3) belongs to no frame.
+    val samples = Seq[Short](1, -1, 2, -2, 3, 3, -3, 0, 5)
+    val buf = java.nio.ByteBuffer.allocate(samples.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(buf.putShort)
+    val ds = spark.createDataset(Seq(media(9L, "audio", buf.array())))
+    val got = MediaPipeline.pcmZeroCrossings(ds, frameSamples = 4)
+      .collect().sortBy(_.frame_index)
+    assert(got.map(f => (f.media_id, f.frame_index, f.crossings)).toSeq
+      == Seq((9L, 0, 3L), (9L, 1, 2L)))
+    // round-trip on real fixtures: recompute from the sample formula
+    val fromOp = MediaPipeline
+      .pcmZeroCrossings(MediaPipeline.pcmFixtures(spark, "/root/testdata/sf0.001"))
+      .collect().map(f => (f.media_id, f.frame_index) -> f.crossings).toMap
+    assert(fromOp.nonEmpty)
+    fromOp.keys.map(_._1).toSeq.distinct.sorted.take(3).foreach { id =>
+      val n = (512 + id % 512).toInt
+      val vals = (0 until n).map(i => ((id * 17 + i.toLong * 31) % 4096) - 2048)
+      (0 until n / 256).foreach { k =>
+        val frame = vals.slice(k * 256, (k + 1) * 256)
+        val want = frame.sliding(2)
+          .count(p => (p(0) >= 0) != (p(1) >= 0)).toLong
+        assert(fromOp((id, k)) == want, s"media $id frame $k")
+      }
+    }
+  }
+
   test("pcmFixtures round-trip: decoding the synthesized PCM through " +
       "pcmEnergy reproduces the sample formula exactly") {
     val feats = MediaPipeline

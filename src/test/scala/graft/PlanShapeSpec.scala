@@ -500,4 +500,73 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!s.contains("CartesianProduct"),
       s"no cartesian anywhere in the PQ pipeline:\n$s")
   }
+
+  test("t40's detect+redact pass is a zero-shuffle narrow map") {
+    val s = planOf("t40_pii_redaction").toString
+    assert(!s.contains("Exchange"),
+      s"PII redaction must not shuffle:\n$s")
+  }
+
+  test("s17's label predicate pushes into the exact arm's parquet " +
+      "scan — the filtered baseline reads only eligible rows") {
+    val s = planOf("s17_filtered_ann").toString
+    assert(s.contains("In(label"),
+      s"label IN filter must reach a parquet scan:\n$s")
+  }
+
+  test("q79's correlated min de-correlates to a window over the " +
+      "gated pair aggregate — ONE fact scan") {
+    val s = planOf("q79_mincost_supplier").toString
+    val factScans = "lineitem\\.parquet".r.findAllIn(s).size
+    assert(factScans == 1,
+      s"expected exactly one lineitem scan, found $factScans in:\n$s")
+    assert(s.contains("Window"), s"per-part min must be a window:\n$s")
+  }
+
+  test("q80's global threshold joins as a ONE-row broadcast — the " +
+      "per-part table re-aggregates, the fact never scans twice") {
+    val s = finalPlan(planOf("q80_important_stock")).toString
+    val factScans = "lineitem\\.parquet".r.findAllIn(s).size
+    assert(factScans <= 2, // per-part agg + its re-aggregate lineage
+      s"found $factScans lineitem scan mentions in:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"the one-row scalar must broadcast:\n$s")
+  }
+
+  test("s19's two rankings stay WindowGroupLimit-bounded — the " +
+      "metric math never sees more than q x k rows per arm") {
+    val s = planOf("s19_retrieval_metrics").toString
+    assert(s.contains("WindowGroupLimit"),
+      s"top-10 cuts must push the group limit:\n$s")
+  }
+
+  test("s21's distributed k-means joins every centroid table as a " +
+      "broadcast and never degrades to a cartesian") {
+    val plan = finalPlan(planOf("s21_kmeans_lloyd"))
+    val s = plan.toString
+    assert(!s.contains("CartesianProduct"),
+      s"no cartesian anywhere in the Lloyd rounds:\n$s")
+    val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(bhj.size >= 5,
+      s"3 assigns + 2 updates + seeds should all broadcast-join, " +
+        s"found ${bhj.size} in:\n$s")
+  }
+
+  test("q82's running share scans the fact ONCE — the part-sized " +
+      "aggregate is materialized, so the final plan re-reads IT (an " +
+      "ExistingRDD), never the fact, for its three consumers") {
+    val s = finalPlan(planOf("q82_abc_inventory")).toString
+    val factScans = "lineitem\\.parquet".r.findAllIn(s).size
+    assert(factScans == 0,
+      s"fact must only be read by the checkpointed aggregate, " +
+        s"found $factScans scans in:\n$s")
+    assert(s.contains("ExistingRDD"),
+      s"expected the materialized part-sized aggregate in:\n$s")
+  }
+
+  test("s22's coded top-20 cut keeps the group-limit pushdown") {
+    val s = planOf("s22_sq8_rerank").toString
+    assert(s.contains("WindowGroupLimit"),
+      s"candidate cut must push the group limit:\n$s")
+  }
 }
