@@ -109,7 +109,8 @@ object ScaleBench {
     // round-13 seventh batch: distributed Lloyd k-means, SQ8 coded
     // search, ABC classes, temperature mixture, deletion propagation
     "s21_kmeans_lloyd", "s22_sq8_rerank", "q82_abc_inventory",
-    "t41_source_temperature", "d19_deletion_propagation")
+    "t41_source_temperature", "d19_deletion_propagation",
+    "q83_entity_resolution")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

@@ -2550,8 +2550,10 @@ object AnalyticsQueries {
     // BOUNDED band table (max-revenue/W rows, independent of part
     // count), never the data. Class thresholds compare cum·10 against
     // total·7/9 — all int64 (cents ~1e16 at 100 TB, ·10 still fits);
-    // the ppm share uses rev·1e6 which holds to ~9e12 cents per
-    // class — the scale where this column moves to decimal(38).
+    // the ppm share divides FIRST (rev ÷ (total ÷ 1e6)) because the
+    // textbook rev·1e6 overflows int64 already at the 10× decade —
+    // the div-first form is exact to ±1 ppm·(1e6/total) and never
+    // outgrows the column.
     "q82_abc_inventory" -> ((
       (s: SparkSession, d: String) => {
         val W = 1L << 20
@@ -2587,7 +2589,7 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("rev_c"),
             first("total").as("total"))
           .withColumn("share_ppm",
-            expr("rev_c * 1000000L div total"))
+            expr("rev_c div greatest(total div 1000000L, 1L)"))
           .select(col("abc_class"), col("n_parts"), col("rev_c"),
             col("share_ppm"))
       },
@@ -2611,9 +2613,106 @@ object AnalyticsQueries {
             FROM cum, tot t)
         SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
                CAST(sum(rev_c) AS BIGINT) AS rev_c,
-               CAST(sum(rev_c) * 1000000 // any_value(total) AS BIGINT)
+               CAST(sum(rev_c)
+                 // greatest(any_value(total) // 1000000, 1) AS BIGINT)
                  AS share_ppm
         FROM cls GROUP BY 1""")
+    )),
+
+    // Entity resolution — blocking + pairwise verify + transitive
+    // clustering, the record-linkage pipeline every master-data /
+    // identity system runs, demonstrated self-validatingly: each
+    // record name is an md5-derived 12-hex code (so distinct entities
+    // are pairwise FAR — sequential TPC-H names would chain into one
+    // giant component under any edit-distance rule), and every third
+    // customer gets a deterministic dirty variant (one hex char
+    // replaced by 'Z' at a key-dependent position). The classic scale
+    // shape: NEVER all-pairs — two substring blocking keys chosen so
+    // a single substitution can break at most one (positions 6-11 and
+    // 12-17; the typo hits exactly one), candidates are per-block
+    // equi-self-joins (block size ~1 at any corpus size: 16^-6
+    // collision odds), verification is exact Levenshtein ≤ 1 (integer,
+    // engine-identical), and entities are the d8 pointer-jumping CC
+    // over verified matches. Golden record = lowest rec_id (the
+    // pristine original of the matched pair).
+    "q83_entity_resolution" -> ((
+      (s: SparkSession, d: String) => {
+        val named = t(s, d, "customer")
+          .select(col("c_custkey"),
+            concat(lit("Cust-"),
+              expr("substring(md5(CAST(c_custkey AS STRING)), 1, 12)"))
+              .as("nm"))
+        val base = named
+          .select((col("c_custkey") * 2L).as("rec_id"), col("nm").as("name"))
+        val variant = named.filter(col("c_custkey") % 3 === 0)
+          .withColumn("p", (lit(6L) + col("c_custkey") % 12L).cast("int"))
+          .select((col("c_custkey") * 2L + 1L).as("rec_id"),
+            concat(expr("substring(nm, 1, p - 1)"), lit("Z"),
+              expr("substring(nm, p + 1)")).as("name"))
+        // one narrow customer-sized derivation, four consumers (two
+        // block joins + the entity rollup) — materialize once
+        val recs = base.unionByName(variant).localCheckpoint()
+        def blockPairs(pos: Int) = {
+          val k = recs.select(col("rec_id"), col("name"),
+            expr(s"substring(name, $pos, 6)").as("bk"))
+          k.select(col("bk"), col("rec_id").as("ra"), col("name").as("na"))
+            .join(k.select(col("bk"), col("rec_id").as("rb"),
+              col("name").as("nb")), Seq("bk"))
+            .filter(col("ra") < col("rb"))
+            .select("ra", "rb", "na", "nb")
+        }
+        val edges = blockPairs(6).unionByName(blockPairs(12)).distinct()
+          .filter(levenshtein(col("na"), col("nb")) <= 1)
+          .select("ra", "rb")
+        val comp = graft.operators.ConnectedComponents
+          .run(edges, "ra", "rb")
+          .select(col("id").as("rec_id"), col("component"))
+        recs.join(comp, Seq("rec_id"), "left")
+          .withColumn("entity", coalesce(col("component"), col("rec_id")))
+          .groupBy(col("entity"))
+          .agg(count(lit(1)).as("n_records"), min("rec_id").as("golden_rec"))
+      },
+      Some("""WITH RECURSIVE recs AS (
+            SELECT c_custkey * 2 AS rec_id,
+                   'Cust-' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                     1, 12) AS name
+            FROM customer
+            UNION ALL
+            SELECT c_custkey * 2 + 1,
+                   substr(nm, 1, p - 1) || 'Z' || substr(nm, p + 1)
+            FROM (
+              SELECT c_custkey,
+                     'Cust-' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                       1, 12) AS nm,
+                     CAST(6 + c_custkey % 12 AS INTEGER) AS p
+              FROM customer WHERE c_custkey % 3 = 0)),
+          cand AS (
+            SELECT a.rec_id AS ra, b.rec_id AS rb,
+                   a.name AS na, b.name AS nb
+            FROM recs a JOIN recs b
+              ON substr(a.name, 6, 6) = substr(b.name, 6, 6)
+             AND a.rec_id < b.rec_id
+            UNION
+            SELECT a.rec_id, b.rec_id, a.name, b.name
+            FROM recs a JOIN recs b
+              ON substr(a.name, 12, 6) = substr(b.name, 12, 6)
+             AND a.rec_id < b.rec_id),
+          edges AS (
+            SELECT ra, rb FROM cand WHERE levenshtein(na, nb) <= 1),
+          e AS (SELECT ra AS a, rb AS b FROM edges
+                UNION SELECT rb, ra FROM edges),
+          reach(doc, comp) AS (
+            SELECT a, a FROM e
+            UNION
+            SELECT e.b, r.comp FROM reach r JOIN e ON r.doc = e.a),
+          comp AS (
+            SELECT doc AS rec_id, min(comp) AS component
+            FROM reach GROUP BY doc)
+        SELECT coalesce(c.component, r.rec_id) AS entity,
+               CAST(count(*) AS BIGINT) AS n_records,
+               CAST(min(r.rec_id) AS BIGINT) AS golden_rec
+        FROM recs r LEFT JOIN comp c USING (rec_id)
+        GROUP BY 1""")
     )),
 
     // RFM customer segmentation — the classic recency/frequency/

@@ -1092,9 +1092,10 @@ object TextQueries {
             sum("toks").as("tokens_total"),
             sum(when(col("rk") === 1, col("toks")).otherwise(0L))
               .as("tokens_kept"))
+          // div-first: kept·1e6 would overflow int64 past ~9e12
+          // per-source tokens (the 100 TB regime)
           .withColumn("kept_ppm",
-            col("tokens_kept") * 1000000L / col("tokens_total"))
-          .withColumn("kept_ppm", col("kept_ppm").cast("long"))
+            expr("tokens_kept div greatest(tokens_total div 1000000L, 1L)"))
       },
       Some(s"""WITH RECURSIVE d7 AS ($verifiedJaccardSql),
           e AS (SELECT doc_a AS a, doc_b AS b FROM d7 WHERE jaccard >= 0.2
@@ -1126,7 +1127,8 @@ object TextQueries {
                CAST(sum(CASE WHEN rk = 1 THEN toks ELSE 0 END)
                  AS BIGINT) AS tokens_kept,
                CAST(sum(CASE WHEN rk = 1 THEN toks ELSE 0 END)
-                 * 1000000 // sum(toks) AS BIGINT) AS kept_ppm
+                 // greatest(sum(toks) // 1000000, 1) AS BIGINT)
+                 AS kept_ppm
         FROM ranked GROUP BY 1""")
     )),
 
@@ -1155,8 +1157,13 @@ object TextQueries {
           sum("w").as("tot_w"))
         per.crossJoin(broadcast(tot))
           .select(col("source"), col("n_docs"), col("n_toks"),
+            // w = ⌊√tokens⌋ stays ≤ ~5e6 at any real corpus, so w·1e6
+            // fits; the RAW token share divides first (n·1e6 would
+            // overflow int64 past ~9e12 corpus tokens — the 100 TB
+            // regime)
             expr("w * 1000000L div tot_w").as("sample_ppm"),
-            expr("n_toks * 1000000L div tot_toks").as("natural_ppm"))
+            expr("n_toks div greatest(tot_toks div 1000000L, 1L)")
+              .as("natural_ppm"))
           .withColumn("upsample_pct",
             expr("sample_ppm * 100L div greatest(natural_ppm, 1L)"))
       },
@@ -1174,10 +1181,10 @@ object TextQueries {
             SELECT sum(n_toks) AS tot_toks, sum(w) AS tot_w FROM w)
         SELECT source, n_docs, n_toks,
                CAST(w * 1000000 // t.tot_w AS BIGINT) AS sample_ppm,
-               CAST(n_toks * 1000000 // t.tot_toks AS BIGINT)
-                 AS natural_ppm,
+               CAST(n_toks // greatest(t.tot_toks // 1000000, 1)
+                 AS BIGINT) AS natural_ppm,
                CAST((w * 1000000 // t.tot_w) * 100
-                 // greatest(n_toks * 1000000 // t.tot_toks, 1)
+                 // greatest(n_toks // greatest(t.tot_toks // 1000000, 1), 1)
                  AS BIGINT) AS upsample_pct
         FROM w, tot t""")
     )),

@@ -569,4 +569,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(s.contains("WindowGroupLimit"),
       s"candidate cut must push the group limit:\n$s")
   }
+
+  test("q83's entity matching never degrades to all-pairs — every " +
+      "candidate join is an equi-join on a blocking key") {
+    val s = finalPlan(planOf("q83_entity_resolution")).toString
+    assert(!s.contains("CartesianProduct")
+        && !s.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep the self-joins equi:\n$s")
+  }
 }
