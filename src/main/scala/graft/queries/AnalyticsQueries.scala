@@ -2652,23 +2652,10 @@ object AnalyticsQueries {
         // one narrow customer-sized derivation, four consumers (two
         // block joins + the entity rollup) — materialize once
         val recs = base.unionByName(variant).localCheckpoint()
-        def blockPairs(pos: Int) = {
-          val k = recs.select(col("rec_id"), col("name"),
-            expr(s"substring(name, $pos, 6)").as("bk"))
-          k.select(col("bk"), col("rec_id").as("ra"), col("name").as("na"))
-            .join(k.select(col("bk"), col("rec_id").as("rb"),
-              col("name").as("nb")), Seq("bk"))
-            .filter(col("ra") < col("rb"))
-            .select("ra", "rb", "na", "nb")
-        }
-        val edges = blockPairs(6).unionByName(blockPairs(12)).distinct()
-          .filter(levenshtein(col("na"), col("nb")) <= 1)
-          .select("ra", "rb")
-        val comp = graft.operators.ConnectedComponents
-          .run(edges, "ra", "rb")
-          .select(col("id").as("rec_id"), col("component"))
-        recs.join(comp, Seq("rec_id"), "left")
-          .withColumn("entity", coalesce(col("component"), col("rec_id")))
+        graft.operators.EntityResolution
+          .resolve(recs,
+            Seq(expr("substring(name, 6, 6)"),
+              expr("substring(name, 12, 6)")), maxEdits = 1)
           .groupBy(col("entity"))
           .agg(count(lit(1)).as("n_records"), min("rec_id").as("golden_rec"))
       },

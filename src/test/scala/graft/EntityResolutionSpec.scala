@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.EntityResolution
+import org.apache.spark.sql.functions._
+
+/** Entity resolution: the multi-pass blocking guarantee (one edit
+  * breaks at most one key → the pair always surfaces), verified-only
+  * merging, transitive closure, golden-record election, and the
+  * honest failure mode (a typo that breaks EVERY blocking key is
+  * missed — blocking is a recall/scale tradeoff, not magic).
+  */
+class EntityResolutionSpec extends SparkSpecBase {
+
+  private def recs(rows: (Long, String)*) = {
+    val session = spark
+    import session.implicits._
+    rows.toSeq.toDF("rec_id", "name")
+  }
+
+  private val twoKeys = Seq(expr("substring(name, 1, 4)"),
+    expr("substring(name, 5, 4)"))
+
+  test("a single-char typo breaking one blocking key is recovered " +
+      "through the other; matched records share an entity with the " +
+      "lowest rec_id as golden") {
+    // 8-char names; keys = first/last 4 chars. The typo hits char 2
+    // (breaks key 1, key 2 intact).
+    val df = recs(
+      0L -> "abcdwxyz", 1L -> "aXcdwxyz",
+      2L -> "ppppqqqq")
+    val out = EntityResolution.resolve(df, twoKeys, maxEdits = 1)
+      .collect().map(r => r.getAs[Long]("rec_id")
+        -> r.getAs[Long]("entity")).toMap
+    assert(out(0L) == out(1L), s"typo pair must merge: $out")
+    assert(out(0L) == 0L, "entity label is the lowest member id")
+    assert(out(2L) == 2L, "singleton stays its own entity")
+  }
+
+  test("candidates come only from shared blocks — a within-distance " +
+      "pair sharing NO blocking key is (honestly) missed") {
+    // names differ in one char, but that char sits in BOTH halves'
+    // keys? Impossible for one edit — so construct a pair differing
+    // in TWO chars (one per key) at distance 2 with maxEdits = 2:
+    // every key is broken, so blocking never surfaces the pair.
+    val df = recs(0L -> "abcdwxyz", 1L -> "aXcdwXyz")
+    val out = EntityResolution.resolve(df, twoKeys, maxEdits = 2)
+      .collect().map(r => r.getAs[Long]("rec_id")
+        -> r.getAs[Long]("entity")).toMap
+    assert(out(0L) == 0L && out(1L) == 1L,
+      s"no shared block => no candidate => no merge: $out")
+  }
+
+  test("verification gates candidates: sharing a block without being " +
+      "within maxEdits never merges") {
+    val df = recs(0L -> "abcdwxyz", 1L -> "abcdZZZZ")
+    val out = EntityResolution.resolve(df, twoKeys, maxEdits = 1)
+      .collect().map(r => r.getAs[Long]("rec_id")
+        -> r.getAs[Long]("entity")).toMap
+    assert(out(0L) == 0L && out(1L) == 1L,
+      s"distance-4 pair must not merge: $out")
+  }
+
+  test("matching is transitive: a chain a~b~c is one entity even " +
+      "when a and c are farther than maxEdits apart") {
+    val df = recs(
+      0L -> "abcdwxyz", 1L -> "aXcdwxyz", 2L -> "aXcdwxyZ")
+    val out = EntityResolution.resolve(df, twoKeys, maxEdits = 1)
+      .collect().map(r => r.getAs[Long]("entity")).distinct
+    assert(out.length == 1, s"chain must close into one entity: $out")
+  }
+
+  test("duplicate candidates across blocking keys collapse — pair " +
+      "appears once even when both keys match") {
+    val df = recs(0L -> "abcdwxyz", 1L -> "abcdwxyz")
+    val cand = EntityResolution.candidates(df, twoKeys)
+    assert(cand.count() == 1L)
+  }
+}
