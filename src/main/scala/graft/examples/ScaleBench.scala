@@ -110,7 +110,9 @@ object ScaleBench {
     // search, ABC classes, temperature mixture, deletion propagation
     "s21_kmeans_lloyd", "s22_sq8_rerank", "q82_abc_inventory",
     "t41_source_temperature", "d19_deletion_propagation",
-    "q83_entity_resolution")
+    "q83_entity_resolution",
+    // round-13 eighth batch: winnowing fingerprints
+    "d20_winnowing")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.
@@ -124,7 +126,13 @@ object ScaleBench {
     // graph family
     "d15_substring_removal", "d16_prefix_filter_join",
     "t28_gopher_rules", "t29_source_overlap",
-    "p5_bfs_hops", "p6_label_prop", "p8_kcore")
+    "p5_bfs_hops", "p6_label_prop", "p8_kcore",
+    // round-13: the heaviest new 1x costs — GNN rounds, the three
+    // CC-driven dedup/deletion derivations, blocked entity matching,
+    // distributed Lloyd
+    "p9_neighbor_agg", "d17_canonical_dedup", "d18_dedup_yield",
+    "d19_deletion_propagation", "q83_entity_resolution",
+    "s21_kmeans_lloyd")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")

@@ -1297,6 +1297,84 @@ object TextQueries {
         FROM lab_b b LEFT JOIN lab_a a USING (doc_id)
         GROUP BY 1""")
     )),
+
+    // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    // SIGMOD 2003 — the MOSS algorithm): per sliding window of w=4
+    // consecutive 5-gram hashes, select the RIGHTMOST minimal hash;
+    // the selected set is a position-independent fingerprint with
+    // guaranteed density ~2/(w+1) and the guarantee that any match of
+    // length ≥ k+w-1 words shares at least one fingerprint. Pairs of
+    // docs sharing ≥ 5 fingerprints are the plagiarism/overlap
+    // candidates — the fingerprint-index shape every code/doc-overlap
+    // service ships, complementing MinHash (d4: set resemblance) with
+    // POSITIONAL substring evidence. Exactness: grams hash with the
+    // portable salted hash; rightmost-min is min(struct(gh, −p)), an
+    // order the oracle replays as max(p) over the window-min hash.
+    // Scale: narrow per-doc maps, per-DOC-partitioned windows, the
+    // fingerprint equi-join carries the same Σ|bucket|² discipline as
+    // the LSH bands — density ~2/(w+1) keeps the fingerprint table at
+    // ~29% of the gram table by construction.
+    "d20_winnowing" -> ((
+      (s: SparkSession, d: String) => {
+        val grams = docs(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 8) // ≥ 1 full window of 4 grams
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(w) - 4)," +
+              " i -> concat_ws(' ', slice(w, i, 5)))"))
+            .as(Seq("p", "g")))
+          .select(col("doc_id"), col("p"),
+            saltedHash(17, col("g")).as("gh"))
+        val frame = Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(0, 3)
+        val all = Window.partitionBy("doc_id")
+        val fp = grams
+          .withColumn("sel", min(struct(col("gh"),
+            (-col("p")).as("np"))).over(frame))
+          .withColumn("ng", count(lit(1)).over(all))
+          .filter(col("p") <= col("ng") - 4) // full windows only
+          .select(col("doc_id"), col("sel.gh").as("gh"))
+          .distinct()
+        fp.select(col("doc_id").as("doc_a"), col("gh"))
+          .join(fp.select(col("doc_id").as("doc_b"), col("gh")),
+            Seq("gh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .groupBy(col("doc_a"), col("doc_b"))
+          .agg(count(lit(1)).as("shared_fp"))
+          .filter(col("shared_fp") >= 5)
+      },
+      Some(s"""WITH ws AS (
+            SELECT doc_id, string_split(text, ' ') AS w
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 8),
+          grams AS (
+            SELECT doc_id, i - 1 AS p,
+                   ${saltedHashSql(17, "array_to_string(w[i:i+4], ' ')")}
+                     AS gh
+            FROM ws, unnest(range(1, len(w) - 3)) AS t(i)),
+          ng AS (SELECT doc_id, count(*) AS g FROM grams GROUP BY 1),
+          wm AS (
+            SELECT doc_id, p, min(gh) OVER (
+              PARTITION BY doc_id ORDER BY p
+              ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+            FROM grams),
+          sel AS (
+            SELECT w.doc_id, w.p, max(g2.p) AS selp
+            FROM wm w
+            JOIN ng ON ng.doc_id = w.doc_id
+            JOIN grams g2 ON g2.doc_id = w.doc_id
+             AND g2.p BETWEEN w.p AND w.p + 3 AND g2.gh = w.m
+            WHERE w.p <= ng.g - 4
+            GROUP BY 1, 2),
+          fp AS (
+            SELECT DISTINCT s.doc_id, g.gh
+            FROM sel s JOIN grams g
+              ON g.doc_id = s.doc_id AND g.p = s.selp)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared_fp
+        FROM fp a JOIN fp b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 5""")
+    )),
   ) ++ entriesTail
 
   /** Verified near-duplicate edges at a Jaccard threshold — the public

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, functions => F}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Streaming entity-match gate — the ingest twin of
+  * [[graft.operators.EntityResolution]], for attributing incoming
+  * records to a growing master-data corpus: an arriving record is
+  * flagged when any of its blocking-key buckets holds an
+  * earlier-admitted record within `maxEdits` exact edit distance.
+  *
+  * Twin of [[StreamingNearDup]] with one structural difference: a
+  * bucket collision there IS the (candidate) signal, while here the
+  * verifier runs INSIDE the state function — so the bucket must
+  * retain every admitted (rec_id, name) in it, not just the first
+  * owner. That list is the O(admitted records × keys) corpus
+  * fingerprint the gate keeps by definition; with blocking keys
+  * chosen the [[graft.operators.EntityResolution]] way (selective
+  * enough that blocks hold ~1 record), each bucket's list stays a
+  * handful of entries — the same Σ|block|² discipline, applied to
+  * state size instead of join fan-out.
+  *
+  * Semantics (deterministic): within a micro-batch, records process
+  * in rec_id order; an arrival matching a bucket-resident record
+  * (earliest resident wins) emits a MatchFlag and does not claim
+  * THAT bucket; a novel-in-this-bucket arrival claims residence.
+  * Residence is PER-BUCKET by construction — bucket state functions
+  * run independently, so a record matched under one key may still
+  * claim a bucket under another key where it was novel. Flags are
+  * therefore verified match EDGES whose attribution can CHAIN
+  * (7 → 3 → 1): exactly the edge stream the batch
+  * [[graft.operators.EntityResolution.resolve]] closes transitively
+  * — run it over the admitted corpus when closed entity ids (not
+  * ingest-time attribution) are the product. Per-record attribution
+  * consumers take the min `match_of` per rec_id across keys.
+  */
+object StreamingEntityMatch {
+
+  case class KeyRow(rec_id: Long, name: String, ki: Int, bk: String)
+  case class MatchFlag(rec_id: Long, ki: Int, bk: String, match_of: Long)
+  case class BlockState(admitted: Seq[(Long, String)])
+
+  /** Classic DP edit distance — the state-function verifier (Column
+    * `levenshtein` only exists in query plans). Early-exits via the
+    * band trick are deliberately absent: names here are short keys,
+    * and the plain O(len²) loop is branch-predictable.
+    */
+  private[graft] def editDistance(a: String, b: String): Int = {
+    val (n, m) = (a.length, b.length)
+    var prev = Array.tabulate(m + 1)(identity)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var j = 1
+      while (j <= m) {
+        val sub = prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), sub)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** One row per (record, blocking key) — the stateless per-row map
+    * that keys the state store. `blockKeys` are Columns over
+    * (rec_id, name), evaluated in the PLAN (codegen'd), so the
+    * state function never recomputes them.
+    */
+  def keyRows(records: DataFrame, blockKeys: Seq[Column]): DataFrame = {
+    require(blockKeys.nonEmpty, "StreamingEntityMatch: need >= 1 key")
+    records.select(F.col("rec_id"), F.col("name"),
+      F.posexplode(F.array(blockKeys: _*)).as(Seq("ki", "bk")))
+  }
+
+  /** The stateful gate over a STREAMING (rec_id, name) frame. */
+  def gate(records: DataFrame, blockKeys: Seq[Column],
+      maxEdits: Int): Dataset[MatchFlag] = {
+    val session = records.sparkSession
+    import session.implicits._
+    keyRows(records, blockKeys).as[KeyRow]
+      .groupByKey(r => (r.ki, r.bk))
+      .flatMapGroupsWithState[BlockState, MatchFlag](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((ki, bk), rows, state) =>
+          val sorted = rows.toSeq.sortBy(_.rec_id)
+          var admitted = state.getOption.map(_.admitted).getOrElse(Seq.empty)
+          val before = admitted
+          val out = Seq.newBuilder[MatchFlag]
+          sorted.foreach { r =>
+            if (!admitted.exists(_._1 == r.rec_id)) { // replay guard
+              admitted.find(a => editDistance(a._2, r.name) <= maxEdits)
+              match {
+                case Some((ownerId, _)) =>
+                  out += MatchFlag(r.rec_id, ki, bk, ownerId)
+                case None =>
+                  admitted = admitted :+ ((r.rec_id, r.name))
+              }
+            }
+          }
+          if (admitted ne before) state.update(BlockState(admitted))
+          out.result().iterator
+      }
+  }
+}
