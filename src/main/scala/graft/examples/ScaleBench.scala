@@ -111,8 +111,9 @@ object ScaleBench {
     "s21_kmeans_lloyd", "s22_sq8_rerank", "q82_abc_inventory",
     "t41_source_temperature", "d19_deletion_propagation",
     "q83_entity_resolution",
-    // round-13 eighth batch: winnowing fingerprints
-    "d20_winnowing")
+    // round-13 eighth batch: winnowing fingerprints, luma-histogram
+    // image gate
+    "d20_winnowing", "m15_pixel_histogram")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

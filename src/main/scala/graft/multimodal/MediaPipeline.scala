@@ -610,6 +610,45 @@ object MediaPipeline {
     }
   }
 
+  final case class PixelHistogram(media_id: Long, bin: Int, n: Long)
+
+  /** Binned luma histogram over the DECODED image (band 0 — the
+    * fixtures are gray, so one band is the luma): the vision-corpus
+    * quality gate's sufficient statistic. Flat/low-diversity images
+    * (solid fills, letterboxes, failed decodes rendering as uniform
+    * noise floors) show up as mass concentrated in few bins — the
+    * image analog of the t28 repetition rules — and a curation
+    * pipeline thresholds on exactly the dominant-bin share m15
+    * derives from this table. Bins partition [0, 256) evenly; empty
+    * bins are omitted (the downstream aggregate counts NONZERO bins).
+    * Narrow flatMap over decoded pixels, fan-out ≤ `bins` rows per
+    * media, no shuffle.
+    */
+  def pixelHistogram(
+      media: Dataset[MediaFile], bins: Int = 16): Dataset[PixelHistogram] = {
+    require(bins >= 1 && 256 % bins == 0,
+      s"bins must divide 256 evenly, got $bins")
+    import media.sparkSession.implicits._
+    val width = 256 / bins
+    media.flatMap { m =>
+      val img = componentView(readImage(m.payload))
+      val raster = img.getRaster
+      val counts = new Array[Long](bins)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          counts(raster.getSample(x, y, 0) / width) += 1L
+          x += 1
+        }
+        y += 1
+      }
+      counts.iterator.zipWithIndex.collect {
+        case (n, b) if n > 0 => PixelHistogram(m.media_id, b, n)
+      }
+    }
+  }
+
   /** Feature table as a DataFrame for the query/oracle surface. */
   def imageFeaturesDf(spark: SparkSession, dir: String): DataFrame =
     extractImageFeatures(fromDocuments(spark, dir)).toDF()

@@ -411,6 +411,55 @@ object MultimodalQueries {
         FROM px GROUP BY 1, 2, 3, 4""")
     )),
 
+    // Luma-histogram image-quality gate — the vision analog of the
+    // t28 repetition rules: per decoded image, the 16-bin band-0
+    // histogram's mass concentration. Flat/low-diversity payloads
+    // (solid fills, letterboxes, uniform decode-failure noise) put
+    // their mass in few bins; the gate statistic is the dominant
+    // bin's share (ties → lowest bin, as max(struct(n, −bin)) — the
+    // oracle replays it as a (n desc, bin) row_number). Real decoded
+    // pixels (m7's machinery), oracle recomputing from the fixture
+    // pixel formula. Narrow flatMap with fan-out ≤ 16 rows per
+    // media; the rollup is a map-side-combinable per-media aggregate.
+    "m15_pixel_histogram" -> ((
+      (s: SparkSession, d: String) =>
+        MediaPipeline.pixelHistogram(MediaPipeline.pngFixtures(s, d))
+          .toDF()
+          .groupBy(col("media_id"))
+          .agg(sum("n").as("n_pixels"),
+            count(lit(1)).as("nonzero_bins"),
+            max(struct(col("n"), (-col("bin")).as("nb"))).as("d"))
+          .select(col("media_id"), col("n_pixels"), col("nonzero_bins"),
+            (-col("d.nb")).cast("long").as("dom_bin"),
+            col("d.n").as("dom_n"))
+          .withColumn("is_flat", col("dom_n") * 8L >= col("n_pixels")),
+      Some("""WITH ids AS (
+            SELECT doc_id, 8 + doc_id % 16 AS w, 8 + (doc_id // 7) % 16 AS h
+            FROM documents WHERE doc_id % 5 = 0),
+          px AS (
+            SELECT i.doc_id,
+                   ((i.doc_id * 31 + gx.x * 7 + gy.y * 13) % 256) // 16
+                     AS bin
+            FROM ids i,
+                 (SELECT unnest(range(0, 24)) AS x) gx,
+                 (SELECT unnest(range(0, 24)) AS y) gy
+            WHERE gx.x < i.w AND gy.y < i.h),
+          hist AS (
+            SELECT doc_id, bin, count(*) AS n FROM px GROUP BY 1, 2),
+          dom AS (
+            SELECT doc_id, bin, n, row_number() OVER (
+              PARTITION BY doc_id ORDER BY n DESC, bin) AS rk
+            FROM hist)
+        SELECT h.doc_id AS media_id,
+               CAST(sum(h.n) AS BIGINT) AS n_pixels,
+               CAST(count(*) AS BIGINT) AS nonzero_bins,
+               CAST(any_value(d.bin) AS BIGINT) AS dom_bin,
+               CAST(any_value(d.n) AS BIGINT) AS dom_n,
+               any_value(d.n) * 8 >= sum(h.n) AS is_flat
+        FROM hist h JOIN dom d ON h.doc_id = d.doc_id AND d.rk = 1
+        GROUP BY 1""")
+    )),
+
     // CROSS-MODAL curation join — the first m-query that composes
     // modalities: a doc survives only if its image decodes clean at
     // usable resolution (m7's real PNG decode, min-area gate ≥150 px)

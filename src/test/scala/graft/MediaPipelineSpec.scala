@@ -303,6 +303,25 @@ class MediaPipelineSpec extends SparkSpecBase {
     }
   }
 
+  test("pixelHistogram round-trip: decoding the synthesized PNGs " +
+      "reproduces the pixel-formula histogram exactly, empty bins " +
+      "omitted") {
+    val hist = MediaPipeline
+      .pixelHistogram(MediaPipeline.pngFixtures(spark, "/root/testdata/sf0.001"))
+      .collect().map(h => (h.media_id, h.bin) -> h.n).toMap
+    assert(hist.nonEmpty)
+    val ids = hist.keys.map(_._1).toSeq.distinct.sorted.take(3)
+    ids.foreach { id =>
+      val (w, h) = ((8 + id % 16).toInt, (8 + (id / 7) % 16).toInt)
+      val want = (for { y <- 0 until h; x <- 0 until w }
+        yield (((id * 31 + x * 7 + y * 13) % 256) / 16).toInt)
+        .groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+      (0 until 16).foreach { b =>
+        assert(hist.get((id, b)) == want.get(b), s"media $id bin $b")
+      }
+    }
+  }
+
   test("pcmFixtures round-trip: decoding the synthesized PCM through " +
       "pcmEnergy reproduces the sample formula exactly") {
     val feats = MediaPipeline
