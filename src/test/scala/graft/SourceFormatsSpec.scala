@@ -9,6 +9,26 @@ import java.nio.file.{Files, Paths}
   */
 class SourceFormatsSpec extends SparkSpecBase {
 
+  test("ORC round-trip preserves schema and values, and filters push " +
+      "into the ORC scan — the columnar alternative when a lakehouse " +
+      "standardizes on ORC instead of parquet") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "n_chars", "text")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == df.schema, s"schema drift: ${back.schema}")
+    assert(back.count() == df.count())
+    assert(back.agg(sum("n_chars"), sum(length(col("text")))).head()
+      == df.agg(sum("n_chars"), sum(length(col("text")))).head())
+    val plan = back.filter(col("doc_id") === 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("doc_id"),
+      s"ORC scan must accept the pushed filter:\n$plan")
+  }
+
   test("metadata CSV scan infers types and projects to the dimension") {
     val dir = Files.createTempDirectory("graft-csv")
     val csv =
