@@ -965,6 +965,62 @@ object SimilarityQueries {
         WHERE rank <= 5""")
     )),
 
+    // IVF nprobe calibration sweep — the recall-vs-probes tradeoff
+    // table every vector-DB operator tunes before fixing a serving
+    // nprobe: recall@5 vs the exact arm at nprobe ∈ {1, 2, 4} of 8
+    // cells, in ONE corpus-side join (the three probe lists are
+    // query-sized, tagged with their level, and unioned BEFORE the
+    // index join; per-level ranking reuses the join output). The s5
+    // contract discipline: the output carries BOOLEAN contract
+    // columns — per-level recall floors (10/20/30 of 50, calibrated
+    // vs measured 15-20/26-30/37-41 at sf0.001-0.1, each above the
+    // 50·np/8 random-probe baseline) and monotonicity (recall must
+    // not fall as nprobe grows, since candidate sets are nested) —
+    // so the oracle is exact while the index-derived numbers stay
+    // behind contracts. Recalibrate floors with
+    // examples/NprobeCalib before trusting elsewhere (the s5 rule).
+    "s23_ivf_nprobe_sweep" -> ((
+      (s: SparkSession, d: String) => {
+        import s.implicits._
+        val model = graft.operators.IvfIndex.train(
+          emb(s, d), "vec_id", "embedding", k = 8, iters = 3)
+        val index = graft.operators.IvfIndex.assign(
+          emb(s, d).select(col("vec_id").as("n_id"),
+            col("embedding").as("nv")), "nv", model)
+        val qs = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val probes = Seq(1, 2, 4).map(np =>
+          graft.operators.IvfIndex.probe(qs, "qv", model, np)
+            .withColumn("lvl", lit(np))).reduce(_ unionByName _)
+        val w = Window.partitionBy("lvl", "q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        val ivf5 = broadcast(probes)
+          .join(index, col("probe_cell") === col("cell"))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("lvl"), col("q_id"), col("n_id"))
+        val floors = Seq((1, 10L), (2, 20L), (4, 30L))
+          .toDF("lvl", "floor")
+        exactTopK(s, d).select("q_id", "n_id")
+          .join(ivf5, Seq("q_id", "n_id"))
+          .groupBy(col("lvl")).agg(count(lit(1)).as("hits"))
+          .join(broadcast(floors), Seq("lvl"))
+          .withColumn("prev_hits",
+            lag("hits", 1).over(Window.orderBy("lvl")))
+          .select(col("lvl").cast("long").as("nprobe"),
+            lit(50L).as("n_exact"),
+            (col("hits") >= col("floor")).as("recall_floor_ok"),
+            (col("prev_hits").isNull
+              || col("hits") >= col("prev_hits")).as("monotone_ok"))
+      },
+      Some("""SELECT CAST(nprobe AS BIGINT) AS nprobe,
+               CAST(50 AS BIGINT) AS n_exact,
+               TRUE AS recall_floor_ok, TRUE AS monotone_ok
+        FROM (VALUES (1), (2), (4)) AS t(nprobe)""")
+    )),
+
     // Cosine RANGE search (every neighbor with sim ≥ τ — the
     // "find all sufficiently-similar" retrieval top-k can't express:
     // result size is data-driven, not k) — EXACT by construction,
