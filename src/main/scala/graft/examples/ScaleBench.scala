@@ -112,8 +112,9 @@ object ScaleBench {
     "t41_source_temperature", "d19_deletion_propagation",
     "q83_entity_resolution",
     // round-13 eighth batch: winnowing fingerprints, luma-histogram
-    // image gate, nprobe calibration sweep
-    "d20_winnowing", "m15_pixel_histogram", "s23_ivf_nprobe_sweep")
+    // image gate, nprobe calibration sweep, seed-set reach profile
+    "d20_winnowing", "m15_pixel_histogram", "s23_ivf_nprobe_sweep",
+    "p10_reach_profile")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

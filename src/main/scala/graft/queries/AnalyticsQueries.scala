@@ -3180,6 +3180,74 @@ object AnalyticsQueries {
       }
     )),
 
+    // Seed-set reach profile — the reachability curve network
+    // analysts report from a multi-source BFS (influence/coverage
+    // analyses, "how far does Brand#4's co-purchase neighborhood
+    // extend"): per hop level, nodes FIRST reached there, the
+    // cumulative reach, and the level's harmonic-centrality mass
+    // (Σ 1e6 div h, the integer-exact harmonic contribution; hop 0 =
+    // the seeds themselves contribute none, the standard convention).
+    // Pure composition: p5's BfsHops derivation (same operator, same
+    // edge definition) + a map-side-combinable per-hop rollup + a
+    // cumulative window over the HOP table — ≤ rounds+1 rows,
+    // bounded by construction, never the data (the q81 band-table
+    // discipline).
+    "p10_reach_profile" -> ((
+      (s: SparkSession, d: String) => {
+        val e = copurchasePairs(s, d, ordered = false)
+          .select(col("a").as("src"), col("b").as("dst"))
+        val seeds = t(s, d, "part")
+          .filter(col("p_brand") === "Brand#4")
+          .select(col("p_partkey").as("node"))
+        val perHop = graft.operators.BfsHops
+          .run(e, "src", "dst", seeds, "node",
+            rounds = 4, checkpointEvery = 2)
+          .groupBy(col("hops"))
+          .agg(count(lit(1)).as("n_first_reached"))
+        val wCum = Window.orderBy(col("hops"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        perHop
+          .withColumn("cum_reached",
+            sum("n_first_reached").over(wCum))
+          .withColumn("harmonic_ppm",
+            when(col("hops") === 0L, 0L)
+              .otherwise(expr("n_first_reached * (1000000L div hops)")))
+          .select(col("hops"), col("n_first_reached"),
+            col("cum_reached"), col("harmonic_ppm"))
+      },
+      Some {
+        val round = (i: Int, prev: String) =>
+          s"""d$i AS (
+            SELECT node, min(d) AS d FROM (
+              SELECT node, d FROM $prev
+              UNION ALL
+              SELECT e.dst AS node, p.d + 1 AS d
+              FROM e JOIN $prev p ON e.src = p.node)
+            GROUP BY node)"""
+        s"""WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+          e AS (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+          seeds AS (
+            SELECT DISTINCT p_partkey AS node FROM part
+            WHERE p_brand = 'Brand#4'),
+          d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM seeds),
+          ${(1 to 4).map(i => round(i, s"d${i - 1}")).mkString(",\n          ")},
+          ph AS (
+            SELECT d AS hops, CAST(count(*) AS BIGINT)
+                     AS n_first_reached
+            FROM d4 GROUP BY 1)
+        SELECT hops, n_first_reached,
+               CAST(sum(n_first_reached) OVER (ORDER BY hops)
+                 AS BIGINT) AS cum_reached,
+               CAST(CASE WHEN hops = 0 THEN 0
+                 ELSE n_first_reached * (1000000 // hops) END
+                 AS BIGINT) AS harmonic_ppm
+        FROM ph"""
+      }
+    )),
+
     // Community detection by deterministic label propagation
     // (operators.LabelProp) — the 5th graph primitive: majority-vote
     // communities, NOT min-label components (d8/t19's CC would flood
