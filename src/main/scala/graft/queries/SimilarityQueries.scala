@@ -1021,6 +1021,68 @@ object SimilarityQueries {
         FROM (VALUES (1), (2), (4)) AS t(nprobe)""")
     )),
 
+    // Binary (sign-bit) embedding search — the 32×-compression
+    // extreme of the quantization family (int8 s8, SQ8 s22, PQ
+    // s9/s12, Matryoshka s11): each 64-d float vector packs into TWO
+    // 32-bit sign words (not one 64-bit word — bit 63 would need the
+    // sign bit, which `1 << 63` can't express portably in int64),
+    // and search ranks by Hamming distance = popcount(w0⊕w0') +
+    // popcount(w1⊕w1'), ties → n_id. Entirely integer, so the
+    // oracle replays the EXACT search, not a contract. 100 TB: the
+    // packed index is 8 bytes/vector; the scan is one corpus pass
+    // with the 10-query side broadcast, xor+popcount in codegen —
+    // the cheapest first-stage filter a retrieval cascade ships.
+    "s24_hamming_topk" -> ((
+      (s: SparkSession, d: String) => {
+        def pack(lo: Int) =
+          s"""aggregate(zip_with(slice(embedding, ${lo + 1}, 32),
+               sequence(0, 31),
+               (x, j) -> CASE WHEN CAST(x AS DOUBLE) >= 0D
+                 THEN shiftleft(1L, j) ELSE 0L END),
+             0L, (a, b) -> a + b)"""
+        val packed = emb(s, d).select(col("vec_id"),
+          expr(pack(0)).as("w0"), expr(pack(32)).as("w1"))
+        val q = packed.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"),
+            col("w0").as("q0"), col("w1").as("q1"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("hamming"), col("vec_id"))
+        broadcast(q).crossJoin(packed)
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("hamming",
+            expr("bit_count(w0 ^ q0) + bit_count(w1 ^ q1)")
+              .cast("long"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"),
+            col("vec_id").as("n_id"), col("hamming"))
+      },
+      Some("""WITH packed AS (
+            SELECT vec_id,
+                   CAST(list_sum([CASE WHEN embedding[i] >= 0
+                       THEN 1::BIGINT << (i - 1) ELSE 0 END
+                     for i in range(1, 33)]) AS BIGINT) AS w0,
+                   CAST(list_sum([CASE WHEN embedding[i] >= 0
+                       THEN 1::BIGINT << (i - 33) ELSE 0 END
+                     for i in range(33, 65)]) AS BIGINT) AS w1
+            FROM embeddings),
+          q AS (
+            SELECT vec_id AS q_id, w0 AS q0, w1 AS q1 FROM packed
+            WHERE vec_id < 10),
+          d AS (
+            SELECT q.q_id, p.vec_id AS n_id,
+                   CAST(bit_count(xor(p.w0, q.q0))
+                      + bit_count(xor(p.w1, q.q1)) AS BIGINT)
+                     AS hamming
+            FROM q, packed p WHERE p.vec_id <> q.q_id)
+        SELECT q_id, CAST(rank AS BIGINT) AS rank, n_id, hamming
+        FROM (
+          SELECT q_id, n_id, hamming, row_number() OVER (
+            PARTITION BY q_id ORDER BY hamming, n_id) AS rank
+          FROM d)
+        WHERE rank <= 5""")
+    )),
+
     // Cosine RANGE search (every neighbor with sim ≥ τ — the
     // "find all sufficiently-similar" retrieval top-k can't express:
     // result size is data-driven, not k) — EXACT by construction,
