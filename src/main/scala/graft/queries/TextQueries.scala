@@ -1189,6 +1189,82 @@ object TextQueries {
         FROM w, tot t""")
     )),
 
+    // Training-mixture allocation plan — the artifact a training run
+    // actually consumes downstream of t41's temperature weights: a
+    // token budget B = 2× the corpus, apportioned across sources
+    // proportionally to weight w = ⌊√tokens⌋ with LARGEST-REMAINDER
+    // rounding (Hamilton's method), so integer allocations sum to B
+    // EXACTLY — no ±1 drift between engines, runs, or shard counts.
+    // Overflow-safe exact quota at any scale: floor(B·w/W) =
+    // (B div W)·w + ((B mod W)·w) div W (the direct B·w overflows
+    // int64 at 100 TB token counts; the decomposition's largest
+    // intermediate is (B mod W)·w < W·w). Remainder ties break to
+    // source asc. Scale: ONE corpus aggregate; every subsequent step
+    // — totals, remainders, the leftover-rank window — runs on the
+    // SOURCE-sized table (bounded at any corpus size).
+    "t42_mixture_plan" -> ((
+      (s: SparkSession, d: String) => {
+        val per = docs(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("toks"))
+          .groupBy(col("source"))
+          .agg(sum("toks").as("n_toks"))
+          .withColumn("w",
+            expr("CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT)"))
+        val tot = per.agg(sum("n_toks").as("tot_toks"),
+          sum("w").as("wt"))
+        val quotas = per.crossJoin(broadcast(tot))
+          .withColumn("budget", col("tot_toks") * 2L)
+          .withColumn("base",
+            expr("(budget div wt) * w + ((budget % wt) * w) div wt"))
+          .withColumn("rem", expr("((budget % wt) * w) % wt"))
+        val wRank = Window.orderBy(col("rem").desc, col("source"))
+        val wAll = Window.partitionBy(lit(1))
+        quotas
+          .withColumn("leftover",
+            col("budget") - sum("base").over(wAll))
+          .withColumn("rk", row_number().over(wRank))
+          .withColumn("tokens_alloc",
+            col("base") + when(col("rk") <= col("leftover"), 1L)
+              .otherwise(0L))
+          .select(col("source"), col("n_toks"), col("tokens_alloc"),
+            expr("tokens_alloc * 100L div n_toks").as("epochs_pct"))
+      },
+      Some("""WITH per AS (
+            SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS n_toks
+            FROM documents GROUP BY 1),
+          w AS (
+            SELECT source, n_toks,
+                   CAST(floor(sqrt(CAST(n_toks AS DOUBLE))) AS BIGINT)
+                     AS w
+            FROM per),
+          tot AS (
+            SELECT sum(n_toks) AS tot_toks, sum(w) AS wt FROM w),
+          q AS (
+            SELECT source, n_toks,
+                   CAST((t.tot_toks * 2 // t.wt) * w
+                      + ((t.tot_toks * 2 % t.wt) * w) // t.wt
+                     AS BIGINT) AS base,
+                   CAST(((t.tot_toks * 2 % t.wt) * w) % t.wt
+                     AS BIGINT) AS rem,
+                   CAST(t.tot_toks * 2 AS BIGINT) AS budget
+            FROM w, tot t),
+          r AS (
+            SELECT source, n_toks, base, budget,
+                   sum(base) OVER () AS base_sum,
+                   row_number() OVER (ORDER BY rem DESC, source) AS rk
+            FROM q)
+        SELECT source, n_toks,
+               CAST(base + CASE WHEN rk <= budget - base_sum
+                 THEN 1 ELSE 0 END AS BIGINT) AS tokens_alloc,
+               CAST((base + CASE WHEN rk <= budget - base_sum
+                 THEN 1 ELSE 0 END) * 100 // n_toks AS BIGINT)
+                 AS epochs_pct
+        FROM r""")
+    )),
+
     // Right-to-be-forgotten propagation — GDPR/CCPA deletion is a
     // first-class corpus operation, and it does NOT commute with
     // dedup: removing a doc can orphan its cluster's canonical (the
