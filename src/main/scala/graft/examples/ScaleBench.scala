@@ -114,7 +114,8 @@ object ScaleBench {
     // round-13 eighth batch: winnowing fingerprints, luma-histogram
     // image gate, nprobe calibration sweep, seed-set reach profile
     "d20_winnowing", "m15_pixel_histogram", "s23_ivf_nprobe_sweep",
-    "p10_reach_profile", "s24_hamming_topk", "t42_mixture_plan")
+    "p10_reach_profile", "s24_hamming_topk", "t42_mixture_plan",
+    "d21_duplication_profile")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

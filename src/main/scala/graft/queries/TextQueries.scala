@@ -1374,6 +1374,62 @@ object TextQueries {
         GROUP BY 1""")
     )),
 
+    // Per-source n-gram duplication profile — the corpus-health
+    // number dataset cards report (Dolma/RefinedWeb style): of each
+    // source's distinct-per-doc 5-grams, how many also appear in at
+    // least one OTHER document (anywhere in the corpus), as an exact
+    // ppm rate. High duplication predicts memorization risk and
+    // flags boilerplate-heavy sources BEFORE dedup spends compute on
+    // them. One definition of a 5-gram (fiveGramsExpr — shared with
+    // t13/t16, so the profile can never disagree with contamination
+    // about what a gram is). Scale: gram-keyed count aggregate (one
+    // shuffle), gram⋈count equi-join back, per-source rollup.
+    // dup_ppm branches on the total (the q82 int64 lesson, refined):
+    // below 1e6 grams the textbook shared·1e6 div total is exact and
+    // cannot overflow; above it the div-first form never outgrows
+    // int64 while the divisor's truncation error is ≤ 1 ppm-unit
+    // relative — both branches engine-identical.
+    "d21_duplication_profile" -> ((
+      (s: SparkSession, d: String) => {
+        val grams = docs(s, d)
+          .select(col("doc_id"), col("source"),
+            split(col("text"), " ").as("w"))
+          .select(col("doc_id"), col("source"),
+            explode(expr(fiveGramsExpr)).as("g"))
+        val counts = grams.groupBy(col("g"))
+          .agg(count(lit(1)).as("n_docs"))
+        grams.join(counts, Seq("g"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("grams_total"),
+            sum(when(col("n_docs") > 1L, 1L).otherwise(0L))
+              .as("grams_shared"))
+          .withColumn("dup_ppm",
+            expr("""CASE WHEN grams_total < 1000000L
+                 THEN grams_shared * 1000000L div grams_total
+                 ELSE grams_shared div (grams_total div 1000000L)
+                 END"""))
+      },
+      Some(s"""WITH grams AS (
+            SELECT doc_id, source, g
+            FROM (SELECT doc_id, source,
+                    string_split(text, ' ') AS w FROM documents),
+                 unnest($fiveGramsSql) AS t(g)),
+          counts AS (
+            SELECT g, count(*) AS n_docs FROM grams GROUP BY 1)
+        SELECT gr.source,
+               CAST(count(*) AS BIGINT) AS grams_total,
+               CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS grams_shared,
+               CAST(CASE WHEN count(*) < 1000000
+                 THEN sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)
+                      * 1000000 // count(*)
+                 ELSE sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)
+                      // (count(*) // 1000000) END AS BIGINT)
+                 AS dup_ppm
+        FROM grams gr JOIN counts c ON gr.g = c.g
+        GROUP BY 1""")
+    )),
+
     // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     // SIGMOD 2003 — the MOSS algorithm): per sliding window of w=4
     // consecutive 5-gram hashes, select the RIGHTMOST minimal hash;
