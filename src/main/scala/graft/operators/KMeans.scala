@@ -80,8 +80,22 @@ object KMeans {
     * the FINAL assignment (vec_id, cid, d2) against the last updated
     * centroids — d2 is each vector's exact integer-milli² residual,
     * so Σd2 per cid is the cluster inertia.
+    *
+    * DYING CLUSTERS (the [[StreamingKMeans]] caveat, batch edition):
+    * `update` emits rows only for clusters that hold ≥ 1 member, so a
+    * centroid that loses every member DISAPPEARS and k shrinks
+    * silently for the remaining rounds — standard Lloyd behavior for
+    * this formulation, acceptable here because the product is the
+    * ASSIGNMENT (every vector still gets its nearest live centroid),
+    * not a fixed-k codebook. Likewise, an input with fewer than k
+    * rows seeds only row-count centroids. Callers that need exactly
+    * k live cells (codebook training) should use [[IvfIndex.train]],
+    * whose sampled trainer reseeds; callers here can detect shrink
+    * from the output (`countDistinct(cid) < k`) and refit with
+    * different k.
     */
   def fit(vecs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"KMeans.fit: k must be >= 1, got $k")
     require(rounds >= 1, "KMeans.fit: need at least one round")
     val xq = coords(vecs)
     val seedIds = vecs.select(col("vec_id")).orderBy(col("vec_id"))

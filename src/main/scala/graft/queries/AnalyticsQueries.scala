@@ -2410,8 +2410,14 @@ object AnalyticsQueries {
     // SCALE-FREE — value > 2× the mean per-part value (TPC-H itself
     // divides Q11's fraction by SF for the same reason; a fixed
     // fraction of total selects nothing once parts grow) — and the
-    // compare is integer cross-multiplication (value·cnt > total·2),
-    // so both engines decide every borderline part identically.
+    // compare divides the threshold side: value > (total·2) div cnt,
+    // exactly equivalent to the cross-multiplication value·cnt >
+    // total·2 for integers (v > ⌊t/c⌋ ⟺ v·c > t when v is an int)
+    // but with max intermediate total·2 (~2e17 cents at 100 TB, fits)
+    // instead of value·cnt, whose ~1e11·1e8 product would wrap int64
+    // silently in non-ANSI Spark while DuckDB raised — a scale-only
+    // engine divergence. Both engines decide every borderline part
+    // identically.
     // Scale: the nation's supplier keys broadcast-semi the fact
     // before the one per-part shuffle; the scalar join is a
     // BroadcastNestedLoopJoin over ONE row.
@@ -2433,7 +2439,7 @@ object AnalyticsQueries {
         val total = perPart.agg(sum("value_c").as("total_c"),
           count(lit(1)).as("part_cnt"))
         perPart.join(broadcast(total))
-          .filter(col("value_c") * col("part_cnt") > col("total_c") * 2)
+          .filter(col("value_c") > expr("(total_c * 2L) div part_cnt"))
           .select(col("l_partkey").as("p_partkey"), col("value_c"))
       },
       Some("""WITH per_part AS (
@@ -2448,8 +2454,9 @@ object AnalyticsQueries {
             GROUP BY 1)
         SELECT l_partkey AS p_partkey, value_c
         FROM per_part
-        WHERE value_c * (SELECT count(*) FROM per_part) >
-              (SELECT CAST(sum(value_c) AS BIGINT) * 2 FROM per_part)""")
+        WHERE value_c >
+              (SELECT CAST(sum(value_c) AS BIGINT) * 2 FROM per_part)
+              // (SELECT count(*) FROM per_part)""")
     )),
 
     // Exact 2-D Pareto skyline — parts no other part dominates on
@@ -2550,10 +2557,11 @@ object AnalyticsQueries {
     // BOUNDED band table (max-revenue/W rows, independent of part
     // count), never the data. Class thresholds compare cum·10 against
     // total·7/9 — all int64 (cents ~1e16 at 100 TB, ·10 still fits);
-    // the ppm share divides FIRST (rev ÷ (total ÷ 1e6)) because the
-    // textbook rev·1e6 overflows int64 already at the 10× decade —
-    // the div-first form is exact to ±1 ppm·(1e6/total) and never
-    // outgrows the column.
+    // the ppm share takes the ExactMath branch (the 10×-decade int64
+    // lesson, refined to the TRUE bound): multiply-first is exact for
+    // class revenues ≤ 9e12 cents, div-first only past it where its
+    // truncation error is sub-ppm — never outgrowing int64 at either
+    // decade.
     "q82_abc_inventory" -> ((
       (s: SparkSession, d: String) => {
         val W = 1L << 20
@@ -2589,11 +2597,11 @@ object AnalyticsQueries {
           .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("rev_c"),
             first("total").as("total"))
           .withColumn("share_ppm",
-            expr("rev_c div greatest(total div 1000000L, 1L)"))
+            expr(graft.queries.ExactMath.ppmExpr("rev_c", "total")))
           .select(col("abc_class"), col("n_parts"), col("rev_c"),
             col("share_ppm"))
       },
-      Some("""WITH pr AS (
+      Some(s"""WITH pr AS (
             SELECT l_partkey,
                    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
                      AS BIGINT)) AS BIGINT) AS rev_c
@@ -2613,8 +2621,8 @@ object AnalyticsQueries {
             FROM cum, tot t)
         SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
                CAST(sum(rev_c) AS BIGINT) AS rev_c,
-               CAST(sum(rev_c)
-                 // greatest(any_value(total) // 1000000, 1) AS BIGINT)
+               CAST(${graft.queries.ExactMath.ppmSql(
+                   "sum(rev_c)", "any_value(total)")} AS BIGINT)
                  AS share_ppm
         FROM cls GROUP BY 1""")
     )),

@@ -1,0 +1,39 @@
+package graft.queries
+
+/** Cross-engine EXACT integer ratio helpers — one definition for both
+  * the Spark expression and its DuckDB oracle twin, so the two engines
+  * can never branch differently on the same row.
+  *
+  * The ppm problem (round-13 ADVICE, refining the q82 lesson): the
+  * textbook `num * 1000000 div den` overflows int64 once `num`
+  * outgrows ~9.2e12 (the 100 TB token/revenue regime), while the
+  * overflow-safe `num div (den div 1e6)` is APPROXIMATE — for totals
+  * in [1e6, ~1e8] the truncated divisor inflates the result by up to
+  * 2×, and below 1e6 it returns the raw numerator. Branching on the
+  * NUMERATOR gives exactness everywhere either form is representable:
+  * multiply-first is exact and overflow-free for every `num ≤ 9e12`
+  * (9e12·1e6 < 2^63 ≈ 9.22e18), and above that bound `den ≥ num > 9e12`
+  * makes the div-first divisor's relative truncation error < 1.2e-7 —
+  * below one ppm unit. Both branches are integer-only, so Spark and
+  * DuckDB agree bit-for-bit on every row.
+  */
+object ExactMath {
+
+  /** int64 bound under which `num * 1_000_000` cannot overflow. */
+  val MulFirstBound = 9000000000000L
+
+  /** Spark SQL expression: exact parts-per-million of `num` in `den`
+    * (both non-negative int64 expressions, `num <= den` in the
+    * intended callers; `den >= 1`).
+    */
+  def ppmExpr(num: String, den: String): String =
+    s"""CASE WHEN $num <= ${MulFirstBound}L
+          THEN $num * 1000000L div $den
+          ELSE $num div greatest($den div 1000000L, 1L) END"""
+
+  /** DuckDB twin of [[ppmExpr]] — identical branch, identical math. */
+  def ppmSql(num: String, den: String): String =
+    s"""CASE WHEN $num <= $MulFirstBound
+          THEN $num * 1000000 // $den
+          ELSE $num // greatest($den // 1000000, 1) END"""
+}

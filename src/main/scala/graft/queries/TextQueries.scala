@@ -1092,10 +1092,11 @@ object TextQueries {
             sum("toks").as("tokens_total"),
             sum(when(col("rk") === 1, col("toks")).otherwise(0L))
               .as("tokens_kept"))
-          // div-first: kept·1e6 would overflow int64 past ~9e12
-          // per-source tokens (the 100 TB regime)
+          // ExactMath branch: multiply-first (exact) up to 9e12 kept
+          // tokens, div-first only past it where truncation error is
+          // sub-ppm (the 100 TB regime)
           .withColumn("kept_ppm",
-            expr("tokens_kept div greatest(tokens_total div 1000000L, 1L)"))
+            expr(ExactMath.ppmExpr("tokens_kept", "tokens_total")))
       },
       Some(s"""WITH RECURSIVE d7 AS ($verifiedJaccardSql),
           e AS (SELECT doc_a AS a, doc_b AS b FROM d7 WHERE jaccard >= 0.2
@@ -1126,8 +1127,9 @@ object TextQueries {
                CAST(sum(toks) AS BIGINT) AS tokens_total,
                CAST(sum(CASE WHEN rk = 1 THEN toks ELSE 0 END)
                  AS BIGINT) AS tokens_kept,
-               CAST(sum(CASE WHEN rk = 1 THEN toks ELSE 0 END)
-                 // greatest(sum(toks) // 1000000, 1) AS BIGINT)
+               CAST(${ExactMath.ppmSql(
+                   "sum(CASE WHEN rk = 1 THEN toks ELSE 0 END)",
+                   "sum(toks)")} AS BIGINT)
                  AS kept_ppm
         FROM ranked GROUP BY 1""")
     )),
@@ -1158,16 +1160,17 @@ object TextQueries {
         per.crossJoin(broadcast(tot))
           .select(col("source"), col("n_docs"), col("n_toks"),
             // w = ⌊√tokens⌋ stays ≤ ~5e6 at any real corpus, so w·1e6
-            // fits; the RAW token share divides first (n·1e6 would
-            // overflow int64 past ~9e12 corpus tokens — the 100 TB
-            // regime)
+            // fits; the RAW token share takes the ExactMath branch —
+            // multiply-first (exact) up to the true int64 bound,
+            // div-first only in the >9e12 regime where its truncation
+            // error drops below one ppm unit
             expr("w * 1000000L div tot_w").as("sample_ppm"),
-            expr("n_toks div greatest(tot_toks div 1000000L, 1L)")
+            expr(ExactMath.ppmExpr("n_toks", "tot_toks"))
               .as("natural_ppm"))
           .withColumn("upsample_pct",
             expr("sample_ppm * 100L div greatest(natural_ppm, 1L)"))
       },
-      Some("""WITH per AS (
+      Some(s"""WITH per AS (
             SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
                    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
                      AS n_toks
@@ -1181,10 +1184,10 @@ object TextQueries {
             SELECT sum(n_toks) AS tot_toks, sum(w) AS tot_w FROM w)
         SELECT source, n_docs, n_toks,
                CAST(w * 1000000 // t.tot_w AS BIGINT) AS sample_ppm,
-               CAST(n_toks // greatest(t.tot_toks // 1000000, 1)
+               CAST(${ExactMath.ppmSql("n_toks", "t.tot_toks")}
                  AS BIGINT) AS natural_ppm,
                CAST((w * 1000000 // t.tot_w) * 100
-                 // greatest(n_toks // greatest(t.tot_toks // 1000000, 1), 1)
+                 // greatest(${ExactMath.ppmSql("n_toks", "t.tot_toks")}, 1)
                  AS BIGINT) AS upsample_pct
         FROM w, tot t""")
     )),
@@ -1384,11 +1387,12 @@ object TextQueries {
     // t13/t16, so the profile can never disagree with contamination
     // about what a gram is). Scale: gram-keyed count aggregate (one
     // shuffle), gram⋈count equi-join back, per-source rollup.
-    // dup_ppm branches on the total (the q82 int64 lesson, refined):
-    // below 1e6 grams the textbook shared·1e6 div total is exact and
-    // cannot overflow; above it the div-first form never outgrows
-    // int64 while the divisor's truncation error is ≤ 1 ppm-unit
-    // relative — both branches engine-identical.
+    // dup_ppm takes the ExactMath branch (the q82 int64 lesson at the
+    // TRUE overflow bound): multiply-first is exact for every shared
+    // count ≤ 9e12 — which covers any total where truncation would
+    // distort — and only past it falls to div-first, whose divisor
+    // truncation is then < 1.2e-7 relative (sub-ppm). Both branches
+    // engine-identical.
     "d21_duplication_profile" -> ((
       (s: SparkSession, d: String) => {
         val grams = docs(s, d)
@@ -1404,10 +1408,7 @@ object TextQueries {
             sum(when(col("n_docs") > 1L, 1L).otherwise(0L))
               .as("grams_shared"))
           .withColumn("dup_ppm",
-            expr("""CASE WHEN grams_total < 1000000L
-                 THEN grams_shared * 1000000L div grams_total
-                 ELSE grams_shared div (grams_total div 1000000L)
-                 END"""))
+            expr(ExactMath.ppmExpr("grams_shared", "grams_total")))
       },
       Some(s"""WITH grams AS (
             SELECT doc_id, source, g
@@ -1420,11 +1421,9 @@ object TextQueries {
                CAST(count(*) AS BIGINT) AS grams_total,
                CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)
                  AS BIGINT) AS grams_shared,
-               CAST(CASE WHEN count(*) < 1000000
-                 THEN sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)
-                      * 1000000 // count(*)
-                 ELSE sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)
-                      // (count(*) // 1000000) END AS BIGINT)
+               CAST(${ExactMath.ppmSql(
+                   "sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END)",
+                   "count(*)")} AS BIGINT)
                  AS dup_ppm
         FROM grams gr JOIN counts c ON gr.g = c.g
         GROUP BY 1""")

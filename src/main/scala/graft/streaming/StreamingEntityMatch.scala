@@ -76,9 +76,24 @@ object StreamingEntityMatch {
       F.posexplode(F.array(blockKeys: _*)).as(Seq("ki", "bk")))
   }
 
-  /** The stateful gate over a STREAMING (rec_id, name) frame. */
+  /** The stateful gate over a STREAMING (rec_id, name) frame.
+    *
+    * STATE-SIZE CONTRACT: each bucket's resident list grows by one per
+    * novel admission and is scanned once per arrival (the verifier
+    * must test residents in admission order — "earliest wins" is the
+    * semantics, not an implementation detail), so a hot or
+    * low-selectivity blocking key degrades per-arrival cost linearly
+    * and state unboundedly — the GlobalOrder lesson applied to state.
+    * `maxResidents` makes that failure LOUD: a bucket asked to admit
+    * past the cap throws a named error telling the caller to refine
+    * the key, instead of quietly going quadratic per micro-batch.
+    * The replay guard is a per-batch hash set (built once per bucket
+    * invocation, O(1) per row), not a list scan.
+    */
   def gate(records: DataFrame, blockKeys: Seq[Column],
-      maxEdits: Int): Dataset[MatchFlag] = {
+      maxEdits: Int, maxResidents: Int = 64): Dataset[MatchFlag] = {
+    require(maxResidents >= 1,
+      s"StreamingEntityMatch: maxResidents must be >= 1, got $maxResidents")
     val session = records.sparkSession
     import session.implicits._
     keyRows(records, blockKeys).as[KeyRow]
@@ -87,21 +102,35 @@ object StreamingEntityMatch {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case ((ki, bk), rows, state) =>
           val sorted = rows.toSeq.sortBy(_.rec_id)
-          var admitted = state.getOption.map(_.admitted).getOrElse(Seq.empty)
-          val before = admitted
+          val admitted = scala.collection.mutable.ArrayBuffer.from(
+            state.getOption.map(_.admitted).getOrElse(Seq.empty))
+          val seen = scala.collection.mutable.HashSet.from(
+            admitted.iterator.map(_._1))
+          val grew = admitted.size
           val out = Seq.newBuilder[MatchFlag]
           sorted.foreach { r =>
-            if (!admitted.exists(_._1 == r.rec_id)) { // replay guard
+            // replay guard, O(1): guards ADMITTED ids only (matched
+            // arrivals re-verify on replay, exactly as before — the
+            // flag re-emits, at-least-once)
+            if (!seen.contains(r.rec_id)) {
               admitted.find(a => editDistance(a._2, r.name) <= maxEdits)
               match {
                 case Some((ownerId, _)) =>
                   out += MatchFlag(r.rec_id, ki, bk, ownerId)
                 case None =>
-                  admitted = admitted :+ ((r.rec_id, r.name))
+                  if (admitted.size >= maxResidents)
+                    throw new IllegalStateException(
+                      s"StreamingEntityMatch: bucket (ki=$ki, bk=$bk) " +
+                        s"outgrew maxResidents=$maxResidents — the " +
+                        "blocking key is not selective enough to bound " +
+                        "per-arrival verification; refine the key " +
+                        "domain (or raise the cap deliberately)")
+                  seen += r.rec_id
+                  admitted += ((r.rec_id, r.name))
               }
             }
           }
-          if (admitted ne before) state.update(BlockState(admitted))
+          if (admitted.size != grew) state.update(BlockState(admitted.toSeq))
           out.result().iterator
       }
   }
