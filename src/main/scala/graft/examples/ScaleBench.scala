@@ -135,7 +135,11 @@ object ScaleBench {
     // distributed Lloyd
     "p9_neighbor_agg", "d17_canonical_dedup", "d18_dedup_yield",
     "d19_deletion_propagation", "q83_entity_resolution",
-    "s21_kmeans_lloyd")
+    "s21_kmeans_lloyd",
+    // round-14: the board's most expensive query joins the two-decade
+    // table (build+serve fused here; the split is BeamRecallProbe
+    // `scale` mode)
+    "s14_knn_beam")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")

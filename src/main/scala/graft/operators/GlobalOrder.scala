@@ -19,9 +19,27 @@ import org.apache.spark.sql.functions._
   *      `offset(key) + row_number() within its key` — a window
   *      PARTITIONED by key.
   *
+  * `salts > 1` adds the TWO-LEVEL (key, salt) scheme that removes the
+  * per-key single-task-sort ceiling (the round-12/13 advice item):
+  * each key's rows split into `salts` RANGE buckets of the numeric
+  * tie (bucket = a monotone function of the tie value, derived from
+  * the per-key min/max the SAME counts aggregate already computes),
+  * per-(key, bucket) offsets come from one more prefix sum — a window
+  * PARTITIONED BY KEY over ≤ `salts` rows — and each row takes
+  * `offset(key) + offset(key, bucket) + row_number() within its
+  * bucket`. Because the bucket is monotone in the tie, the positions
+  * are EXACTLY the salts=1 positions (bucketing affects only load
+  * balance, never order), and the heaviest single-task sort shrinks
+  * from the heaviest KEY to the heaviest (key, bucket) — ~corpus/
+  * (nKeys·salts) under value-uniform ties. Value CONCENTRATION (many
+  * rows in a narrow tie range) can still overfill one bucket; that is
+  * checked from the sub-key counts and fails with a named error, not
+  * an executor OOM.
+  *
   * Position is total and deterministic as long as (key, tie) is a
-  * total order over the rows. The data shuffles once (on the key);
-  * no row ever crosses into a global sort.
+  * total order over the rows. The data shuffles once on the key
+  * (salts=1) or twice on (key, bucket) (salted); no row ever crosses
+  * into a global sort.
   *
   * This is the enumeration core behind curriculum ordering (t35):
   * training wants every example at a stable global position in
@@ -36,23 +54,35 @@ object GlobalOrder {
     *        id instead of a bucket/length/score) must fail with a
     *        named error, not an executor OOM deep in the job. The
     *        default matches the graph family's broadcastNodeLimit.
-    * @param maxRowsPerKey hard gate on the HEAVIEST key's row count —
-    *        the contract's other half: phase 2's per-key row_number
-    *        sorts each key's entire row set in ONE task, so per-key
-    *        volume (~corpus/nKeys under a coarse domain, worse under
-    *        skew) is the real single-task ceiling the key-cardinality
-    *        gate alone would gloss over. Checked from the SAME counts
-    *        aggregate (no extra pass). Callers whose corpus outgrows
-    *        it must either refine the key domain (more keys × fewer
-    *        rows — the knob the two gates bracket from both sides) or
-    *        move to a two-level (key, salt) scheme: enumerate salted
-    *        sub-keys, then add per-(key) salt offsets the same
-    *        prefix-sum way — same math, one more level.
+    *        When salted, the broadcast sub-key table is nKeys·salts
+    *        rows and is gated against the same bound.
+    * @param maxRowsPerKey hard gate on the HEAVIEST single-task sort:
+    *        the per-key row count at salts=1, the per-(key, bucket)
+    *        count when salted. Checked from the same aggregates (no
+    *        extra data pass). A salts=1 caller whose corpus outgrows
+    *        it should raise `salts` (more sub-keys × fewer rows);
+    *        a SALTED caller tripping it has tie-value concentration —
+    *        raise `salts` further or spread the tie domain.
+    * @param salts sub-buckets per key (1 = classic two-phase plan).
+    *        Requires a NUMERIC tie column when > 1 (the bucket must
+    *        be monotone in the tie, so it is derived from the tie's
+    *        per-key value range).
     */
   def enumerate(
       df: DataFrame, keyCol: String, tieCol: String,
       posCol: String = "pos", maxKeys: Long = 5000000L,
-      maxRowsPerKey: Long = 100000000L): DataFrame = {
+      maxRowsPerKey: Long = 100000000L, salts: Int = 1): DataFrame = {
+    require(salts >= 1 && salts <= 65536,
+      s"GlobalOrder.enumerate: salts must be in [1, 65536], got $salts")
+    if (salts == 1) enumerateFlat(df, keyCol, tieCol, posCol,
+      maxKeys, maxRowsPerKey)
+    else enumerateSalted(df, keyCol, tieCol, posCol,
+      maxKeys, maxRowsPerKey, salts)
+  }
+
+  private def enumerateFlat(
+      df: DataFrame, keyCol: String, tieCol: String, posCol: String,
+      maxKeys: Long, maxRowsPerKey: Long): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
     val stats = counts
       .agg(count(lit(1)).as("k"), coalesce(max("__n"), lit(0L)).as("m"))
@@ -67,8 +97,9 @@ object GlobalOrder {
     require(maxPerKey <= maxRowsPerKey,
       s"GlobalOrder.enumerate: heaviest '$keyCol' key holds $maxPerKey " +
         s"rows, exceeding maxRowsPerKey=$maxRowsPerKey — phase 2 sorts " +
-        "each key in one task, so refine the key domain or add a salt " +
-        "level (see scaladoc) instead of single-task-sorting this key")
+        "each key in one task; raise `salts` to split keys into " +
+        "tie-range buckets (exact, see scaladoc) or refine the key " +
+        "domain")
     val offsets = counts
       .withColumn("__offset",
         coalesce(sum("__n").over(Window.orderBy(col(keyCol))
@@ -79,5 +110,64 @@ object GlobalOrder {
       .withColumn(posCol,
         col("__offset") + row_number().over(perKey).cast("long") - 1L)
       .drop("__offset")
+  }
+
+  private def enumerateSalted(
+      df: DataFrame, keyCol: String, tieCol: String, posCol: String,
+      maxKeys: Long, maxRowsPerKey: Long, salts: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val tieType = df.schema(tieCol).dataType
+    require(tieType.isInstanceOf[NumericType],
+      s"GlobalOrder.enumerate: salts=$salts needs a numeric '$tieCol' " +
+        s"(got ${tieType.simpleString}) — the salt bucket must be " +
+        "monotone in the tie, so it derives from the tie value range")
+    // ONE counts aggregate also carries each key's tie range — the
+    // salt boundaries cost no extra data pass
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"),
+      min(col(tieCol).cast("double")).as("__lo"),
+      max(col(tieCol).cast("double")).as("__hi"))
+    val nKeys = counts.count()
+    require(nKeys <= maxKeys && nKeys * salts <= math.max(maxKeys, 10000000L),
+      s"GlobalOrder.enumerate: $nKeys distinct '$keyCol' keys x " +
+        s"$salts salts exceed the broadcast-table bound (maxKeys=" +
+        s"$maxKeys) — coarsen the key domain or lower salts")
+    val offsets = counts
+      .withColumn("__offset",
+        coalesce(sum("__n").over(Window.orderBy(col(keyCol))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("__offset"), col("__lo"), col("__hi"))
+    // monotone range bucket in [0, salts): double math is safe here —
+    // ANY monotone-in-tie bucketing yields the same positions (it
+    // moves only load balance), and floor of a monotone double map is
+    // monotone. Degenerate range (one distinct tie per key) → bucket 0.
+    val bucket = least(lit(salts - 1), greatest(lit(0),
+      floor((col(tieCol).cast("double") - col("__lo")) /
+        greatest(col("__hi") - col("__lo"), lit(1e-300)) * salts)))
+      .cast("int")
+    val rows = df.join(broadcast(offsets), Seq(keyCol))
+      .withColumn("__salt", bucket)
+    // per-(key, salt) counts: map-side combinable; the within-key
+    // prefix sum is a window PARTITIONED BY KEY over <= salts rows
+    val subCounts = rows.groupBy(col(keyCol), col("__salt"))
+      .agg(count(lit(1)).as("__sn"))
+    val maxPerSub = subCounts.agg(coalesce(max("__sn"), lit(0L)).as("m"))
+      .head().getLong(0)
+    require(maxPerSub <= maxRowsPerKey,
+      s"GlobalOrder.enumerate: heaviest ('$keyCol', salt) bucket holds " +
+        s"$maxPerSub rows, exceeding maxRowsPerKey=$maxRowsPerKey — " +
+        "tie values concentrate in a narrow range; raise salts or " +
+        "spread the tie domain")
+    val subOffsets = subCounts
+      .withColumn("__soffset",
+        coalesce(sum("__sn").over(Window.partitionBy(col(keyCol))
+          .orderBy(col("__salt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("__salt"), col("__soffset"))
+    val perBucket = Window.partitionBy(col(keyCol), col("__salt"))
+      .orderBy(col(tieCol))
+    rows.join(broadcast(subOffsets), Seq(keyCol, "__salt"))
+      .withColumn(posCol, col("__offset") + col("__soffset")
+        + row_number().over(perBucket).cast("long") - 1L)
+      .drop("__offset", "__soffset", "__lo", "__hi", "__salt")
   }
 }

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   *
   * **Beam search** — the BfsHops fixed-round unroll applied to
   * best-first navigation: seed each query with a deterministic
-  * strided entry set scored exactly, then per round expand the
+  * FIXED-SIZE entry set scored exactly (an absolute seed count, NOT a
+  * corpus fraction — the round-13 lesson: a fractional stride made
+  * round 0 an O(n) scan per query, a constant-factor saving over the
+  * exact scan rather than an index; HNSW bounds the same entry
+  * problem with its O(1)-entry top layer), then per round expand the
   * current beam's out-neighbors (an equi-join of the q·beam frontier
   * into the edge table), fetch candidate vectors with an id
   * equi-join against the corpus, score, merge, and keep the `beam`
@@ -31,13 +35,15 @@ import org.apache.spark.sql.functions._
   * dedup across rounds is the merge window itself.
   *
   * Scale shape: graph build is the LSH-join cost (the d4/s7 family's
-  * banded equi-join, linear in collisions); search cost per round is
-  * q·beam·degree candidate rows joined against the corpus on id — at
-  * 100 TB that fetch runs against an id-bucketed corpus layout, so
-  * it is a co-located lookup join, and NO round touches more than
-  * beam·degree vectors per query. Every step is deterministic (ties
-  * break on id everywhere), so results are reproducible and the
-  * s5-style recall-floor contract is hash-checkable.
+  * banded equi-join, linear in collisions) plus the bounded
+  * n·degree² NN-descent rounds; search SCORES O(seeds + rounds·beam·
+  * degree) vectors per query — corpus-independent — while the
+  * per-round candidate FETCH is an id equi-join against the corpus
+  * (locally a narrow scan + tiny-side broadcast probe; at 100 TB an
+  * id-bucketed corpus layout makes it a co-located lookup join).
+  * Every step is deterministic (ties break on id everywhere), so
+  * results are reproducible and the s5-style recall-floor contract
+  * is hash-checkable.
   */
 object KnnBeam {
 
@@ -115,16 +121,30 @@ object KnnBeam {
     graph
   }
 
-  /** Deterministic entry points: every `seedStride`-th id. A narrow
-    * filter over the corpus — no sort, no sample action — and spread
-    * uniformly over the id space so every region of the graph has a
-    * nearby entry.
+  /** Deterministic entry points: a FIXED ABSOLUTE number of seeds
+    * (~`seedCount`, independent of corpus size), spread uniformly
+    * over the id space — the stride is derived from the corpus count
+    * at build time (one cheap count action, amortized over every
+    * query the index serves), so round 0 of [[search]] scores
+    * O(seedCount) vectors per query at ANY corpus size. This is the
+    * flat stand-in for HNSW's top layer: a bounded entry set the
+    * greedy descent starts from. seedCount trades entry coverage
+    * (recall on isolated graph regions) against round-0 cost —
+    * recalibrate the recall floor when changing it.
+    *
+    * The count is approximate for SPARSE id spaces (stride filtering
+    * keeps ids ≡ 0 mod stride, exact only when ids are contiguous
+    * from 0 — the embeddings contract); any deterministic O(seedCount)
+    * node set works as an entry table, so callers with sparse ids can
+    * supply their own.
     */
   def seeds(
       emb: DataFrame, idCol: String = "vec_id",
-      seedStride: Int = 31): DataFrame = {
-    require(seedStride >= 1, s"seedStride must be positive: $seedStride")
-    emb.filter(pmod(col(idCol), lit(seedStride.toLong)) === 0L)
+      seedCount: Int = 128): DataFrame = {
+    require(seedCount >= 1, s"seedCount must be positive: $seedCount")
+    val n = emb.count()
+    val stride = math.max(1L, n / seedCount.toLong)
+    emb.filter(pmod(col(idCol), lit(stride)) === 0L)
       .select(col(idCol).as("node"))
   }
 
@@ -162,9 +182,10 @@ object KnnBeam {
       .filter(col("__rn") <= limit)
       .drop("__rn")
 
-    // round 0: score the strided entry set against every query — the
-    // seed table is tiny by construction, so this cross product is
-    // q·seeds rows with the query side broadcast
+    // round 0: score the entry set against every query — the seed
+    // table is a fixed ABSOLUTE size (seeds() derives its stride from
+    // the corpus count), so this cross product is q·O(seedCount) rows
+    // at any corpus size, with the query side broadcast
     var cur = keepBest(
       broadcast(q)
         .crossJoin(entry.join(c, entry("node") === c("n_id")).drop("node"))

@@ -2811,17 +2811,23 @@ object TextQueries {
     // (the t21/t24 forbidden shape). operators.GlobalOrder solves it
     // in two phases — per-length counts → prefix-sum offsets over the
     // LENGTH-cardinality table (the only global window, key-sized by
-    // design) → broadcast offsets + per-length row_number — so the
-    // corpus shuffles once, on the length key. DuckDB independently
-    // derives the same positions with its global row_number: two
-    // formulations, one total order.
+    // design) → broadcast offsets + per-length row_number — and runs
+    // here with salts=4, the TWO-LEVEL (key, tie-range salt) scheme
+    // that removes even the per-length single-task-sort ceiling (a
+    // few lengths dominate real corpora): positions are provably
+    // UNCHANGED by salting (the bucket is monotone in the tie, so it
+    // moves only load balance — this query's hash vs the unsalted
+    // round-13 oracle is the live proof), while the heaviest task
+    // shrinks from the heaviest length to a quarter of it. DuckDB
+    // independently derives the same positions with its global
+    // row_number: two formulations, one total order.
     "t35_length_curriculum" -> ((
       (s: SparkSession, d: String) => {
         val byLen = docs(s, d).select(col("doc_id"),
           expr("CAST(size(filter(split(text, ' '), x -> x != ''))" +
             " AS BIGINT)").as("n_tokens"))
         graft.operators.GlobalOrder
-          .enumerate(byLen, "n_tokens", "doc_id")
+          .enumerate(byLen, "n_tokens", "doc_id", salts = 4)
           .select(col("doc_id"), col("n_tokens"), col("pos"),
             pmod(col("pos"), lit(8L)).as("shard"))
       },

@@ -72,4 +72,72 @@ class GlobalOrderSpec extends SparkSpecBase {
     // and the same data passes when the gate admits it
     assert(GlobalOrder.enumerate(rows, "k", "id").count() == 52L)
   }
+
+  test("salted positions are EXACTLY the flat positions — bucketing " +
+      "moves load balance, never order") {
+    val session = spark
+    import session.implicits._
+    // coarse key domain, skewed key sizes, non-uniform tie values
+    // (squares — so range buckets are deliberately uneven)
+    val rows = ((1L to 400L).map(i => (1L, i * i)) ++
+      (1L to 40L).map(i => (2L, 1000000L - i)) ++
+      Seq((3L, 7L))).toDF("k", "id").repartition(8)
+    val flatPos = GlobalOrder.enumerate(rows, "k", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("pos")).toMap
+    for (salts <- Seq(2, 7, 16)) {
+      val saltedPos = GlobalOrder
+        .enumerate(rows, "k", "id", salts = salts)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("pos")).toMap
+      assert(saltedPos == flatPos, s"salts=$salts diverged")
+    }
+  }
+
+  test("the two-level scheme removes the per-key single-task ceiling: " +
+      "a coarse key domain that FAILS the flat gate passes salted, " +
+      "with the per-task bound enforced per (key, salt) bucket") {
+    val session = spark
+    import session.implicits._
+    // 2 keys x 500 rows: flat phase-2 would sort 500 rows in one task
+    val rows = (1L to 1000L).map(i => (i % 2, i)).toDF("k", "id")
+    intercept[IllegalArgumentException] {
+      GlobalOrder.enumerate(rows, "k", "id", maxRowsPerKey = 100L)
+    }
+    // salted into 8 tie-range buckets: heaviest (key, salt) task holds
+    // ~500/8 rows — inside the same bound the flat plan failed
+    val got = GlobalOrder.enumerate(rows, "k", "id",
+      maxRowsPerKey = 100L, salts = 8)
+    assert(got.count() == 1000L)
+    // positions still equal the global row_number
+    val want = rows
+      .withColumn("want", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("id"))).cast("long") - 1L)
+    val joined = got.join(want, Seq("k", "id"))
+    assert(joined.filter(col("pos") =!= col("want")).count() == 0L)
+  }
+
+  test("tie-value CONCENTRATION trips the salted gate loudly — range " +
+      "buckets cannot split a narrow value cluster") {
+    val session = spark
+    import session.implicits._
+    // one key: 500 ties packed into [0, 500), one outlier at 1e12 —
+    // every packed tie lands in bucket 0 regardless of salts
+    val rows = ((1L to 500L).map(i => (1L, i)) ++ Seq((1L, 1000000000000L)))
+      .toDF("k", "id")
+    val ex = intercept[IllegalArgumentException] {
+      GlobalOrder.enumerate(rows, "k", "id",
+        maxRowsPerKey = 100L, salts = 8)
+    }
+    assert(ex.getMessage.contains("tie values concentrate"))
+  }
+
+  test("salts > 1 with a non-numeric tie fails with a named error") {
+    val session = spark
+    import session.implicits._
+    val rows = Seq((1L, "a"), (1L, "b")).toDF("k", "tie")
+    val ex = intercept[IllegalArgumentException] {
+      GlobalOrder.enumerate(rows, "k", "tie", salts = 4)
+    }
+    assert(ex.getMessage.contains("needs a numeric"))
+  }
 }
