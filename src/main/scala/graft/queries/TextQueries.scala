@@ -1429,6 +1429,129 @@ object TextQueries {
         GROUP BY 1""")
     )),
 
+    // LSH band/row calibration sweep — the s23 pattern applied to d4
+    // (the round-13 verdict item): the MinHash family ships a fixed
+    // (2 bands × 2 rows) banding, but the bands/rows split is THE
+    // recall-vs-candidate-volume dial every dedup operator tunes, so
+    // sweep all three bandings of the 4-hash signature — (4,1) most
+    // permissive, (2,2) shipped, (1,4) strictest — in ONE corpus
+    // pass: the flat signature computes once, each config's band
+    // rows are a tagged union (7 rows/doc total), candidates come
+    // from one (cfg, band, bh) self-join, and exact-Jaccard
+    // verification runs ONCE per distinct pair across configs (the
+    // configs NEST — a (2,2) collision implies both (4,1) band
+    // collisions — so the union is just (4,1)'s set, and counts are
+    // provably monotone across the sweep). Output per config: exact
+    // candidate count, verified-pair count at the d7 threshold, and
+    // recall vs the union — all integers, so DuckDB replays the
+    // whole sweep rather than pinning a contract. Scale shape: a
+    // CALIBRATION harness like s17/s23 — at 100 TB it runs on a
+    // sample; the per-config cost discipline is the same Σ|bucket|²
+    // as d4, with the permissive (4,1) arm dominating, and the
+    // shared verify arm is O(union candidates), never per-config.
+    "d22_banding_sweep" -> ((
+      (s: SparkSession, d: String) => {
+        val flat = withMinhashSignature(docs(s, d))
+          .select("doc_id", "h0", "h1", "h2", "h3")
+          .localCheckpoint(true)
+        def bandRows(cfg: String, hs: Seq[Seq[String]]): DataFrame =
+          hs.zipWithIndex.map { case (cols, i) =>
+            flat.select(col("doc_id"), lit(cfg).as("cfg"),
+              lit(i).as("band"),
+              md5(concat_ws(",", cols.map(col): _*)).as("bh"))
+          }.reduce(_ unionByName _)
+        val rows = bandRows("b4r1",
+            Seq(Seq("h0"), Seq("h1"), Seq("h2"), Seq("h3")))
+          .unionByName(bandRows("b2r2",
+            Seq(Seq("h0", "h1"), Seq("h2", "h3"))))
+          .unionByName(bandRows("b1r4", Seq(Seq("h0", "h1", "h2", "h3"))))
+        val cand = rows.as("a")
+          .join(rows.as("b"), Seq("cfg", "band", "bh"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("cfg"), col("a.doc_id").as("doc_a"),
+            col("b.doc_id").as("doc_b"))
+          .distinct()
+          .localCheckpoint(true)
+        val ver = jaccardForPairsDf(docs(s, d),
+            cand.select("doc_a", "doc_b"))
+          .filter(col("jaccard") >= 0.2)
+          .select(col("doc_a"), col("doc_b"), lit(1L).as("__v"))
+          .localCheckpoint(true)
+        val vtot = ver.agg(count(lit(1)).as("v_total"))
+        cand.join(ver, Seq("doc_a", "doc_b"), "left")
+          .groupBy(col("cfg"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum(coalesce(col("__v"), lit(0L))).as("n_verified"))
+          .crossJoin(broadcast(vtot))
+          .select(col("cfg"),
+            when(col("cfg") === "b4r1", 4L)
+              .when(col("cfg") === "b2r2", 2L).otherwise(1L)
+              .as("n_bands"),
+            when(col("cfg") === "b4r1", 1L)
+              .when(col("cfg") === "b2r2", 2L).otherwise(4L)
+              .as("n_rows"),
+            col("n_candidates"), col("n_verified"),
+            expr("n_verified * 1000000L div greatest(v_total, 1L)")
+              .as("recall_ppm"))
+      },
+      Some(s"""WITH sig AS ($minhashSql),
+          bands AS (
+            SELECT doc_id, 'b4r1' AS cfg, 0 AS band,
+                   md5(h0::VARCHAR) AS bh FROM sig
+            UNION ALL SELECT doc_id, 'b4r1', 1, md5(h1::VARCHAR) FROM sig
+            UNION ALL SELECT doc_id, 'b4r1', 2, md5(h2::VARCHAR) FROM sig
+            UNION ALL SELECT doc_id, 'b4r1', 3, md5(h3::VARCHAR) FROM sig
+            UNION ALL SELECT doc_id, 'b2r2', 0,
+                   md5(h0::VARCHAR || ',' || h1::VARCHAR) FROM sig
+            UNION ALL SELECT doc_id, 'b2r2', 1,
+                   md5(h2::VARCHAR || ',' || h3::VARCHAR) FROM sig
+            UNION ALL SELECT doc_id, 'b1r4', 0,
+                   md5(h0::VARCHAR || ',' || h1::VARCHAR || ',' ||
+                       h2::VARCHAR || ',' || h3::VARCHAR) FROM sig),
+          cand AS (
+            SELECT DISTINCT x.cfg, x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.cfg = y.cfg AND x.band = y.band AND x.bh = y.bh
+             AND x.doc_id < y.doc_id),
+          pairs AS (SELECT DISTINCT doc_a, doc_b FROM cand),
+          sh AS (
+            SELECT doc_id, unnest($shinglesSql) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents)),
+          sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+          inter AS (
+            SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+            FROM pairs p
+            JOIN sh sa ON p.doc_a = sa.doc_id
+            JOIN sh sb ON p.doc_b = sb.doc_id AND sa.s = sb.s
+            GROUP BY 1, 2),
+          ver AS (
+            SELECT p.doc_a, p.doc_b
+            FROM pairs p
+            JOIN sizes a ON p.doc_a = a.doc_id
+            JOIN sizes b ON p.doc_b = b.doc_id
+            LEFT JOIN inter i
+              ON p.doc_a = i.doc_a AND p.doc_b = i.doc_b
+            WHERE round(COALESCE(i.n_inter, 0)
+              / (a.n + b.n - COALESCE(i.n_inter, 0)), 6) >= 0.2),
+          tot AS (SELECT count(*) AS vt FROM ver)
+        SELECT c.cfg,
+               CAST(CASE c.cfg WHEN 'b4r1' THEN 4 WHEN 'b2r2' THEN 2
+                 ELSE 1 END AS BIGINT) AS n_bands,
+               CAST(CASE c.cfg WHEN 'b4r1' THEN 1 WHEN 'b2r2' THEN 2
+                 ELSE 4 END AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_verified,
+               CAST(sum(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1000000 // greatest(any_value(t.vt), 1) AS BIGINT)
+                 AS recall_ppm
+        FROM cand c
+        LEFT JOIN ver v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
+        CROSS JOIN tot t
+        GROUP BY 1""")
+    )),
+
     // Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
     // SIGMOD 2003 — the MOSS algorithm): per sliding window of w=4
     // consecutive 5-gram hashes, select the RIGHTMOST minimal hash;
@@ -1547,12 +1670,24 @@ object TextQueries {
   private def verifiedJaccard(s: SparkSession, d: String): DataFrame =
     verifiedJaccardDf(docs(s, d))
 
-  private[graft] def verifiedJaccardDf(docsDf: DataFrame): DataFrame = {
-        // localCheckpoint (eager), not persist(): blocks are released by
-        // the ContextCleaner once the plan is GC'd, so repeated d7/d8/d10
-        // invocations (bench loops) don't accumulate cached blocks for
-        // the life of the session the way un-unpersisted cache entries do.
-        val pairs = lshCandidatePairsDf(docsDf)
+  private[graft] def verifiedJaccardDf(docsDf: DataFrame): DataFrame =
+    // localCheckpoint (eager), not persist(): blocks are released by
+    // the ContextCleaner once the plan is GC'd, so repeated d7/d8/d10
+    // invocations (bench loops) don't accumulate cached blocks for
+    // the life of the session the way un-unpersisted cache entries do.
+    jaccardForPairsDf(docsDf,
+      lshCandidatePairsDf(docsDf).select("doc_a", "doc_b"))
+
+  /** Exact shingle-set Jaccard for an ARBITRARY (doc_a, doc_b) pair
+    * set — the d7 verification stage with the candidate source
+    * factored out, so calibration harnesses (d22's banding sweep) can
+    * verify the union of several candidate generators ONCE per pair.
+    * Cost contract unchanged: only candidate docs' shingles explode
+    * (broadcast semi-join gate), O(pairs + candidate docs).
+    */
+  private[graft] def jaccardForPairsDf(
+      docsDf: DataFrame, pairsDf: DataFrame): DataFrame = {
+        val pairs = pairsDf
           .select("doc_a", "doc_b").distinct().localCheckpoint(true)
         // Only candidate docs' shingles are needed: a broadcast
         // semi-join gates the explosion so verification work is

@@ -104,4 +104,61 @@ class EntityResolutionSpec extends SparkSpecBase {
     // originals are pairwise far; deterministic under this seed set)
     assert(out.values.toSet.size == originals.size)
   }
+
+  test("multi-pass PHONETIC rescue: a soundex blocking pass recovers " +
+      "spelling-variant pairs that every substring key misses, without " +
+      "disturbing the substring passes' own matches") {
+    // jonsonxy/johnsonx: the inserted 'h' SHIFTS every later char, so
+    // the first-4 AND last-4 substring keys both break (jons≠john,
+    // onxy≠sonx) — a single substitution can never do that (the
+    // multi-pass guarantee), but a single insertion does, and THAT is
+    // the case phonetic blocking exists for: both names soundex to
+    // J525. ponsonab keeps its substring-key rescue (typo in key 2
+    // only), and a soundex-equal-but-FAR pair (albertqq/alpertzz,
+    // both A416, distance 3) stays unmerged: blocking proposes,
+    // Levenshtein disposes.
+    val df = recs(
+      0L -> "jonsonxy", 1L -> "johnsonx", // soundex-only rescue (lev 2)
+      2L -> "ponsonab", 3L -> "ponsonaZ", // substring-key match (lev 1)
+      4L -> "albertqq", 5L -> "alpertzz") // soundex-close, lev 3
+    val subsOnly = EntityResolution
+      .resolve(df, twoKeys, maxEdits = 2)
+      .collect().map(r => r.getAs[Long]("rec_id")
+        -> r.getAs[Long]("entity")).toMap
+    assert(subsOnly(0L) != subsOnly(1L),
+      "substring keys alone must MISS the shifted jonson/johnson pair " +
+        s"(the case phonetic blocking exists for): $subsOnly")
+    val withPhonetic = EntityResolution
+      .resolve(df, twoKeys :+ soundex(col("name")), maxEdits = 2)
+      .collect().map(r => r.getAs[Long]("rec_id")
+        -> r.getAs[Long]("entity")).toMap
+    assert(withPhonetic(0L) == withPhonetic(1L),
+      s"soundex pass must rescue jonsonxy/johnsonx: $withPhonetic")
+    assert(withPhonetic(2L) == withPhonetic(3L),
+      s"substring-pass match must survive the extra key: $withPhonetic")
+    assert(withPhonetic(4L) != withPhonetic(5L),
+      "soundex collision beyond maxEdits must NOT merge — " +
+        s"verification still gates: $withPhonetic")
+  }
+
+  test("multi-pass TRANSPOSITION rescue (the q84 char-bag key): an " +
+      "adjacent swap at the key boundary breaks both substring keys " +
+      "but never the character-multiset key") {
+    val charBag =
+      "aggregate(transform(sequence(1, 8), i -> " +
+        "pmod(CAST(conv(substring(md5(concat('5:', " +
+        "substring(name, i, 1))), 1, 15), 16, 10) AS LONG), " +
+        "1000000000000L)), 0L, (a, b) -> a + b)"
+    // swap chars 4↔5: last char of key 1's window, first of key 2's
+    val df = recs(0L -> "abcdwxyz", 1L -> "abcwdxyz")
+    val subsOnly = EntityResolution.resolve(df, twoKeys, maxEdits = 2)
+      .collect().map(r => r.getAs[Long]("entity")).distinct
+    assert(subsOnly.length == 2,
+      "boundary transposition must break both substring keys")
+    val withBag = EntityResolution
+      .resolve(df, twoKeys :+ expr(charBag), maxEdits = 2)
+      .collect().map(r => r.getAs[Long]("entity")).distinct
+    assert(withBag.length == 1,
+      "char-bag key must rescue the transposed pair")
+  }
 }
