@@ -115,7 +115,13 @@ object ScaleBench {
     // image gate, nprobe calibration sweep, seed-set reach profile
     "d20_winnowing", "m15_pixel_histogram", "s23_ivf_nprobe_sweep",
     "p10_reach_profile", "s24_hamming_topk", "t42_mixture_plan",
-    "d21_duplication_profile")
+    "d21_duplication_profile",
+    // round-14: banding calibration sweep, multi-pass ER, incremental
+    // k-NN-graph maintenance (s14/s25 time-exponents here run on the
+    // standard dirs; their RECALL-at-scale story runs on the
+    // dim-permuted `genemb` dirs — see BeamRecallProbe scale modes)
+    "d22_banding_sweep", "q84_entity_resolution_multipass",
+    "s25_incremental_knn")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.
@@ -160,6 +166,11 @@ object ScaleBench {
         val outDir = args.lift(1).getOrElse("/tmp/graft-scale-cb/sf1")
         genConstDocs(spark, args.lift(2).getOrElse(baseDir), outDir,
           args.lift(3).map(_.toLong).getOrElse(1000000L))
+      case "genemb" =>
+        val outDir = args.lift(1).getOrElse("/tmp/graft-scale-emb/sf1")
+        genPermEmb(spark, args.lift(2).getOrElse(baseDir), outDir,
+          args.lift(3).map(_.toLong).getOrElse(1000000L),
+          args.lift(4).map(_.toInt).getOrElse(1))
       case "bench100" =>
         bench100(spark, baseDir, args(1), args(2), args.drop(3).toSet)
       case _ =>
@@ -211,6 +222,53 @@ object ScaleBench {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .repartition(32) // split files — see the `wr` note in gen()
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
+  /** DIM-PERMUTED ×10 replication of the embeddings table only — the
+    * ANN family's analog of `genconst`'s alphabet permutation: the
+    * plain `gen` replicates embedding VECTORS verbatim across copies,
+    * so every vector gains F-1 cosine-1.0 duplicates with IDENTICAL
+    * LSH/SRP signatures — band buckets merge all copies and candidate
+    * pairs grow QUADRATICALLY in the decade (a generator artifact: a
+    * real 10× corpus does not become 100× more self-similar), and the
+    * exact-top-k neighbor sets degenerate to the duplicate rings.
+    * Copy c instead applies a seeded PERMUTATION of the 64 dimensions
+    * (copy 0 = identity): norms, within-copy distances, and
+    * within-copy neighbor structure are preserved EXACTLY (an
+    * isometry), while cross-copy signatures decorrelate (a whole
+    * sign-pattern must survive two independent dim shuffles). Nest
+    * like `gen` with a different `levelSalt` so level-2 copy
+    * compositions (c1, c2) never collapse to a shared permutation
+    * (salt-less nesting would make (c, 0) and (0, c) identical).
+    * Only the s14/ANN scale studies read these dirs — they contain
+    * embeddings.parquet alone.
+    */
+  private def genPermEmb(spark: SparkSession, baseDir: String,
+      outDir: String, unit: Long, levelSalt: Int): Unit = {
+    def perm(c: Int): Array[Int] = {
+      val arr = (0 until 64).toArray
+      val rnd = new java.util.Random(
+        (levelSalt.toLong * 1000L + c) * 2654435761L)
+      var i = arr.length - 1
+      while (i >= 1) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      arr
+    }
+    val emb = copies(spark.read.parquet(s"$baseDir/embeddings.parquet"))
+    val permuted = (1 until F).foldLeft(
+      when(col("c") === 0L, col("embedding"))) { (acc, k) =>
+      acc.when(col("c") === k.toLong,
+        array(perm(k).map(p => col("embedding")(p)).toIndexedSeq: _*))
+    }
+    emb.select((col("vec_id") + col("c") * unit).as("vec_id"),
+        permuted.as("embedding"), col("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    println(s"[scale] wrote ${F}x dim-permuted embeddings from " +
+      s"$baseDir to $outDir (unit=$unit, salt=$levelSalt)")
   }
 
   /** Disjoint-keyspace ×10 replication of `baseDir` into `outDir`.

@@ -64,6 +64,34 @@ object KnnBeam {
     * edges — entry seeds, not graph repair, are what bounds their
     * recall cost.
     */
+  /** ceil(log2(x)) for x >= 1. */
+  private def ceilLog2(x: Long): Int =
+    if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1L)
+
+  /** ADAPTIVE banding of the 32-bit SRP signature: band width grows
+    * with log(corpus) so each (band, value) bucket holds a BOUNDED
+    * ~`targetBucket` vectors — the fix for the fixed-width trap: a
+    * constant 8-bit band space has only 256 values, so buckets grow
+    * n/256 and the candidate self-join is Σ|bucket|² = O(n²/256) (it
+    * filled the box's disk at the 100× decade). bits =
+    * max(8, ceil(log2(n/targetBucket))), nBands = 32 div bits (≥ 1,
+    * overlapping the signature from bit 0 — bands stay disjoint
+    * prefixes of shifted windows as in SemanticDedup). At the bundled
+    * corpora (n ≤ 2000) this degenerates to SemanticDedup's exact
+    * 4×8 scheme, so shipped hashes are unchanged; the adaptivity only
+    * engages where the fixed scheme breaks.
+    */
+  private def adaptiveBandRows(
+      sig: DataFrame, n: Long, targetBucket: Long = 32L): DataFrame = {
+    val bits = math.max(8, ceilLog2(math.max(1L, n / targetBucket)))
+    val nBands = math.max(1, 32 / bits)
+    (0 until nBands).map { b =>
+      sig.select(col("vec_id"), col("srp"), lit(b).as("band"),
+        shiftright(col("srp"), b * bits)
+          .bitwiseAND((1L << bits) - 1L).as("bv"))
+    }.reduce(_ unionByName _)
+  }
+
   def buildGraph(
       emb: DataFrame,
       idCol: String = "vec_id",
@@ -90,15 +118,22 @@ object KnnBeam {
         .cosine_similarity(col("qv"), col("nv")))
       .select("node", "nbr", "cosine")
 
-    val pairs = SemanticDedup
-      .verifiedPairs(emb, idCol, vecCol, dims, maxHamming,
-        minCosine = -1.0)
-      .select(col("vec_a"), col("vec_b"), col("cosine"))
-    val sym = pairs
-      .select(col("vec_a").as("node"), col("vec_b").as("nbr"),
-        col("cosine"))
-      .unionByName(pairs.select(col("vec_b").as("node"),
-        col("vec_a").as("nbr"), col("cosine")))
+    val sig = SemanticDedup.signatures(emb, idCol, vecCol, dims)
+      .localCheckpoint(true)
+    val bands = adaptiveBandRows(sig, sig.count())
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.srp").as("fa"), col("y.srp").as("fb"))
+      .distinct()
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb")))
+        .cast("long") <= maxHamming)
+      .select(col("vec_a").as("node"), col("vec_b").as("nbr"))
+    val sym0 = score(pairs)
+    val sym = sym0
+      .unionByName(sym0.select(col("nbr").as("node"),
+        col("node").as("nbr"), col("cosine")))
     var graph = cut(sym).localCheckpoint(true)
     for (_ <- 1 to refineRounds) {
       // wedge candidates: neighbors-of-neighbors through the CURRENT
@@ -119,6 +154,90 @@ object KnnBeam {
       graph = next
     }
     graph
+  }
+
+  /** INCREMENTAL maintenance — d12's snapshot-N+1 shape for the ANN
+    * index (production vector stores insert without rebuilding): new
+    * vectors LSH-join the EXISTING index for candidates (the
+    * batch-vs-index equi-join — work is O(batch collisions), the
+    * index side is never self-joined), their edges are scored exactly
+    * and cut to `graphDegree`, and only the AFFECTED existing nodes —
+    * those a new edge points at, ≤ batch·degree of them — get their
+    * neighborhoods re-scored and re-cut. Untouched nodes' edges pass
+    * through byte-identical. No NN-descent runs on insert: descent is
+    * the BUILD-time densifier; an insert's candidates already come
+    * from the live banded index, and the next full rebuild (or a
+    * periodic descent sweep) re-densifies. The incremental graph is
+    * therefore not edge-identical to a fresh rebuild — the contract
+    * is bounded RECALL delta, pinned by KnnBeamSpec against the
+    * bundled corpus and by s25's oracle floor.
+    *
+    * Signatures are recomputed here as a narrow map over corpus ∪
+    * batch; a production deployment stores them columnar beside the
+    * vectors, which drops the corpus-side cost to a scan of the
+    * signature column (the banded join itself already touches only
+    * colliding rows).
+    */
+  def insertBatch(
+      graph: DataFrame,
+      corpus: DataFrame,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      graphDegree: Int = 8,
+      maxHamming: Int = 16): DataFrame = {
+    require(graphDegree >= 1, s"graphDegree must be positive: $graphDegree")
+    val c = corpus.select(col(idCol).cast("long").as("__cid"),
+      col(vecCol).as("__cv"))
+    val b = batch.select(col(idCol).cast("long").as("__cid"),
+      col(vecCol).as("__cv"))
+    val full = c.unionByName(b).localCheckpoint(true)
+    val sigFull = SemanticDedup
+      .signatures(full, "__cid", "__cv", dims).localCheckpoint(true)
+    val sigBatch = sigFull.join(
+      b.select(col("__cid").as("vec_id")), Seq("vec_id"), "left_semi")
+    // batch-vs-index with the SAME adaptive band width on both sides
+    // (sized from the FULL index count — bucket occupancy is an
+    // index-side property), so per-batch-row fan-out stays ~bands ×
+    // targetBucket at any index size
+    val nFull = sigFull.count()
+    val cand = adaptiveBandRows(sigBatch, nFull).as("x")
+      .join(adaptiveBandRows(sigFull, nFull).as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("node"), col("y.vec_id").as("nbr"),
+        col("x.srp").as("fa"), col("y.srp").as("fb"))
+      .distinct()
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb")))
+        .cast("long") <= maxHamming)
+      .select("node", "nbr")
+    val w = Window.partitionBy("node")
+      .orderBy(col("cosine").desc, col("nbr"))
+    def score(pairs: DataFrame): DataFrame = pairs
+      .join(full.select(col("__cid"), col("__cv").as("qv")),
+        pairs("node") === col("__cid")).drop("__cid")
+      .join(full.select(col("__cid"), col("__cv").as("nv")),
+        col("nbr") === col("__cid")).drop("__cid")
+      .withColumn("cosine", graft.functions.VectorExprs
+        .cosine_similarity(col("qv"), col("nv")))
+      .select("node", "nbr", "cosine")
+    def cut(scored: DataFrame): DataFrame = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= graphDegree)
+      .select("node", "nbr")
+    val batchEdges = cut(score(cand)).localCheckpoint(true)
+    // symmetrize into the nodes the new edges point at, then re-cut
+    // ONLY those — everything else passes through untouched
+    val rev = batchEdges.select(col("nbr").as("node"),
+      col("node").as("nbr"))
+    val affected = rev.select("node").distinct().localCheckpoint(true)
+    val merged = graph.unionByName(batchEdges)
+    val recut = cut(score(merged
+      .join(affected, Seq("node"), "left_semi")
+      .unionByName(rev).distinct()))
+    merged.join(affected, Seq("node"), "left_anti")
+      .unionByName(recut)
   }
 
   /** Deterministic entry points: a FIXED ABSOLUTE number of seeds

@@ -110,4 +110,60 @@ class KnnBeamSpec extends SparkSpecBase {
         beam = 3, rounds = 1, topK = 5)
     }
   }
+
+  private def hitsOf(corpus: DataFrame, graph: DataFrame): Long = {
+    val exact = exactTopK(corpus, 5, 10).localCheckpoint(true)
+    val qs = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    KnnBeam.search(graph, corpus, qs, KnnBeam.seeds(corpus),
+        beam = 24, rounds = 4, topK = 5)
+      .select("q_id", "n_id")
+      .join(exact, Seq("q_id", "n_id"), "left_semi").count()
+  }
+
+  test("insertBatch maintains the graph contracts: degree cut holds, " +
+      "batch nodes are searchable, untouched nodes' edges pass " +
+      "through byte-identical, and the result is deterministic") {
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val g1 = KnnBeam.insertBatch(g0, base, batch)
+    // degree cut
+    assert(g1.groupBy("node").count().filter(col("count") > 8)
+      .count() == 0L, "a node exceeds the degree cut after insert")
+    // batch nodes with any LSH candidate have edges (on this corpus
+    // every batch node collides somewhere)
+    val batchWithEdges = g1.join(
+      batch.select(col("vec_id").as("node")), Seq("node"), "left_semi")
+      .select("node").distinct().count()
+    assert(batchWithEdges > 0L, "no batch node entered the graph")
+    // untouched base nodes keep their exact edge rows
+    val affected = g1.join(g0, Seq("node", "nbr"), "left_anti")
+      .select("node").distinct()
+    val untouched = g0.join(affected, Seq("node"), "left_anti")
+      .join(batch.select(col("vec_id").as("node")),
+        Seq("node"), "left_anti")
+    assert(untouched.join(g1, Seq("node", "nbr"), "left_anti")
+      .count() == 0L, "an untouched node lost an edge")
+    // determinism
+    val a = KnnBeam.insertBatch(g0, base, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = KnnBeam.insertBatch(g0, base, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("insertBatch recall delta vs a full rebuild is bounded on the " +
+      "bundled corpus (measured 42 vs 41 of 50 at sf0.001; the " +
+      "contract is >= rebuild - 6, the max tri-scale delta + 1)") {
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val batch = emb.filter(col("vec_id") % 10 >= 8)
+    val inc = KnnBeam.insertBatch(
+      KnnBeam.buildGraph(base), base, batch)
+    val rebuilt = KnnBeam.buildGraph(emb)
+    val (hInc, hRe) = (hitsOf(emb, inc), hitsOf(emb, rebuilt))
+    assert(hInc >= hRe - 6,
+      s"incremental recall fell too far below rebuild: $hInc vs $hRe")
+    assert(hInc >= 20, s"incremental graph recall floor: $hInc")
+  }
 }
