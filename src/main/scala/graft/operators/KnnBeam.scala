@@ -44,6 +44,15 @@ import org.apache.spark.sql.functions._
   * Every step is deterministic (ties break on id everywhere), so
   * results are reproducible and the s5-style recall-floor contract
   * is hash-checkable.
+  *
+  * RECALL-AT-SCALE (measured, SCALE.md round 14): on unstructured
+  * (near-random high-dim) corpora, `graphDegree` is the recall lever
+  * and must grow roughly with log(corpus) — degree 8 holds the level
+  * at 2k vectors, 32 at 20k–200k with a wider beam; rounds beyond 4
+  * move nothing once the graph is non-navigable (the beam converges).
+  * Structured corpora (planted clusters, KnnBeamSpec) hold ≥0.85
+  * recall at degree 8 across sizes. Budget the build accordingly:
+  * NN-descent shuffles n·degree² candidate rows per refine round.
   */
 object KnnBeam {
 
