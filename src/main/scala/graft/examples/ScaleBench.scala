@@ -121,7 +121,7 @@ object ScaleBench {
     // standard dirs; their RECALL-at-scale story runs on the
     // dim-permuted `genemb` dirs — see BeamRecallProbe scale modes)
     "d22_banding_sweep", "q84_entity_resolution_multipass",
-    "s25_incremental_knn")
+    "s25_incremental_knn", "s26_knn_classifier")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

@@ -1393,6 +1393,80 @@ object SimilarityQueries {
         FROM exact5""")
     )),
 
+    // k-NN CLASSIFICATION over the embedding space — the eval loop
+    // every labeled-corpus curation pipeline runs (label propagation
+    // to unlabeled pools, annotator-agreement checks, embedding-
+    // quality gates): hold out the first 50 vectors, predict each
+    // one's label by majority vote of its 10 exact-cosine nearest
+    // TRAINING neighbors. Entirely DETERMINISTIC and integer-voted —
+    // neighbor ties break on n_id, vote ties on (votes desc, label
+    // asc) — so DuckDB replays the full classifier (predictions AND
+    // correctness), not a contract. Scale shape: the s1/s18 serving
+    // shape — ONE corpus pass with the query block broadcast
+    // (BroadcastNestedLoopJoin, no corpus shuffle), per-query top-10
+    // via WindowGroupLimit partition-local heaps; the vote aggregate
+    // and argmax run on q·k = 500 rows, corpus-size-independent. At
+    // 100 TB the corpus pass is the cost — and swaps for any indexed
+    // retriever above (s5 IVF / s14 graph) without touching the vote.
+    // (On THIS synthetic corpus accuracy sits at the 10-class chance
+    // level — the bundled labels are uncorrelated with the embedding
+    // geometry — so the oracle checks the exact classifier MACHINERY,
+    // predictions and votes row-for-row, not a meaningless accuracy
+    // floor.)
+    "s26_knn_classifier" -> ((
+      (s: SparkSession, d: String) => {
+        val q = emb(s, d).filter(col("vec_id") < 50)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("label").cast("long").as("true_label"))
+        val train = emb(s, d).filter(col("vec_id") >= 50)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+            col("label").cast("long").as("n_label"))
+        val wTop = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        val top = broadcast(q).crossJoin(train)
+          .withColumn("sim", cosineExpr)
+          .withColumn("rk", row_number().over(wTop))
+          .filter(col("rk") <= 10)
+        val wVote = Window.partitionBy("q_id")
+          .orderBy(col("votes").desc, col("n_label"))
+        top.groupBy(col("q_id"), col("true_label"), col("n_label"))
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(wVote))
+          .filter(col("vr") === 1)
+          .select(col("q_id"), col("true_label"),
+            col("n_label").as("pred_label"), col("votes"),
+            (col("n_label") === col("true_label")).as("correct"))
+      },
+      Some(s"""WITH q AS (
+            SELECT vec_id AS q_id, embedding AS qv,
+                   CAST(label AS BIGINT) AS true_label
+            FROM embeddings WHERE vec_id < 50),
+          train AS (
+            SELECT vec_id AS n_id, embedding AS nv,
+                   CAST(label AS BIGINT) AS n_label
+            FROM embeddings WHERE vec_id >= 50),
+          sims AS (
+            SELECT q_id, true_label, n_id, n_label, $cosineSql AS sim
+            FROM q, train),
+          top AS (
+            SELECT q_id, true_label, n_label
+            FROM (SELECT q_id, true_label, n_label,
+                    row_number() OVER (PARTITION BY q_id
+                      ORDER BY sim DESC, n_id) AS rk
+                  FROM sims)
+            WHERE rk <= 10),
+          votes AS (
+            SELECT q_id, true_label, n_label,
+                   CAST(count(*) AS BIGINT) AS votes
+            FROM top GROUP BY 1, 2, 3)
+        SELECT q_id, true_label, n_label AS pred_label, votes,
+               n_label = true_label AS correct
+        FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY votes DESC, n_label) AS vr
+              FROM votes)
+        WHERE vr = 1""")
+    )),
+
     // Reciprocal-Rank Fusion (the Cormack et al. hybrid-retrieval
     // standard): two INDEPENDENT rankers — the exact 64-dim cosine
     // and the 32-dim Matryoshka-prefix cosine (s11's cheap arm) —
