@@ -144,8 +144,10 @@ object ScaleBench {
     "s21_kmeans_lloyd",
     // round-14: the board's most expensive query joins the two-decade
     // table (build+serve fused here; the split is BeamRecallProbe
-    // `scale` mode)
-    "s14_knn_beam")
+    // `scale` mode), plus the round-14 heavies (s14/s25 run on the
+    // dim-permuted emb dirs; d22/q84 on the standard dirs)
+    "s14_knn_beam", "s25_incremental_knn", "d22_banding_sweep",
+    "q84_entity_resolution_multipass")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")

@@ -577,4 +577,34 @@ class PlanShapeSpec extends SparkSpecBase {
         && !s.contains("BroadcastNestedLoopJoin"),
       s"blocking must keep the self-joins equi:\n$s")
   }
+
+  test("q84's three blocking passes (two substring + char-bag) all " +
+      "stay equi-joins — the phonetic-rescue pass adds no pair scan") {
+    val s = finalPlan(planOf("q84_entity_resolution_multipass")).toString
+    assert(!s.contains("CartesianProduct")
+        && !s.contains("BroadcastNestedLoopJoin"),
+      s"multi-pass blocking must keep every self-join equi:\n$s")
+  }
+
+  test("d22's sweep plans no cartesian: the banded self-join is an " +
+      "equi-join and the only nested loop is the ONE-row recall " +
+      "denominator broadcast (the q80 scalar pattern)") {
+    val s = finalPlan(planOf("d22_banding_sweep")).toString
+    assert(!s.contains("CartesianProduct"),
+      s"the (cfg, band, bh) self-join must stay equi:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"the v_total scalar must join as a one-row broadcast:\n$s")
+    // the verify arm's semi-join gate is inside the checkpointed
+    // jaccardForPairsDf subplan — guarded directly by the shared
+    // gatedShingleScan test above
+  }
+
+  test("s26's exact scan broadcasts the query block and cuts top-10 " +
+      "with a WindowGroupLimit; the vote runs on q·k rows") {
+    val s = planOf("s26_knn_classifier").toString
+    assert(s.contains("BroadcastNestedLoopJoin"),
+      s"the held-out block must broadcast over the corpus pass:\n$s")
+    assert(s.contains("WindowGroupLimit"),
+      s"the top-10 cut must push the group limit:\n$s")
+  }
 }
