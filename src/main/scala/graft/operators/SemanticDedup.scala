@@ -72,21 +72,35 @@ object SemanticDedup {
     */
   private[graft] def rawSignatures(
       embDf: DataFrame, idCol: String, vecCol: String,
-      dims: Int): DataFrame = {
+      dims: Int): DataFrame =
+    withSrp(embDf, vecCol, dims)
+      .select(col(idCol).cast("long").as("vec_id"), col("srp"))
+
+  /** Adds the 32-bit `srp` column to ANY frame with a `vecCol` vector
+    * column, keeping every other column — a stateless narrow map, so
+    * it is legal on an unbounded STREAM (the StreamingKnnIngest gate
+    * reads through this same definition the batch index uses, the
+    * StreamingNearDup precedent for MinHash).
+    */
+  private[graft] def withSrp(
+      embDf: DataFrame, vecCol: String, dims: Int): DataFrame = {
     // Column-based HOF, not expr(s"transform($vecCol, ...)"): splicing
     // a caller-supplied column name into SQL text breaks (or resolves
     // the wrong attribute) when the name needs backticks
     val qv = transform(col(vecCol),
       x => floor(x.cast("double") * 1000).cast("long"))
+    // project the quantized vector ONCE; 32 plane aggregates read the
+    // projected column instead of re-evaluating the transform each
     val srp = (0 until 32).map { i =>
       val signs = array((0 until dims).map(j => lit(srpSign(i, j))): _*)
       val dot = aggregate(
-        zip_with(col("qv"), signs, (a, b) => a * b),
+        zip_with(col("__sd_qv"), signs, (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    embDf.withColumn("qv", qv)
-      .select(col(idCol).cast("long").as("vec_id"), srp.as("srp"))
+    embDf.withColumn("__sd_qv", qv)
+      .withColumn("srp", srp)
+      .drop("__sd_qv")
   }
 
   /** (vec_a, vec_b, hamming) — banded signature collisions within
