@@ -36,9 +36,19 @@ import org.apache.spark.sql.functions._
   * checked from the sub-key counts and fails with a named error, not
   * an executor OOM.
   *
+  * `salts = AutoSalts (0)` makes the operator PICK: the counts
+  * aggregate phase 1 runs anyway already measures the heaviest key,
+  * so auto mode ships the flat single-shuffle plan whenever
+  * `maxPerKey <= maxRowsPerKey` and escalates to the salted plan —
+  * with just enough salts (2× headroom over the uniform split) — only
+  * when the single-task ceiling is actually threatened. The round-14
+  * lesson: t35 paid the salted plan's second shuffle unconditionally
+  * at bundled scale, where the flat plan was provably safe. Positions
+  * are identical either way, so the choice is pure load balance.
+  *
   * Position is total and deterministic as long as (key, tie) is a
   * total order over the rows. The data shuffles once on the key
-  * (salts=1) or twice on (key, bucket) (salted); no row ever crosses
+  * (flat) or twice on (key, bucket) (salted); no row ever crosses
   * into a global sort.
   *
   * This is the enumeration core behind curriculum ordering (t35):
@@ -48,22 +58,35 @@ import org.apache.spark.sql.functions._
   */
 object GlobalOrder {
 
-  /** @param maxKeys hard gate on the DISTINCT-KEY cardinality: the
+  /** Sentinel for `salts`: derive the plan from the measured heaviest
+    * key — flat when it fits `maxRowsPerKey`, salted (with
+    * `ceil(2·maxPerKey / maxRowsPerKey)` salts) when it does not.
+    * Escalation needs a NUMERIC tie; auto mode with a non-numeric tie
+    * still ships the flat plan but fails loudly where escalation
+    * would have engaged.
+    */
+  val AutoSalts = 0
+
+  /** @param maxKeys hard gate on the BROADCAST table cardinality: the
     *        offsets table is both single-partition-sorted and
     *        broadcast, so a caller passing a fine-grained key (a row
     *        id instead of a bucket/length/score) must fail with a
     *        named error, not an executor OOM deep in the job. The
     *        default matches the graph family's broadcastNodeLimit.
-    *        When salted, the broadcast sub-key table is nKeys·salts
-    *        rows and is gated against the same bound.
+    *        When salted, the gate applies to the SUB-KEY table —
+    *        `nKeys · salts` rows must fit the same bound (round-14
+    *        ADVICE: no silent 10M floor relaxing a caller-tightened
+    *        maxKeys).
     * @param maxRowsPerKey hard gate on the HEAVIEST single-task sort:
     *        the per-key row count at salts=1, the per-(key, bucket)
     *        count when salted. Checked from the same aggregates (no
     *        extra data pass). A salts=1 caller whose corpus outgrows
-    *        it should raise `salts` (more sub-keys × fewer rows);
-    *        a SALTED caller tripping it has tie-value concentration —
-    *        raise `salts` further or spread the tie domain.
-    * @param salts sub-buckets per key (1 = classic two-phase plan).
+    *        it should raise `salts` (more sub-keys × fewer rows) or
+    *        pass [[AutoSalts]]; a SALTED caller tripping it has
+    *        tie-value concentration — raise `salts` further or spread
+    *        the tie domain.
+    * @param salts sub-buckets per key: 1 = classic two-phase plan,
+    *        [[AutoSalts]] (0) = derive from the measured heaviest key.
     *        Requires a NUMERIC tie column when > 1 (the bucket must
     *        be monotone in the tie, so it is derived from the tie's
     *        per-key value range).
@@ -72,18 +95,25 @@ object GlobalOrder {
       df: DataFrame, keyCol: String, tieCol: String,
       posCol: String = "pos", maxKeys: Long = 5000000L,
       maxRowsPerKey: Long = 100000000L, salts: Int = 1): DataFrame = {
-    require(salts >= 1 && salts <= 65536,
-      s"GlobalOrder.enumerate: salts must be in [1, 65536], got $salts")
-    if (salts == 1) enumerateFlat(df, keyCol, tieCol, posCol,
-      maxKeys, maxRowsPerKey)
-    else enumerateSalted(df, keyCol, tieCol, posCol,
-      maxKeys, maxRowsPerKey, salts)
-  }
-
-  private def enumerateFlat(
-      df: DataFrame, keyCol: String, tieCol: String, posCol: String,
-      maxKeys: Long, maxRowsPerKey: Long): DataFrame = {
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
+    require(salts >= 0 && salts <= 65536,
+      s"GlobalOrder.enumerate: salts must be AutoSalts (0) or in " +
+        s"[1, 65536], got $salts")
+    import org.apache.spark.sql.types._
+    val tieNumeric = df.schema(tieCol).dataType.isInstanceOf[NumericType]
+    require(salts <= 1 || tieNumeric,
+      s"GlobalOrder.enumerate: salts=$salts needs a numeric '$tieCol' " +
+        s"(got ${df.schema(tieCol).dataType.simpleString}) — the salt " +
+        "bucket must be monotone in the tie, so it derives from the " +
+        "tie value range")
+    // ONE counts aggregate serves every plan: per-key count always;
+    // the tie range rides along when the tie is numeric, so a salted
+    // (or auto-escalated) plan costs no second counting pass
+    val counts =
+      if (tieNumeric)
+        df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"),
+          min(col(tieCol).cast("double")).as("__lo"),
+          max(col(tieCol).cast("double")).as("__hi"))
+      else df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"))
     val stats = counts
       .agg(count(lit(1)).as("k"), coalesce(max("__n"), lit(0L)).as("m"))
       .head()
@@ -94,16 +124,46 @@ object GlobalOrder {
         "partition and broadcast, so the key domain must be coarse " +
         "(a bucket/length/score, not a row id); pre-bucket the key " +
         "or raise maxKeys deliberately")
+    val chosenSalts =
+      if (salts != AutoSalts) salts
+      else if (maxPerKey <= maxRowsPerKey) 1
+      else {
+        require(tieNumeric,
+          s"GlobalOrder.enumerate: heaviest '$keyCol' key holds " +
+            s"$maxPerKey rows, exceeding maxRowsPerKey=$maxRowsPerKey, " +
+            s"and auto-salting needs a numeric '$tieCol' to derive " +
+            "range buckets — refine the key domain or provide a " +
+            "numeric tie")
+        // 2× headroom over the uniform split: range buckets are only
+        // as even as the tie values; concentration beyond that still
+        // trips the per-(key, salt) gate below, loudly
+        val needed = 2L * maxPerKey / maxRowsPerKey +
+          (if ((2L * maxPerKey) % maxRowsPerKey == 0L) 0L else 1L)
+        math.min(65536L, needed).toInt
+      }
+    if (chosenSalts <= 1)
+      enumerateFlat(df, counts, keyCol, tieCol, posCol,
+        maxPerKey, maxRowsPerKey)
+    else
+      enumerateSalted(df, counts, keyCol, tieCol, posCol,
+        nKeys, maxKeys, maxRowsPerKey, chosenSalts)
+  }
+
+  private def prefixOffsets(counts: DataFrame, keyCol: String) = counts
+    .withColumn("__offset",
+      coalesce(sum("__n").over(Window.orderBy(col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+
+  private def enumerateFlat(
+      df: DataFrame, counts: DataFrame, keyCol: String, tieCol: String,
+      posCol: String, maxPerKey: Long, maxRowsPerKey: Long): DataFrame = {
     require(maxPerKey <= maxRowsPerKey,
       s"GlobalOrder.enumerate: heaviest '$keyCol' key holds $maxPerKey " +
         s"rows, exceeding maxRowsPerKey=$maxRowsPerKey — phase 2 sorts " +
-        "each key in one task; raise `salts` to split keys into " +
-        "tie-range buckets (exact, see scaladoc) or refine the key " +
-        "domain")
-    val offsets = counts
-      .withColumn("__offset",
-        coalesce(sum("__n").over(Window.orderBy(col(keyCol))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        "each key in one task; raise `salts` (or pass AutoSalts) to " +
+        "split keys into tie-range buckets (exact, see scaladoc) or " +
+        "refine the key domain")
+    val offsets = prefixOffsets(counts, keyCol)
       .select(col(keyCol), col("__offset"))
     val perKey = Window.partitionBy(col(keyCol)).orderBy(col(tieCol))
     df.join(broadcast(offsets), Seq(keyCol))
@@ -113,28 +173,18 @@ object GlobalOrder {
   }
 
   private def enumerateSalted(
-      df: DataFrame, keyCol: String, tieCol: String, posCol: String,
-      maxKeys: Long, maxRowsPerKey: Long, salts: Int): DataFrame = {
-    import org.apache.spark.sql.types._
-    val tieType = df.schema(tieCol).dataType
-    require(tieType.isInstanceOf[NumericType],
-      s"GlobalOrder.enumerate: salts=$salts needs a numeric '$tieCol' " +
-        s"(got ${tieType.simpleString}) — the salt bucket must be " +
-        "monotone in the tie, so it derives from the tie value range")
-    // ONE counts aggregate also carries each key's tie range — the
-    // salt boundaries cost no extra data pass
-    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("__n"),
-      min(col(tieCol).cast("double")).as("__lo"),
-      max(col(tieCol).cast("double")).as("__hi"))
-    val nKeys = counts.count()
-    require(nKeys <= maxKeys && nKeys * salts <= math.max(maxKeys, 10000000L),
+      df: DataFrame, counts: DataFrame, keyCol: String, tieCol: String,
+      posCol: String, nKeys: Long, maxKeys: Long, maxRowsPerKey: Long,
+      salts: Int): DataFrame = {
+    // the broadcast sub-key table is nKeys·salts rows — gate it
+    // against the caller's OWN bound (round-14 ADVICE: the old check
+    // silently relaxed a caller-tightened maxKeys to a 10M floor)
+    require(nKeys * salts <= maxKeys,
       s"GlobalOrder.enumerate: $nKeys distinct '$keyCol' keys x " +
-        s"$salts salts exceed the broadcast-table bound (maxKeys=" +
-        s"$maxKeys) — coarsen the key domain or lower salts")
-    val offsets = counts
-      .withColumn("__offset",
-        coalesce(sum("__n").over(Window.orderBy(col(keyCol))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        s"$salts salts = ${nKeys * salts} sub-keys exceed maxKeys=" +
+        s"$maxKeys — the sub-offset table is broadcast too; coarsen " +
+        "the key domain, lower salts, or raise maxKeys deliberately")
+    val offsets = prefixOffsets(counts, keyCol)
       .select(col(keyCol), col("__offset"), col("__lo"), col("__hi"))
     // monotone range bucket in [0, salts): double math is safe here —
     // ANY monotone-in-tie bucketing yields the same positions (it

@@ -83,16 +83,23 @@ object KnnBeam {
     * constant 8-bit band space has only 256 values, so buckets grow
     * n/256 and the candidate self-join is Σ|bucket|² = O(n²/256) (it
     * filled the box's disk at the 100× decade). bits =
-    * max(8, ceil(log2(n/targetBucket))), nBands = 32 div bits (≥ 1,
-    * overlapping the signature from bit 0 — bands stay disjoint
+    * min(16, max(8, ceil(log2(n/targetBucket)))), nBands = 32 div bits
+    * (overlapping the signature from bit 0 — bands stay disjoint
     * prefixes of shifted windows as in SemanticDedup). At the bundled
     * corpora (n ≤ 2000) this degenerates to SemanticDedup's exact
     * 4×8 scheme, so shipped hashes are unchanged; the adaptivity only
-    * engages where the fixed scheme breaks.
+    * engages where the fixed scheme breaks. The 16-bit CAP keeps
+    * nBands ≥ 2 (round-14 ADVICE: uncapped, ~2M vectors would reach
+    * bits=17 → ONE band, dropping LSH OR-amplification entirely — a
+    * recall cliff). The price of the cap is bucket occupancy growing
+    * past targetBucket beyond ~2M·targetBucket vectors (Σ|bucket|²
+    * grows again); past that regime, re-band with a wider signature
+    * (64-bit SRP → 4×16 bands) rather than fewer bands.
     */
   private def adaptiveBandRows(
       sig: DataFrame, n: Long, targetBucket: Long = 32L): DataFrame = {
-    val bits = math.max(8, ceilLog2(math.max(1L, n / targetBucket)))
+    val bits = math.min(16,
+      math.max(8, ceilLog2(math.max(1L, n / targetBucket))))
     val nBands = math.max(1, 32 / bits)
     (0 until nBands).map { b =>
       sig.select(col("vec_id"), col("srp"), lit(b).as("band"),

@@ -1671,7 +1671,10 @@ object AnalyticsQueries {
     // here, shuffles at 100 TB); both sums come out of ONE aggregate
     // over the joined rows (a second pass for the numerator would
     // re-shuffle the fact table); the share is exact ppm integer
-    // division over per-row-quantized cents.
+    // division over per-row-quantized cents, through the ExactMath
+    // branch — promo_cents is a corpus-level cent sum, exactly the
+    // numerator class that overflows multiply-first int64 in the
+    // 100 TB regime (identical below 9e12, so bundled hashes hold).
     "q66_promo_share" -> ((
       (s: SparkSession, d: String) => {
         val li = t(s, d, "lineitem")
@@ -1687,24 +1690,24 @@ object AnalyticsQueries {
             .as("promo_cents"),
             sum("rc").as("total_cents"))
           .select(col("month"), col("promo_cents"), col("total_cents"),
-            expr("promo_cents * 1000000L div total_cents")
+            expr(graft.queries.ExactMath
+              .ppmExpr("promo_cents", "total_cents"))
               .as("promo_share_ppm"))
       },
-      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS month,
-               CAST(sum(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(floor(l_extendedprice * (1 - l_discount)
-                   * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
-                 AS promo_cents,
-               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
-                 * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
-               CAST(sum(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(floor(l_extendedprice * (1 - l_discount)
-                   * 100 + 0.5) AS BIGINT) ELSE 0 END) * 1000000
-                 // sum(CAST(floor(l_extendedprice * (1 - l_discount)
-                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      Some(s"""SELECT month, promo_cents, total_cents,
+               CAST(${graft.queries.ExactMath
+                 .ppmSql("promo_cents", "total_cents")} AS BIGINT)
                  AS promo_share_ppm
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY 1""")
+        FROM (
+          SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                 CAST(sum(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                     * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+                   AS promo_cents,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                   * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1)""")
     )),
 
     // "Waiting supplier" (TPC-H Q21 shape) — the hardest classic
@@ -2075,32 +2078,38 @@ object AnalyticsQueries {
             sum(when(col("n_name") === "NATION_3", col("rc"))
               .otherwise(0L)).as("nation_cents"),
             sum(col("rc")).as("total_cents"))
+          // nation_cents is a corpus-level cent sum — ExactMath
+          // branch (overflows multiply-first past 9e12; identical
+          // below, so bundled hashes hold)
           .withColumn("mkt_share_ppm",
-            expr("nation_cents * 1000000L div total_cents"))
+            expr(graft.queries.ExactMath
+              .ppmExpr("nation_cents", "total_cents")))
       },
-      Some("""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-               CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN rc
-                             ELSE 0 END) AS BIGINT) AS nation_cents,
-               CAST(sum(rc) AS BIGINT) AS total_cents,
-               CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN rc
-                             ELSE 0 END) * 1000000 // sum(rc)
-                 AS BIGINT) AS mkt_share_ppm
-        FROM (SELECT l_orderkey, l_partkey, l_suppkey,
-                CAST(floor(l_extendedprice * (1 - l_discount) * 100
-                  + 0.5) AS BIGINT) AS rc
-              FROM lineitem) l
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
-        JOIN nation n1 ON c_nationkey = n1.n_nationkey
-        JOIN region ON n1.n_regionkey = r_regionkey
-        JOIN supplier ON l_suppkey = s_suppkey
-        JOIN nation n2 ON s_nationkey = n2.n_nationkey
-        WHERE r_name = 'ASIA'
-          AND o_orderdate >= TIMESTAMP '1996-01-01'
-          AND o_orderdate < TIMESTAMP '1998-01-01'
-          AND l_partkey IN (SELECT p_partkey FROM part
-                            WHERE p_type = 'PROMO')
-        GROUP BY 1""")
+      Some(s"""SELECT o_year, nation_cents, total_cents,
+               CAST(${graft.queries.ExactMath
+                 .ppmSql("nation_cents", "total_cents")} AS BIGINT)
+                 AS mkt_share_ppm
+        FROM (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN rc
+                               ELSE 0 END) AS BIGINT) AS nation_cents,
+                 CAST(sum(rc) AS BIGINT) AS total_cents
+          FROM (SELECT l_orderkey, l_partkey, l_suppkey,
+                  CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                    + 0.5) AS BIGINT) AS rc
+                FROM lineitem) l
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+            AND o_orderdate >= TIMESTAMP '1996-01-01'
+            AND o_orderdate < TIMESTAMP '1998-01-01'
+            AND l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_type = 'PROMO')
+          GROUP BY 1)""")
     )),
 
     // Product-line profit (TPC-H Q9 shape): net amount (revenue
@@ -3204,6 +3213,9 @@ object AnalyticsQueries {
           .withColumn("n_touches", count(lit(1)).over(wP))
           .select(col("purchase_id"), col("touch_id"), col("touch_type"),
             col("user_id"), col("n_touches"),
+            // raw ppm retained: the numerator is ONE purchase's cents
+            // (≤ ~1e9), never a corpus-level sum — multiply-first
+            // cannot overflow here at any corpus size
             expr("cents * 1000000L div n_touches").as("credit_microcents"))
       },
       Some("""WITH ev AS (
@@ -3358,6 +3370,9 @@ object AnalyticsQueries {
         perHop
           .withColumn("cum_reached",
             sum("n_first_reached").over(wCum))
+          // raw ppm retained: the div runs FIRST (1e6 div hops ≤ 1e6),
+          // so the product is ≤ n_first_reached·1e6 ≤ nodes·1e6 —
+          // inside int64 for any node count below ~9.2e12
           .withColumn("harmonic_ppm",
             when(col("hops") === 0L, 0L)
               .otherwise(expr("n_first_reached * (1000000L div hops)")))
@@ -3528,6 +3543,9 @@ object AnalyticsQueries {
             .withColumn("__hit", lit(1)), Seq("node_a", "node_b"), "left")
           .select(col("node_a"), col("node_b"), col("common"),
             col("deg_a"), col("deg_b"),
+            // raw ppm retained: `common` is one pair's co-neighbor
+            // count, bounded by the smaller node degree — a per-pair
+            // quantity, never a corpus-level sum
             expr("common * 1000000L div (deg_a + deg_b - common)")
               .as("jaccard_ppm"),
             col("__hit").isNotNull.as("already_linked"))

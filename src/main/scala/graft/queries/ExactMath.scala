@@ -24,16 +24,21 @@ object ExactMath {
 
   /** Spark SQL expression: exact parts-per-million of `num` in `den`
     * (both non-negative int64 expressions, `num <= den` in the
-    * intended callers; `den >= 1`).
+    * intended callers; `den >= 1`). The operands are parenthesized on
+    * splice so a compound caller expression ("a - b") binds as a unit
+    * (round-14 ADVICE); note `num` is still interpolated into BOTH
+    * branches — a caller whose numerator is an expensive aggregate
+    * should project it to a column first rather than pay the
+    * re-evaluation.
     */
   def ppmExpr(num: String, den: String): String =
-    s"""CASE WHEN $num <= ${MulFirstBound}L
-          THEN $num * 1000000L div $den
-          ELSE $num div greatest($den div 1000000L, 1L) END"""
+    s"""CASE WHEN ($num) <= ${MulFirstBound}L
+          THEN ($num) * 1000000L div ($den)
+          ELSE ($num) div greatest(($den) div 1000000L, 1L) END"""
 
   /** DuckDB twin of [[ppmExpr]] — identical branch, identical math. */
   def ppmSql(num: String, den: String): String =
-    s"""CASE WHEN $num <= $MulFirstBound
-          THEN $num * 1000000 // $den
-          ELSE $num // greatest($den // 1000000, 1) END"""
+    s"""CASE WHEN ($num) <= $MulFirstBound
+          THEN ($num) * 1000000 // ($den)
+          ELSE ($num) // greatest(($den) // 1000000, 1) END"""
 }

@@ -492,6 +492,9 @@ object MultimodalQueries {
               .as("n_curated"))
           .select(col("source"), col("n_media"), col("n_media_ok"),
             col("n_text_ok"), col("n_curated"),
+            // raw ppm retained: the numerator counts MEDIA ITEMS, each
+            // ≥ KBs of payload — ≤ ~1e11 items at 100 TB, an order
+            // below the 9e12 multiply-first bound
             expr("n_curated * 1000000L div n_media").as("yield_ppm"))
       },
       Some("""WITH ids AS (

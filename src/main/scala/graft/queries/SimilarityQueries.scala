@@ -632,6 +632,9 @@ object SimilarityQueries {
           .select(col("q_id"), col("hits10"),
             (col("hits10") * 100000).as("recall_ppm"),
             col("mrr_micro"), col("dcg_micro"), col("idcg_micro"),
+            // raw ratio retained: dcg_micro ≤ k·1e6 = 1e7 per query
+            // (k = 10), so dcg·1e6 ≤ 1e13 — exact in the double `/`
+            // both engines use (integers below 2^53), at any corpus
             (col("dcg_micro") * 1000000L / col("idcg_micro"))
               .cast("long").as("ndcg_ppm"))
       },

@@ -329,6 +329,8 @@ object TextQueries {
         val scored = graft.operators.TextProfile
           .withQualityStats(docs(s, d))
           .select(col("doc_id"), col("lang"),
+            // raw ppm retained: per-DOC stopword hits (≤ doc tokens,
+            // ~1e6 max) — never a corpus-level sum
             expr("stop_hits * 1000000L div n_tokens").as("score"))
           // NULL scores (null text) must be excluded identically in
           // both engines: Spark windows sort nulls FIRST ascending,
@@ -1491,8 +1493,12 @@ object TextQueries {
               .when(col("cfg") === "b2r2", 2L).otherwise(4L)
               .as("n_rows"),
             col("n_candidates"), col("n_verified"),
-            expr("n_verified * 1000000L div greatest(v_total, 1L)")
-              .as("recall_ppm"))
+            // verified-pair counts are corpus-level aggregates with no
+            // structural cap (near-dup pair mass grows superlinearly
+            // on dup-heavy corpora) — ExactMath branch, identical
+            // below 9e12 so bundled hashes hold
+            expr(ExactMath.ppmExpr(
+              "n_verified", "greatest(v_total, 1L)")).as("recall_ppm"))
       },
       Some(s"""WITH sig AS ($minhashSql),
           bands AS (
@@ -1543,8 +1549,9 @@ object TextQueries {
                CAST(count(*) AS BIGINT) AS n_candidates,
                CAST(sum(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END)
                  AS BIGINT) AS n_verified,
-               CAST(sum(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-                 * 1000000 // greatest(any_value(t.vt), 1) AS BIGINT)
+               CAST(${ExactMath.ppmSql(
+                   "sum(CASE WHEN v.doc_a IS NOT NULL THEN 1 ELSE 0 END)",
+                   "greatest(any_value(t.vt), 1)")} AS BIGINT)
                  AS recall_ppm
         FROM cand c
         LEFT JOIN ver v ON c.doc_a = v.doc_a AND c.doc_b = v.doc_b
@@ -2053,6 +2060,9 @@ object TextQueries {
             col("nt").as("nb")), Seq("db"))
           .withColumn("overlap",
             size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          // raw ppm retained: `overlap` is one PAIR's shingle
+          // intersection, bounded by the smaller document's shingle
+          // count (~1e6) — never a corpus-level sum
           .withColumn("jaccard_ppm",
             expr("overlap * 1000000L div (na + nb - overlap)"))
           .filter(col("jaccard_ppm") >= 900000L)
@@ -2213,6 +2223,9 @@ object TextQueries {
             expr("CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"))
           .withColumn("total_q", sum("q").over(w))
           .select(col("source"), col("n_docs"), col("q"),
+            // raw ppm retained: q = ⌊√n_docs⌋·1e6 ≤ 9e12 for any
+            // corpus under 8.1e13 docs (the sqrt is the cap); the
+            // nested site multiplies a ≤1e6 ppm by 1e5 — ≤1e11
             expr("q * 1000000L div total_q").as("weight_ppm"),
             expr("(q * 1000000L div total_q) * 100000L div 1000000L")
               .as("alloc_100k"))
@@ -2423,22 +2436,30 @@ object TextQueries {
             sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
           .select(col("source"), col("n_tokens"), col("n_types"),
             col("n_hapax"),
-            expr("n_types * 1000000L div n_tokens").as("ttr_ppm"),
-            expr("n_hapax * 1000000L div n_types").as("hapax_ppm"))
+            // per-source type/hapax counts are corpus-level with no
+            // structural cap (all-unique pathology makes n_types
+            // approach n_tokens, past 9e12 at 100 TB) — ExactMath
+            // branch, identical below the bound
+            expr(ExactMath.ppmExpr("n_types", "n_tokens")).as("ttr_ppm"),
+            expr(ExactMath.ppmExpr("n_hapax", "n_types")).as("hapax_ppm"))
       },
-      Some("""WITH tc AS (
+      Some(s"""WITH tc AS (
             SELECT source, tok, count(*) AS c
             FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
                   FROM documents)
-            GROUP BY 1, 2)
-        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
-               count(*) AS n_types,
-               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS n_hapax,
-               CAST(count(*) * 1000000 // sum(c) AS BIGINT) AS ttr_ppm,
-               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
-                 // count(*) AS BIGINT) AS hapax_ppm
-        FROM tc GROUP BY source""")
+            GROUP BY 1, 2),
+          agg AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                   count(*) AS n_types,
+                   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_hapax
+            FROM tc GROUP BY source)
+        SELECT source, n_tokens, n_types, n_hapax,
+               CAST(${ExactMath.ppmSql("n_types", "n_tokens")}
+                 AS BIGINT) AS ttr_ppm,
+               CAST(${ExactMath.ppmSql("n_hapax", "n_types")}
+                 AS BIGINT) AS hapax_ppm
+        FROM agg""")
     )),
 
     // Cross-source contamination MATRIX: for every source pair, how
@@ -2474,8 +2495,11 @@ object TextQueries {
             col("n_grams").as("n_b"))), Seq("src_b"))
           .select(col("src_a"), col("src_b"), col("n_shared"),
             col("n_a"), col("n_b"),
-            expr("n_shared * 1000000L div (n_a + n_b - n_shared)")
-              .as("jaccard_ppm"))
+            // shared-gram counts are corpus-level distinct-vocabulary
+            // aggregates with no structural cap (5-gram spaces reach
+            // ~1e12 on web corpora) — ExactMath branch
+            expr(ExactMath.ppmExpr(
+              "n_shared", "n_a + n_b - n_shared")).as("jaccard_ppm"))
       },
       Some(s"""WITH grams AS (
             SELECT DISTINCT source, g
@@ -2492,8 +2516,8 @@ object TextQueries {
             GROUP BY 1, 2)
         SELECT s.src_a, s.src_b, s.n_shared,
                va.n_grams AS n_a, vb.n_grams AS n_b,
-               CAST(s.n_shared * 1000000
-                 // (va.n_grams + vb.n_grams - s.n_shared) AS BIGINT)
+               CAST(${ExactMath.ppmSql("s.n_shared",
+                 "va.n_grams + vb.n_grams - s.n_shared")} AS BIGINT)
                  AS jaccard_ppm
         FROM shared s
         JOIN vocab va ON s.src_a = va.source
@@ -2702,6 +2726,9 @@ object TextQueries {
           .agg(count(lit(1)).as("n_tokens"),
             sum(floor((col("c_t") + 1) * lit(1000000.0) / (col("c_r") + 1))
               .cast("long")).as("dsir_q"))
+          // raw ppm retained: per-DOC aggregate — dsir_q ≤ doc tokens
+          // · 1e6 (each term ≤ 1e6 since c_t ≤ c_r) ≈ ≤1e12 for a
+          // 1M-token doc, under the multiply-first bound
           .withColumn("mean_ppm", expr("dsir_q * 1000000L div n_tokens"))
         val hist = scored.groupBy("lang", "mean_ppm")
           .agg(count(lit(1)).as("cnt"))
@@ -2917,8 +2944,17 @@ object TextQueries {
             sum(length(col("word")).cast("long")).as("n_chars"))
           .select(col("source"), col("n_words"), col("n_tokens"),
             col("n_chars"),
-            expr("n_tokens * 1000000L div n_words").as("fertility_ppm"),
-            expr("n_chars * 1000000L div n_tokens")
+            // per-source token/char sums are corpus-level (past 9e12
+            // in the 100 TB regime) — ExactMath branch. These ratios
+            // have num > den (fertility ≥ 1), but num/den is bounded
+            // by symbols-per-word (~50) resp. chars-per-token, so the
+            // >9e12 div-first branch's divisor is still ≥ num/50 ≫
+            // 1e6 and its truncation error stays negligible for a
+            // corpus diagnostic; both engines share the branch, so
+            // they agree bit-for-bit regardless
+            expr(ExactMath.ppmExpr("n_tokens", "n_words"))
+              .as("fertility_ppm"),
+            expr(ExactMath.ppmExpr("n_chars", "n_tokens"))
               .as("chars_per_token_ppm"))
       },
       Some(s"""WITH ${bpeRoundsSql(8)},
@@ -2927,15 +2963,17 @@ object TextQueries {
             FROM (SELECT source, unnest(string_split(text, ' ')) AS token
                   FROM documents)
             WHERE token <> '')
-        SELECT w.source, count(*) AS n_words,
-               CAST(sum(len(v.s)) AS BIGINT) AS n_tokens,
-               CAST(sum(length(w.word)) AS BIGINT) AS n_chars,
-               CAST(sum(len(v.s)) * 1000000 // count(*) AS BIGINT)
-                 AS fertility_ppm,
-               CAST(sum(length(w.word)) * 1000000 // sum(len(v.s))
+        SELECT source, n_words, n_tokens, n_chars,
+               CAST(${ExactMath.ppmSql("n_tokens", "n_words")}
+                 AS BIGINT) AS fertility_ppm,
+               CAST(${ExactMath.ppmSql("n_chars", "n_tokens")}
                  AS BIGINT) AS chars_per_token_ppm
-        FROM words w JOIN v8 v ON w.word = v.word
-        GROUP BY 1""")
+        FROM (
+          SELECT w.source, count(*) AS n_words,
+                 CAST(sum(len(v.s)) AS BIGINT) AS n_tokens,
+                 CAST(sum(length(w.word)) AS BIGINT) AS n_chars
+          FROM words w JOIN v8 v ON w.word = v.word
+          GROUP BY 1)""")
     )),
 
     // LENGTH CURRICULUM — deterministic global training order,
@@ -2947,22 +2985,27 @@ object TextQueries {
     // in two phases — per-length counts → prefix-sum offsets over the
     // LENGTH-cardinality table (the only global window, key-sized by
     // design) → broadcast offsets + per-length row_number — and runs
-    // here with salts=4, the TWO-LEVEL (key, tie-range salt) scheme
-    // that removes even the per-length single-task-sort ceiling (a
-    // few lengths dominate real corpora): positions are provably
-    // UNCHANGED by salting (the bucket is monotone in the tie, so it
-    // moves only load balance — this query's hash vs the unsalted
-    // round-13 oracle is the live proof), while the heaviest task
-    // shrinks from the heaviest length to a quarter of it. DuckDB
-    // independently derives the same positions with its global
-    // row_number: two formulations, one total order.
+    // here with salts=AutoSalts: the counts aggregate already measures
+    // the heaviest length key, so the operator ships the FLAT
+    // single-shuffle plan while that key fits one task (it does at
+    // every bundled scale — round 14 paid the salted plan's second
+    // shuffle unconditionally, 0.63→1.01 s, where flat was provably
+    // safe) and escalates to the TWO-LEVEL (key, tie-range salt)
+    // scheme only when the per-length single-task-sort ceiling is
+    // actually threatened. Positions are provably UNCHANGED by the
+    // choice (the salt bucket is monotone in the tie, so it moves
+    // only load balance — this query's hash vs the unsalted round-13
+    // oracle is the live proof). DuckDB independently derives the
+    // same positions with its global row_number: two formulations,
+    // one total order.
     "t35_length_curriculum" -> ((
       (s: SparkSession, d: String) => {
         val byLen = docs(s, d).select(col("doc_id"),
           expr("CAST(size(filter(split(text, ' '), x -> x != ''))" +
             " AS BIGINT)").as("n_tokens"))
         graft.operators.GlobalOrder
-          .enumerate(byLen, "n_tokens", "doc_id", salts = 4)
+          .enumerate(byLen, "n_tokens", "doc_id",
+            salts = graft.operators.GlobalOrder.AutoSalts)
           .select(col("doc_id"), col("n_tokens"), col("pos"),
             pmod(col("pos"), lit(8L)).as("shard"))
       },

@@ -78,6 +78,16 @@ object StreamingEntityMatch {
 
   /** The stateful gate over a STREAMING (rec_id, name) frame.
     *
+    * MIGRATION (round 14 → ): `maxResidents` was introduced with
+    * default 64 — a BREAKING default for a pre-round-14 stream whose
+    * blocking key legitimately holds more residents per bucket: it now
+    * dies with the named IllegalStateException below mid micro-batch
+    * instead of silently degrading. That loud-over-silent trade is
+    * this repo's convention (the cap marks the key as not selective
+    * enough to bound per-arrival cost); a caller who measured and
+    * accepts larger buckets passes an explicit higher cap at the call
+    * site, which also documents the accepted per-arrival budget.
+    *
     * STATE-SIZE CONTRACT: each bucket's resident list grows by one per
     * novel admission and is scanned once per arrival (the verifier
     * must test residents in admission order — "earliest wins" is the

@@ -140,4 +140,75 @@ class GlobalOrderSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("needs a numeric"))
   }
+
+  private def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.toString()
+      .linesIterator.count(_.contains("Exchange"))
+
+  test("AutoSalts ships the FLAT plan when the heaviest key fits one " +
+      "task — no second shuffle paid where flat is provably safe") {
+    val session = spark
+    import session.implicits._
+    val rows = (1L to 300L).map(i => (i % 3, i)).toDF("k", "id")
+    val auto = GlobalOrder.enumerate(rows, "k", "id",
+      salts = GlobalOrder.AutoSalts)
+    val flat = GlobalOrder.enumerate(rows, "k", "id")
+    // identical physical shape: auto chose salts=1
+    assert(exchanges(auto) == exchanges(flat),
+      "auto under the threshold must match the flat plan's shuffles")
+    val salted = GlobalOrder.enumerate(rows, "k", "id", salts = 4)
+    assert(exchanges(salted) > exchanges(flat),
+      "sanity: the salted plan really does carry extra shuffles")
+    // and positions are the global row_number either way
+    val got = auto.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .zip(auto.collect().map(_.getAs[Long]("pos"))).toMap
+    assert(got.size == 300)
+  }
+
+  test("AutoSalts ESCALATES when the heaviest key exceeds " +
+      "maxRowsPerKey: the same input that fails flat passes auto, " +
+      "with positions still the global row_number") {
+    val session = spark
+    import session.implicits._
+    val rows = (1L to 1000L).map(i => (i % 2, i)).toDF("k", "id")
+    intercept[IllegalArgumentException] {
+      GlobalOrder.enumerate(rows, "k", "id", maxRowsPerKey = 100L)
+    }
+    val auto = GlobalOrder.enumerate(rows, "k", "id",
+      maxRowsPerKey = 100L, salts = GlobalOrder.AutoSalts)
+    val want = rows
+      .withColumn("want", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("k"), col("id"))).cast("long") - 1L)
+    val joined = auto.join(want, Seq("k", "id"))
+    assert(joined.filter(col("pos") =!= col("want")).count() == 0L)
+  }
+
+  test("AutoSalts with a non-numeric tie: flat when safe, a named " +
+      "error when escalation would be needed") {
+    val session = spark
+    import session.implicits._
+    val small = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "tie")
+    assert(GlobalOrder.enumerate(small, "k", "tie",
+      salts = GlobalOrder.AutoSalts).count() == 3L)
+    val heavy = (1L to 50L).map(i => (1L, f"t$i%03d")).toDF("k", "tie")
+    val ex = intercept[IllegalArgumentException] {
+      GlobalOrder.enumerate(heavy, "k", "tie",
+        maxRowsPerKey = 10L, salts = GlobalOrder.AutoSalts)
+    }
+    assert(ex.getMessage.contains("auto-salting needs a numeric"))
+  }
+
+  test("the salted sub-key broadcast table is gated against the " +
+      "caller's OWN maxKeys — no silent 10M floor") {
+    val session = spark
+    import session.implicits._
+    // 6 keys x 4 salts = 24 sub-keys > maxKeys=10 even though the
+    // 6 keys themselves pass the cardinality gate
+    val rows = (1L to 60L).map(i => (i % 6, i)).toDF("k", "id")
+    val ex = intercept[IllegalArgumentException] {
+      GlobalOrder.enumerate(rows, "k", "id", maxKeys = 10L, salts = 4)
+    }
+    assert(ex.getMessage.contains("sub-keys exceed maxKeys"))
+  }
 }
