@@ -181,12 +181,87 @@ object BeamRecallProbe {
     }
   }
 
+  /** `insertcost` mode: the round-15 contract behind
+    * insertBatchIndexed — a FIXED 200-vector batch inserted into
+    * 1×/10×/100× indexes (dim-permuted decades), with the band index
+    * PERSISTED partitionBy(band, pbv) and re-read, vs the index-less
+    * insertBatch on the same inputs. The indexed path's cost must be
+    * ~flat across index decades (it touches the batch, its colliding
+    * buckets, and ≤ batch·degree neighborhoods); insertBatch carries
+    * the O(index) signature/band/count floor the round-14 verdict
+    * flagged, and its curve shows it. The batch is salt-99
+    * dim-permuted from sf0.1's first 200 vectors with ids at 9e9+i —
+    * disjoint from every corpus id, decorrelated from every copy.
+    */
+  private def insertCostMode(spark: SparkSession): Unit = {
+    val perm: Array[Int] = {
+      val arr = (0 until 64).toArray
+      val rnd = new java.util.Random(99L * 2654435761L)
+      var i = arr.length - 1
+      while (i >= 1) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      arr
+    }
+    val batch = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+      .select((col("vec_id") + 9000000000L).as("vec_id"),
+        array(perm.map(p => col("embedding")(p)).toIndexedSeq: _*)
+          .as("embedding"))
+      .localCheckpoint(true)
+    val dirs = Seq(
+      ("1x", "/root/testdata/sf0.1"),
+      ("10x", "/tmp/graft-scale-emb/sf1"),
+      ("100x", "/tmp/graft-scale-emb/sf10"))
+    for ((tag, d) <- dirs) {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val n = emb.count()
+      val tb0 = System.nanoTime()
+      val g0 = graft.operators.KnnBeam.buildGraph(emb, refineRounds = 2)
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      val ti0 = System.nanoTime()
+      val idx = graft.operators.KnnBeam.buildBandIndex(emb)
+      val store = s"/tmp/graft-insert-idx/$tag"
+      idx.rows.write.partitionBy("band", "pbv")
+        .mode("overwrite").parquet(store)
+      val tIdx = (System.nanoTime() - ti0) / 1e9
+      val stored = idx.withRows(spark.read.parquet(store))
+      def runIndexed(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.KnnBeam
+          .insertBatchIndexed(g0, stored, batch).delta
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def runOld(): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.KnnBeam.insertBatch(g0, emb, batch)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runIndexed() // warmup (codegen/JIT)
+      val tIns = Seq(runIndexed(), runIndexed()).min
+      val tOld = Seq(runOld(), runOld()).min
+      val deltaRows = graft.operators.KnnBeam
+        .insertBatchIndexed(g0, stored, batch).delta.count()
+      println(f"$tag n=$n build=$tBuild%.2fs index_build=$tIdx%.2fs " +
+        f"insert_indexed=$tIns%.2fs insert_old=$tOld%.2fs " +
+        f"delta_rows=$deltaRows")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("insertcost")) {
+      insertCostMode(spark); spark.stop(); return
+    }
     if (args.contains("scale")) { scaleMode(spark); spark.stop(); return }
     if (args.contains("scale10")) {
       scale10Mode(spark, args.contains("also100")); spark.stop(); return

@@ -77,6 +77,43 @@ object KnnBeam {
   private def ceilLog2(x: Long): Int =
     if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1L)
 
+  /** Sentinel for `graphDegree`: derive the degree from the corpus
+    * count — the `adaptiveBandRows` pattern applied to SCALE.md
+    * Finding 2 (recall on unstructured corpora needs degree ~log n;
+    * a fixed degree 8 collapsed 5–7/50 at the 10× decade).
+    */
+  val AutoDegree = 0
+
+  /** degree = max(8, min(32, 8·(⌈log2 n⌉ − 11))): pinned to BOTH
+    * measured points — 8 holds the recall level at n ≤ 2k (every
+    * bundled corpus, so shipped hashes are unchanged) and 32 is what
+    * the 10×–100× dim-permuted decades needed (SCALE.md Finding 2);
+    * the 32 cap is the measurement boundary, not an asymptote —
+    * recalibrate past 200k rather than extrapolate (NN-descent pays
+    * n·degree² per refine round; the degree-64 wedge shuffle is a
+    * recorded box limit).
+    */
+  private[graft] def autoDegree(n: Long): Int =
+    math.max(8, math.min(32, 8 * (ceilLog2(math.max(1L, n)) - 11)))
+
+  private def resolveDegree(graphDegree: Int, n: => Long): Int = {
+    require(graphDegree >= 0,
+      s"graphDegree must be AutoDegree (0) or positive: $graphDegree")
+    if (graphDegree == AutoDegree) autoDegree(n) else graphDegree
+  }
+
+  /** (bits, nBands) of the adaptive banding at corpus count `n` —
+    * shared by [[buildGraph]]'s transient banding and the PERSISTED
+    * [[BandIndex]], so an index built at count n bands exactly the
+    * way the transient path would.
+    */
+  private[graft] def bandParams(
+      n: Long, targetBucket: Long = 32L): (Int, Int) = {
+    val bits = math.min(16,
+      math.max(8, ceilLog2(math.max(1L, n / targetBucket))))
+    (bits, math.max(1, 32 / bits))
+  }
+
   /** ADAPTIVE banding of the 32-bit SRP signature: band width grows
     * with log(corpus) so each (band, value) bucket holds a BOUNDED
     * ~`targetBucket` vectors — the fix for the fixed-width trap: a
@@ -98,9 +135,7 @@ object KnnBeam {
     */
   private def adaptiveBandRows(
       sig: DataFrame, n: Long, targetBucket: Long = 32L): DataFrame = {
-    val bits = math.min(16,
-      math.max(8, ceilLog2(math.max(1L, n / targetBucket))))
-    val nBands = math.max(1, 32 / bits)
+    val (bits, nBands) = bandParams(n, targetBucket)
     (0 until nBands).map { b =>
       sig.select(col("vec_id"), col("srp"), lit(b).as("band"),
         shiftright(col("srp"), b * bits)
@@ -108,23 +143,33 @@ object KnnBeam {
     }.reduce(_ unionByName _)
   }
 
+  /** Output edges are (node, nbr, cosine) — the build-time exact
+    * score rides along so incremental maintenance
+    * ([[insertBatchIndexed]]) can re-cut affected neighborhoods
+    * WITHOUT refetching vectors (cosine is deterministic, so a stored
+    * score equals a recomputed one bit-for-bit). [[search]] ignores
+    * the extra column.
+    */
   def buildGraph(
       emb: DataFrame,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dims: Int = 64,
-      graphDegree: Int = 8,
+      graphDegree: Int = AutoDegree,
       maxHamming: Int = 16,
       refineRounds: Int = 2): DataFrame = {
-    require(graphDegree >= 1, s"graphDegree must be positive: $graphDegree")
     require(refineRounds >= 0, s"negative refineRounds: $refineRounds")
     val c = emb.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
+    val sig = SemanticDedup.signatures(emb, idCol, vecCol, dims)
+      .localCheckpoint(true)
+    val n = sig.count()
+    val degree = resolveDegree(graphDegree, n)
     val w = Window.partitionBy("node")
       .orderBy(col("cosine").desc, col("nbr"))
     def cut(scored: DataFrame): DataFrame = scored
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= graphDegree)
-      .select("node", "nbr")
+      .filter(col("__rn") <= degree)
+      .select("node", "nbr", "cosine")
     def score(cand: DataFrame): DataFrame = cand
       .join(c, cand("node") === c("__cid"))
       .withColumnRenamed("__cv", "qv").drop("__cid")
@@ -134,9 +179,7 @@ object KnnBeam {
         .cosine_similarity(col("qv"), col("nv")))
       .select("node", "nbr", "cosine")
 
-    val sig = SemanticDedup.signatures(emb, idCol, vecCol, dims)
-      .localCheckpoint(true)
-    val bands = adaptiveBandRows(sig, sig.count())
+    val bands = adaptiveBandRows(sig, n)
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -155,12 +198,13 @@ object KnnBeam {
       // wedge candidates: neighbors-of-neighbors through the CURRENT
       // graph, both orientations (an undirected descent step), capped
       // at degree² per node by construction
-      val hop2 = graph.as("a")
-        .join(graph.as("b"), col("a.nbr") === col("b.node"))
+      val edges = graph.select("node", "nbr")
+      val hop2 = edges.as("a")
+        .join(edges.as("b"), col("a.nbr") === col("b.node"))
         .select(col("a.node").as("node"), col("b.nbr").as("nbr"))
         .filter(col("node") =!= col("nbr"))
-      val cands = graph
-        .unionByName(graph.select(col("nbr").as("node"),
+      val cands = edges
+        .unionByName(edges.select(col("nbr").as("node"),
           col("node").as("nbr")))
         .unionByName(hop2)
         .distinct()
@@ -189,10 +233,12 @@ object KnnBeam {
     * bundled corpus and by s25's oracle floor.
     *
     * Signatures are recomputed here as a narrow map over corpus ∪
-    * batch; a production deployment stores them columnar beside the
-    * vectors, which drops the corpus-side cost to a scan of the
-    * signature column (the banded join itself already touches only
-    * colliding rows).
+    * batch — an O(index) floor PER CALL (it also recounts the index).
+    * This path stays for the index-less convenience case;
+    * [[insertBatchIndexed]] over a persisted [[BandIndex]] produces
+    * the IDENTICAL edge set while touching only the batch's colliding
+    * buckets and the affected neighborhoods — use it for any
+    * maintained deployment.
     */
   def insertBatch(
       graph: DataFrame,
@@ -201,9 +247,11 @@ object KnnBeam {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dims: Int = 64,
-      graphDegree: Int = 8,
+      graphDegree: Int = AutoDegree,
       maxHamming: Int = 16): DataFrame = {
-    require(graphDegree >= 1, s"graphDegree must be positive: $graphDegree")
+    // accept graphs with or without the build-time cosine column —
+    // this path re-scores everything it cuts
+    val g = graph.select("node", "nbr")
     val c = corpus.select(col(idCol).cast("long").as("__cid"),
       col(vecCol).as("__cv"))
     val b = batch.select(col(idCol).cast("long").as("__cid"),
@@ -218,6 +266,7 @@ object KnnBeam {
     // index-side property), so per-batch-row fan-out stays ~bands ×
     // targetBucket at any index size
     val nFull = sigFull.count()
+    val degree = resolveDegree(graphDegree, nFull)
     val cand = adaptiveBandRows(sigBatch, nFull).as("x")
       .join(adaptiveBandRows(sigFull, nFull).as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
@@ -240,7 +289,7 @@ object KnnBeam {
       .select("node", "nbr", "cosine")
     def cut(scored: DataFrame): DataFrame = scored
       .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= graphDegree)
+      .filter(col("__rn") <= degree)
       .select("node", "nbr")
     val batchEdges = cut(score(cand)).localCheckpoint(true)
     // symmetrize into the nodes the new edges point at, then re-cut
@@ -248,12 +297,210 @@ object KnnBeam {
     val rev = batchEdges.select(col("nbr").as("node"),
       col("node").as("nbr"))
     val affected = rev.select("node").distinct().localCheckpoint(true)
-    val merged = graph.unionByName(batchEdges)
+    val merged = g.unionByName(batchEdges)
     val recut = cut(score(merged
       .join(affected, Seq("node"), "left_semi")
       .unionByName(rev).distinct()))
     merged.join(affected, Seq("node"), "left_anti")
       .unionByName(recut)
+  }
+
+  /** A PERSISTED banded-signature index — the round-14 verdict's fix
+    * for [[insertBatch]]'s O(index) per-call floor (it recomputed
+    * signatures + band rows + a count over the FULL corpus on every
+    * insert). The index is what a production vector store maintains
+    * beside the vectors: one row per (vector, band) carrying
+    * (vec_id, srp, band, bv, pbv, vec) — the vector EMBEDDED so
+    * candidate scoring never rejoins the corpus — plus the count and
+    * banding geometry as metadata, so an insert never touches the
+    * index beyond its colliding buckets.
+    *
+    * `pbv = pmod(bv, 256)` is the STORAGE partition key: persist
+    * `rows` with `.write.partitionBy("band", "pbv")` (≤ nBands·256
+    * directories at any corpus size; at the bundled 8-bit banding
+    * pbv == bv exactly) and a batch's bucket filter prunes the read
+    * to its colliding buckets — the point-lookup layout
+    * [[insertBatchIndexed]] exploits.
+    *
+    * Banding geometry is FIXED at build time (from the build count):
+    * inserts keep the stored banding — re-banding is a rebuild
+    * decision, taken when `count` outgrows the band width's
+    * Σ|bucket|² budget (bandParams documents the thresholds), exactly
+    * like any other index reorganization.
+    */
+  case class BandIndex(rows: DataFrame, count: Long, bits: Int,
+      nBands: Int) {
+    /** Rebind to rows re-read from storage (count/geometry carried —
+      * no recount).
+      */
+    def withRows(r: DataFrame): BandIndex = copy(rows = r)
+  }
+
+  /** One banded-signature pass over `emb` (the only full-corpus scan
+    * in the index lifecycle — build time, amortized over every
+    * insert it serves).
+    */
+  def buildBandIndex(
+      emb: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      targetBucket: Long = 32L): BandIndex = {
+    val sig = SemanticDedup
+      .signaturesWithVec(emb, idCol, vecCol, dims).localCheckpoint(true)
+    val n = sig.count()
+    val (bits, nBands) = bandParams(n, targetBucket)
+    BandIndex(bandRowsOf(sig, bits, nBands), n, bits, nBands)
+  }
+
+  /** (vec_id, srp, band, bv, pbv, vec) band rows of a
+    * (vec_id, srp, vec) signature frame under a FIXED geometry.
+    */
+  private def bandRowsOf(
+      sig: DataFrame, bits: Int, nBands: Int): DataFrame =
+    (0 until nBands).map { b =>
+      sig.select(col("vec_id"), col("srp"), lit(b).as("band"),
+        shiftright(col("srp"), b * bits)
+          .bitwiseAND((1L << bits) - 1L).as("bv"),
+        pmod(shiftright(col("srp"), b * bits)
+          .bitwiseAND((1L << bits) - 1L), lit(256L)).cast("int")
+          .as("pbv"),
+        col("vec"))
+    }.reduce(_ unionByName _)
+
+  /** The result of an indexed insert. `graph` is the full updated
+    * edge view (old graph minus affected nodes, plus `delta`) — use
+    * it directly for search; `delta` alone is what a store
+    * maintaining edges partitioned by node overwrites (affected ∪
+    * new nodes' partitions), so the WRITE is delta-sized too.
+    */
+  case class IndexedInsert(graph: DataFrame, delta: DataFrame,
+      affected: DataFrame, index: BandIndex)
+
+  /** Index-maintained [[insertBatch]] — same edges, none of the
+    * O(index) work. Per call this touches:
+    *
+    *   - the BATCH (signatures are a narrow map over batch rows only);
+    *   - the index's COLLIDING BUCKETS: the batch's distinct
+    *     (band, pbv) keys (≤ batch·nBands of them) become a literal
+    *     partition filter on `index.rows` — on a
+    *     `partitionBy("band", "pbv")` store that is a STATIC
+    *     partition prune (IndexedKnnInsertSpec pins partitions
+    *     read ≤ batch buckets), and the residual bv equi-join runs on
+    *     the pruned read. Above `maxPruneKeys` the filter is skipped
+    *     (correctness unchanged — the equi-join still selects the
+    *     same rows; the (band, pbv) join keys stay available for
+    *     runtime DPP);
+    *   - the old GRAPH's affected neighborhoods (≤ batch·degree
+    *     nodes), fetched by the same literal-filter point-lookup —
+    *     delta-sized on a node-partitioned edge store. Their stored
+    *     build-time cosines make the re-cut a pure window — cosine is
+    *     deterministic and symmetric (per-element products commute,
+    *     accumulation order is fixed), so a stored score equals a
+    *     recomputed one bit-for-bit and NO vector fetch happens at
+    *     all.
+    *
+    * The index count advances by arithmetic (`count + batchN`,
+    * batchN counted over the BATCH), never by recounting the index.
+    * Batch-batch collisions are included (the batch side self-joins —
+    * bounded by the batch's own bucket occupancy), so the edge set is
+    * IDENTICAL to [[insertBatch]] at the same geometry and degree —
+    * spec-pinned, not just recall-equivalent.
+    *
+    * `graph` must carry the build-time `cosine` column
+    * ([[buildGraph]] output).
+    */
+  def insertBatchIndexed(
+      graph: DataFrame,
+      index: BandIndex,
+      batch: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      dims: Int = 64,
+      graphDegree: Int = AutoDegree,
+      maxHamming: Int = 16,
+      maxPruneKeys: Int = 100000): IndexedInsert = {
+    require(graph.columns.contains("cosine"),
+      "insertBatchIndexed needs build-time cosines on the graph " +
+        "edges (buildGraph keeps them); re-derive the graph or use " +
+        "insertBatch")
+    val g = graph.select("node", "nbr", "cosine")
+    val sigB = SemanticDedup.signaturesWithVec(
+      batch.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding")),
+      "vec_id", "embedding", dims).localCheckpoint(true)
+    val batchN = sigB.count() // O(batch) — the index count is metadata
+    val degree = resolveDegree(graphDegree, index.count + batchN)
+    val bandB = bandRowsOf(sigB, index.bits, index.nBands)
+      .localCheckpoint(true)
+    // the point-lookup prune: batch bucket keys as a LITERAL partition
+    // filter (band·1000 + pbv references only partition columns, so a
+    // partitioned store prunes statically). Bounded by batch·nBands;
+    // past maxPruneKeys skip it — the equi-join below is still exact
+    val bucketKeys = bandB
+      .select((col("band") * 1000L + col("pbv")).as("k"))
+      .distinct()
+    val idxRows =
+      if (batchN * index.nBands <= maxPruneKeys) {
+        val keys = bucketKeys.collect().map(_.getLong(0)).sorted
+        index.rows.filter(
+          (col("band") * 1000L + col("pbv")).isin(keys: _*))
+      } else index.rows
+    // candidates: batch vs (pruned index ∪ batch) — the batch side
+    // self-joins too, so within-batch neighbors are found exactly as
+    // insertBatch finds them; the index side is NEVER self-joined
+    val allBands = idxRows.select("vec_id", "srp", "band", "bv",
+        "pbv", "vec")
+      .unionByName(bandB.select("vec_id", "srp", "band", "bv",
+        "pbv", "vec"))
+    val cand = bandB.as("x").join(allBands.as("y"),
+        col("x.band") === col("y.band") && col("x.pbv") === col("y.pbv")
+          && col("x.bv") === col("y.bv")
+          && col("x.vec_id") =!= col("y.vec_id"))
+      .filter(bit_count(col("x.srp").bitwiseXOR(col("y.srp")))
+        .cast("long") <= maxHamming)
+      .select(col("x.vec_id").as("node"), col("y.vec_id").as("nbr"),
+        col("x.vec").as("qv"), col("y.vec").as("nv"))
+      .dropDuplicates("node", "nbr")
+    val w = Window.partitionBy("node")
+      .orderBy(col("cosine").desc, col("nbr"))
+    def cut(scored: DataFrame): DataFrame = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= degree)
+      .select("node", "nbr", "cosine")
+    val batchEdges = cut(cand
+      .withColumn("cosine", graft.functions.VectorExprs
+        .cosine_similarity(col("qv"), col("nv")))
+      .select("node", "nbr", "cosine")).localCheckpoint(true)
+    // symmetrize into the nodes the new edges point at; their stored
+    // cosines re-cut as a pure window over ≤ batch·degree
+    // neighborhoods
+    val rev = batchEdges.select(col("nbr").as("node"),
+      col("node").as("nbr"), col("cosine"))
+    val affected = rev.select("node").distinct().localCheckpoint(true)
+    // the affected set is ≤ batch·degree ids — the same point-lookup
+    // prune as the bucket filter: a literal id filter lets a
+    // node-partitioned edge store prune statically (fall back to a
+    // broadcast semi join past the cap; identical row set either way)
+    val gAffected =
+      if (affected.count() <= maxPruneKeys) {
+        val ids = affected.collect().map(_.getLong(0)).sorted
+        g.filter(col("node").isin(ids: _*))
+      } else g.join(affected, Seq("node"), "left_semi")
+    val recut = cut(gAffected
+      .unionByName(batchEdges.join(affected, Seq("node"), "left_semi"))
+      .unionByName(rev)
+      // duplicates (a pair reachable both ways) carry EQUAL cosines —
+      // max() collapses them without a distinct pass
+      .groupBy("node", "nbr").agg(max("cosine").as("cosine")))
+    val untouchedBatch = batchEdges
+      .join(affected, Seq("node"), "left_anti")
+    val delta = recut.unionByName(untouchedBatch)
+    val full = g.join(affected, Seq("node"), "left_anti")
+      .unionByName(delta)
+    IndexedInsert(full, delta, affected,
+      BandIndex(index.rows.unionByName(bandB),
+        index.count + batchN, index.bits, index.nBands))
   }
 
   /** Deterministic entry points: a FIXED ABSOLUTE number of seeds

@@ -76,6 +76,26 @@ object SemanticDedup {
     withSrp(embDf, vecCol, dims)
       .select(col(idCol).cast("long").as("vec_id"), col("srp"))
 
+  /** [[signatures]] keeping the vector column — the band-index rows
+    * (KnnBeam.buildBandIndex) embed the vector beside the signature so
+    * candidate SCORING never rejoins the corpus. Same dims validation,
+    * same srp expression: one signature semantics.
+    */
+  private[graft] def signaturesWithVec(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int): DataFrame = {
+    val checked = emb.withColumn(vecCol,
+      when(size(col(vecCol)) === dims, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"SemanticDedup: expected $dims-dimension vectors " +
+            s"(the dims argument), found length "),
+          coalesce(size(col(vecCol)).cast("string"),
+            lit("null (missing vector)"))))))
+    withSrp(checked, vecCol, dims)
+      .select(col(idCol).cast("long").as("vec_id"), col("srp"),
+        col(vecCol).as("vec"))
+  }
+
   /** Adds the 32-bit `srp` column to ANY frame with a `vecCol` vector
     * column, keeping every other column — a stateless narrow map, so
     * it is legal on an unbounded STREAM (the StreamingKnnIngest gate

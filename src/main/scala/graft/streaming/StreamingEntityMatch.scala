@@ -40,6 +40,12 @@ object StreamingEntityMatch {
   case class KeyRow(rec_id: Long, name: String, ki: Int, bk: String)
   case class MatchFlag(rec_id: Long, ki: Int, bk: String, match_of: Long)
   case class BlockState(admitted: Seq[(Long, String)])
+  case class KeyRowTs(rec_id: Long, name: String,
+      ts: java.sql.Timestamp, ki: Int, bk: String)
+  /** Residents carry their admission event time for horizon eviction:
+    * (rec_id, name, tsMillis).
+    */
+  case class BlockStateTs(admitted: Seq[(Long, String, Long)])
 
   /** Classic DP edit distance — the state-function verifier (Column
     * `levenshtein` only exists in query plans). Early-exits via the
@@ -142,6 +148,99 @@ object StreamingEntityMatch {
           }
           if (admitted.size != grew) state.update(BlockState(admitted.toSeq))
           out.result().iterator
+      }
+  }
+
+  /** The SLIDING-HORIZON variant of [[gate]] — the round-14 verdict's
+    * unbounded-state fix: an arrival matches only residents admitted
+    * AT OR BEFORE it and within `horizon` of its event time (checked
+    * inline, per resident — the [[StreamingNearDup.gateWithHorizon]]
+    * owner-age semantic on a resident LIST), and residents whose
+    * horizon has passed the watermark are EVICTED, so state is
+    * O(records admitted within the horizon × keys) — master-data
+    * attribution whose corpus identity ages out (session stitching,
+    * recent-arrivals dedup) can run forever.
+    *
+    * Earliest-resident-wins is preserved WITHIN the horizon: the
+    * verifier scans residents in admission order and takes the first
+    * in-horizon edit-distance match. A no-match arrival claims
+    * residence with its own event time; an arrival that PRECEDES a
+    * resident in event time does not match it (the earlier record is
+    * its own entity). The EventTimeTimeout re-arms every invocation
+    * to the oldest live resident's horizon; on firing, expired
+    * residents drop and an empty bucket removes itself.
+    * `maxResidents` caps LIVE residents. Replay of a live resident is
+    * ignored; replay of an evicted one re-admits (at-least-once).
+    * Input needs (rec_id, name, ts) with a watermark on `ts`.
+    */
+  def gateWithHorizon(
+      records: DataFrame, blockKeys: Seq[Column], maxEdits: Int,
+      horizon: java.time.Duration,
+      maxResidents: Int = 64): Dataset[MatchFlag] = {
+    require(maxResidents >= 1,
+      s"StreamingEntityMatch: maxResidents must be >= 1, got $maxResidents")
+    require(blockKeys.nonEmpty, "StreamingEntityMatch: need >= 1 key")
+    val horizonMs = horizon.toMillis
+    require(horizonMs > 0, "horizon must be positive")
+    val session = records.sparkSession
+    import session.implicits._
+    records.select(F.col("rec_id"), F.col("name"), F.col("ts"),
+        F.posexplode(F.array(blockKeys: _*)).as(Seq("ki", "bk")))
+      .as[KeyRowTs]
+      .groupByKey(r => (r.ki, r.bk))
+      .flatMapGroupsWithState[BlockStateTs, MatchFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((ki, bk), rows, state) =>
+          val wm = state.getCurrentWatermarkMs()
+          def live(rs: Seq[(Long, String, Long)]) =
+            rs.filter(_._3 + horizonMs >= wm)
+          def rearm(rs: Seq[(Long, String, Long)]): Unit =
+            if (rs.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(rs.map(_._3).min + horizonMs, wm + 1))
+          if (state.hasTimedOut) {
+            val kept = live(state.getOption
+              .map(_.admitted).getOrElse(Seq.empty))
+            if (kept.isEmpty) state.remove()
+            else { state.update(BlockStateTs(kept)); rearm(kept) }
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts.getTime, r.rec_id))
+            val before = state.getOption
+              .map(_.admitted).getOrElse(Seq.empty)
+            val admitted = scala.collection.mutable.ArrayBuffer
+              .from(live(before)) // inline prune
+            val seen = scala.collection.mutable.HashSet.from(
+              admitted.iterator.map(_._1))
+            val out = Seq.newBuilder[MatchFlag]
+            sorted.foreach { r =>
+              if (!seen.contains(r.rec_id)) { // replay guard, O(1)
+                val t = r.ts.getTime
+                admitted.find { case (_, nm, rts) =>
+                  rts <= t && t - rts <= horizonMs &&
+                    editDistance(nm, r.name) <= maxEdits
+                } match {
+                  case Some((ownerId, _, _)) =>
+                    out += MatchFlag(r.rec_id, ki, bk, ownerId)
+                  case None =>
+                    if (admitted.size >= maxResidents)
+                      throw new IllegalStateException(
+                        s"StreamingEntityMatch: bucket (ki=$ki, " +
+                          s"bk=$bk) holds $maxResidents LIVE " +
+                          "residents — the blocking key is not " +
+                          "selective enough within the horizon; " +
+                          "refine the key domain (or raise the cap " +
+                          "deliberately)")
+                    seen += r.rec_id
+                    admitted += ((r.rec_id, r.name, t))
+                }
+              }
+            }
+            val now = admitted.toSeq
+            if (now != before) state.update(BlockStateTs(now))
+            rearm(now) // RE-ARM every invocation (fMGWS clears timers)
+            out.result().iterator
+          }
       }
   }
 }
