@@ -253,6 +253,50 @@ object BeamRecallProbe {
     }
   }
 
+  /** `filtered` mode: s28 calibration — live recall of the
+    * predicate-constrained beam search (searchFiltered, label-parity
+    * predicate ≈ 50% selectivity) against the exact FILTERED top-5,
+    * per bundled corpus and per beam width; sets s28's floor.
+    */
+  private def filteredMode(spark: SparkSession): Unit = {
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val d = s"/root/testdata/sf$sf"
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val n = emb.count()
+      val cosine = graft.functions.VectorExprs
+        .cosine_similarity(col("qv"), col("nv"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .localCheckpoint(true)
+      val c = emb.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id"))
+      val exact = broadcast(q).crossJoin(c)
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", cosine)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "n_id")
+        .localCheckpoint(true)
+      val graph = graft.operators.KnnBeam.buildGraph(emb,
+        refineRounds = 2)
+      val entry = graft.operators.KnnBeam.seeds(emb, seedCount = 128)
+        .localCheckpoint(true)
+      for (beam <- Seq(24, 32, 48)) {
+        val t0 = System.nanoTime()
+        val got = graft.operators.KnnBeam.searchFiltered(
+            graph, emb, q, entry, pred = col("label") % 2 === 0,
+            beam = beam, rounds = 4, topK = 5)
+          .select("q_id", "n_id").localCheckpoint(true)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val hits = got.join(exact, Seq("q_id", "n_id"), "left_semi")
+          .count()
+        println(f"sf$sf n=$n beam=$beam hits=$hits/50 serve=$dt%.2fs")
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -261,6 +305,9 @@ object BeamRecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("insertcost")) {
       insertCostMode(spark); spark.stop(); return
+    }
+    if (args.contains("filtered")) {
+      filteredMode(spark); spark.stop(); return
     }
     if (args.contains("scale")) { scaleMode(spark); spark.stop(); return }
     if (args.contains("scale10")) {

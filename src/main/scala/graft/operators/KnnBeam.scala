@@ -604,4 +604,90 @@ object KnnBeam {
     keepBest(cur, topK)
       .withColumn("rank", row_number().over(wBeam).cast("long"))
   }
+
+  /** PREDICATE-CONSTRAINED beam search — filtered ANN on the graph
+    * path (the production ask filtered HNSW answers; s17 covers the
+    * IVF path): `topK` cosine neighbors of each query AMONG corpus
+    * rows satisfying `pred`. The NAVIGATION beam stays UNFILTERED —
+    * restricting expansion to qualifying nodes would disconnect the
+    * graph exactly when the filter is selective (the known failure
+    * mode of post-filtering HNSW naively); instead every scored
+    * candidate also feeds a parallel QUALIFIED top-`beam` accumulator
+    * per query, and the answer is that accumulator's top-`topK`.
+    * Widen `beam` relative to the unfiltered search to compensate for
+    * qualified hits being ~selectivity-spaced along the walk; the
+    * per-round work stays q·beam·degree — corpus-independent — with
+    * one boolean riding the candidate fetch.
+    *
+    * `pred` is evaluated on corpus rows (the id/vector columns plus
+    * whatever else `corpus` carries), ONCE, in the plan — at 100 TB
+    * it pushes into the corpus scan like any other predicate.
+    */
+  def searchFiltered(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      entry: DataFrame,
+      pred: org.apache.spark.sql.Column,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      qIdCol: String = "q_id",
+      qVecCol: String = "qv",
+      beam: Int = 12,
+      rounds: Int = 3,
+      topK: Int = 5): DataFrame = {
+    require(beam >= topK, s"beam $beam must cover topK $topK")
+    require(rounds >= 0, s"negative rounds: $rounds")
+    val q = queries
+      .select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+      .localCheckpoint(true)
+    val c = corpus
+      .withColumn("__ok", pred)
+      .select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("__ok"))
+    val sim = graft.functions.VectorExprs
+      .cosine_similarity(col("qv"), col("nv"))
+    val wBeam = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id"))
+    def keepBest(scored: DataFrame, limit: Int): DataFrame = scored
+      .withColumn("__rn", row_number().over(wBeam))
+      .filter(col("__rn") <= limit)
+      .drop("__rn")
+    def merged(a: DataFrame, b: DataFrame, limit: Int): DataFrame =
+      keepBest(a.unionByName(b)
+        .groupBy("q_id", "n_id").agg(max("sim").as("sim")), limit)
+
+    val scored0 = broadcast(q)
+      .crossJoin(entry.join(c, entry("node") === c("n_id")).drop("node"))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", sim)
+      .select("q_id", "n_id", "sim", "__ok")
+      .localCheckpoint(true)
+    var cur = keepBest(scored0.drop("__ok"), beam).localCheckpoint(true)
+    var best = keepBest(scored0.filter(col("__ok")).drop("__ok"), beam)
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val cand = cur.select(col("q_id"), col("n_id").as("node"))
+        .join(graph, "node")
+        .select(col("q_id"), col("nbr").as("n_id"))
+        .distinct()
+      val scored = cand
+        .join(c, "n_id")
+        .join(broadcast(q), "q_id")
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", sim)
+        .select("q_id", "n_id", "sim", "__ok")
+        .localCheckpoint(true)
+      val nextCur = merged(cur, scored.drop("__ok"), beam)
+        .localCheckpoint(true)
+      val nextBest = merged(best,
+        scored.filter(col("__ok")).drop("__ok"), beam)
+        .localCheckpoint(true)
+      Seq(cur, best).foreach(d =>
+        org.apache.spark.sql.graft.bridge.checkpointedRdd(d)
+          .foreach(_.unpersist(blocking = false)))
+      cur = nextCur; best = nextBest
+    }
+    keepBest(best, topK)
+      .withColumn("rank", row_number().over(wBeam).cast("long"))
+  }
 }

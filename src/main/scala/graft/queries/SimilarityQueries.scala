@@ -1446,6 +1446,77 @@ object SimilarityQueries {
         FROM exact5""")
     )),
 
+    // FILTERED graph-ANN (the production filtered-HNSW ask; s17
+    // covers the IVF path): top-5 cosine neighbors AMONG corpus rows
+    // passing a predicate (label parity, ~50% selectivity), via
+    // KnnBeam.searchFiltered — the NAVIGATION beam stays unfiltered
+    // (restricting expansion to qualifying nodes disconnects the
+    // graph exactly when the filter is selective, the naive
+    // post-filter failure), while every scored candidate also feeds a
+    // parallel QUALIFIED top-beam accumulator whose top-5 is the
+    // answer; the beam widens 24→32 to compensate for qualified hits
+    // being selectivity-spaced along the walk. Work per round stays
+    // q·beam·degree with one predicate boolean riding the candidate
+    // fetch (at 100 TB it pushes into the corpus scan). Contract
+    // frame: exact FILTERED top-5 (brute force over the qualifying
+    // corpus — the WHERE clause is the only delta from s1's scan) +
+    // a recall-floor boolean the oracle pins TRUE. Calibration
+    // (BeamRecallProbe `filtered`, round 15): beam 32 measures
+    // 45/41/29 of 50 filtered-exact neighbors at sf0.001/0.01/0.1 —
+    // the binding sf0.1 holds floor 20 with 45% margin, the same
+    // frame and floor as s14/s25/s27.
+    "s28_filtered_knn" -> ((
+      (s: SparkSession, d: String) => {
+        val all = emb(s, d)
+        val pred = col("label") % 2 === 0
+        val graph = graft.operators.KnnBeam.buildGraph(all,
+          refineRounds = 2)
+        val entry = graft.operators.KnnBeam.seeds(all, seedCount = 128)
+        val qs = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val got = graft.operators.KnnBeam.searchFiltered(
+            graph, all, qs, entry, pred,
+            beam = 32, rounds = 4, topK = 5)
+          .select("q_id", "n_id")
+        val q = all.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val c = all.filter(pred)
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        val exact5 = broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("n_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+        exact5
+          .join(got.withColumn("__hit", lit(1L)),
+            Seq("q_id", "n_id"), "left")
+          .withColumn("__hits",
+            sum(coalesce(col("__hit"), lit(0L)))
+              .over(Window.partitionBy()))
+          .select(col("q_id"), col("n_id"), col("rank"), col("sim_r"),
+            (col("__hits") >= 20).as("filt_recall_floor_ok"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv
+                FROM embeddings WHERE label % 2 = 0),
+          sims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id),
+          ranked AS (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank
+            FROM sims)
+        SELECT q_id, n_id, rank, round(sim, 6) AS sim_r,
+               TRUE AS filt_recall_floor_ok
+        FROM ranked WHERE rank <= 5""")
+    )),
+
     // k-NN CLASSIFICATION over the embedding space — the eval loop
     // every labeled-corpus curation pipeline runs (label propagation
     // to unlabeled pools, annotator-agreement checks, embedding-
