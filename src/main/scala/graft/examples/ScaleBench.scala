@@ -121,7 +121,12 @@ object ScaleBench {
     // standard dirs; their RECALL-at-scale story runs on the
     // dim-permuted `genemb` dirs — see BeamRecallProbe scale modes)
     "d22_banding_sweep", "q84_entity_resolution_multipass",
-    "s25_incremental_knn", "s26_knn_classifier")
+    "s25_incremental_knn", "s26_knn_classifier",
+    // round-15: indexed insert + filtered graph search (time
+    // exponents on the standard dirs; the flat-insert-cost and
+    // filtered-recall stories run on the dim-permuted dirs via
+    // BeamRecallProbe `insertcost`/`filtered` modes)
+    "s27_indexed_knn_insert", "s28_filtered_knn")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.
@@ -147,7 +152,9 @@ object ScaleBench {
     // `scale` mode), plus the round-14 heavies (s14/s25 run on the
     // dim-permuted emb dirs; d22/q84 on the standard dirs)
     "s14_knn_beam", "s25_incremental_knn", "d22_banding_sweep",
-    "q84_entity_resolution_multipass")
+    "q84_entity_resolution_multipass",
+    // round-15 heavies (emb-dir queries: dim-permuted dirs)
+    "s27_indexed_knn_insert", "s28_filtered_knn")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")

@@ -56,23 +56,6 @@ import org.apache.spark.sql.functions._
   */
 object KnnBeam {
 
-  /** (node, nbr) edge rows: each node's `graphDegree` nearest LSH
-    * candidates by exact cosine, symmetrized THEN cut (so a hub can
-    * still be entered from the nodes that chose it), then improved by
-    * `refineRounds` of NN-DESCENT (Dong, Moses & Li 2011): per round,
-    * each node's candidate set grows by its neighbors' neighbors (the
-    * wedge join — bounded at degree² candidates per node by the cut,
-    * so n·degree² rows total, linear in n at fixed degree), scores
-    * exactly, and re-cuts to the `graphDegree` best. On corpora where
-    * LSH collisions are weakly informative (high-dim near-random
-    * vectors), a couple of descent rounds is what turns the graph
-    * from "random candidates" into a navigable k-NN graph — the
-    * published construction real NSW stacks use at scale.
-    *
-    * Isolated nodes (no band collision within `maxHamming`) have no
-    * edges — entry seeds, not graph repair, are what bounds their
-    * recall cost.
-    */
   /** ceil(log2(x)) for x >= 1. */
   private def ceilLog2(x: Long): Int =
     if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1L)
@@ -143,12 +126,29 @@ object KnnBeam {
     }.reduce(_ unionByName _)
   }
 
-  /** Output edges are (node, nbr, cosine) — the build-time exact
-    * score rides along so incremental maintenance
-    * ([[insertBatchIndexed]]) can re-cut affected neighborhoods
-    * WITHOUT refetching vectors (cosine is deterministic, so a stored
-    * score equals a recomputed one bit-for-bit). [[search]] ignores
-    * the extra column.
+  /** (node, nbr, cosine) edge rows: each node's `graphDegree` nearest
+    * LSH candidates by exact cosine, symmetrized THEN cut (so a hub
+    * can still be entered from the nodes that chose it), then
+    * improved by `refineRounds` of NN-DESCENT (Dong, Moses & Li
+    * 2011): per round, each node's candidate set grows by its
+    * neighbors' neighbors (the wedge join — bounded at degree²
+    * candidates per node by the cut, so n·degree² rows total, linear
+    * in n at fixed degree), scores exactly, and re-cuts to the
+    * `graphDegree` best. On corpora where LSH collisions are weakly
+    * informative (high-dim near-random vectors), a couple of descent
+    * rounds is what turns the graph from "random candidates" into a
+    * navigable k-NN graph — the published construction real NSW
+    * stacks use at scale.
+    *
+    * Isolated nodes (no band collision within `maxHamming`) have no
+    * edges — entry seeds, not graph repair, are what bounds their
+    * recall cost.
+    *
+    * The build-time exact score rides along on every edge so
+    * incremental maintenance ([[insertBatchIndexed]]) can re-cut
+    * affected neighborhoods WITHOUT refetching vectors (cosine is
+    * deterministic, so a stored score equals a recomputed one
+    * bit-for-bit). [[search]] ignores the extra column.
     */
   def buildGraph(
       emb: DataFrame,
@@ -316,10 +316,16 @@ object KnnBeam {
     * index beyond its colliding buckets.
     *
     * `pbv = pmod(bv, 256)` is the STORAGE partition key: persist
-    * `rows` with `.write.partitionBy("band", "pbv")` (≤ nBands·256
-    * directories at any corpus size; at the bundled 8-bit banding
-    * pbv == bv exactly) and a batch's bucket filter prunes the read
-    * to its colliding buckets — the point-lookup layout
+    * `rows` with `.repartition(col("band"), col("pbv"))
+    * .sortWithinPartitions("bv").write.partitionBy("band", "pbv")`
+    * (≤ nBands·256 directories at any corpus size — one file per
+    * directory, rows bv-sorted; at the bundled 8-bit banding
+    * pbv == bv exactly) and a batch's bucket filters prune the read
+    * to its colliding buckets — the (band, pbv) filter prunes
+    * DIRECTORIES statically, and the bare-column bv In-filter pushes
+    * into parquet so row-group stats prune WITHIN a directory once
+    * the banding outgrows the 256-way pbv aliasing (a directory then
+    * holds 2^bits/256 buckets). This is the point-lookup layout
     * [[insertBatchIndexed]] exploits.
     *
     * Banding geometry is FIXED at build time (from the build count):
@@ -438,13 +444,23 @@ object KnnBeam {
     // partitioned store prunes statically). Bounded by batch·nBands;
     // past maxPruneKeys skip it — the equi-join below is still exact
     val bucketKeys = bandB
-      .select((col("band") * 1000L + col("pbv")).as("k"))
+      .select((col("band") * 1000L + col("pbv")).as("k"), col("bv"))
       .distinct()
     val idxRows =
       if (batchN * index.nBands <= maxPruneKeys) {
-        val keys = bucketKeys.collect().map(_.getLong(0)).sorted
+        val rows = bucketKeys.collect()
+        val keys = rows.map(_.getLong(0)).distinct.sorted
+        val bvKeys = rows.map(_.getLong(1)).distinct.sorted
+        // two conjunctive over-approximations of the exact (band, bv)
+        // key set — exactness comes from the equi-join below; these
+        // only PRUNE: the (band, pbv) filter references partition
+        // columns (static directory prune on a partitionBy store),
+        // and the bare-column bv filter pushes into parquet
+        // (In-filter row-group stats prune on a bv-sorted layout,
+        // where one directory holds many buckets)
         index.rows.filter(
-          (col("band") * 1000L + col("pbv")).isin(keys: _*))
+          (col("band") * 1000L + col("pbv")).isin(keys: _*) &&
+            col("bv").isin(bvKeys: _*))
       } else index.rows
     // candidates: batch vs (pruned index ∪ batch) — the batch side
     // self-joins too, so within-batch neighbors are found exactly as

@@ -59,7 +59,9 @@ class IndexedKnnInsertSpec extends SparkSpecBase {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-bandindex").toString
     val idx = KnnBeam.buildBandIndex(base)
-    idx.rows.write.partitionBy("band", "pbv")
+    idx.rows.repartition(col("band"), col("pbv"))
+        .sortWithinPartitions("bv")
+        .write.partitionBy("band", "pbv")
       .mode("overwrite").parquet(dir)
     val stored = idx.withRows(spark.read.parquet(dir))
     val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
