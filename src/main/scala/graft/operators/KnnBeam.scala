@@ -469,6 +469,11 @@ object KnnBeam {
         "pbv", "vec")
       .unionByName(bandB.select("vec_id", "srp", "band", "bv",
         "pbv", "vec"))
+    // score BEFORE deduping band multiplicity: duplicates cost a few
+    // extra codegen'd cosines but the dedup shuffle then moves
+    // (node, nbr, cosine) rows — 24 bytes — instead of two 64-float
+    // vectors per row; duplicate scores are identical, so max()
+    // collapses them exactly
     val cand = bandB.as("x").join(allBands.as("y"),
         col("x.band") === col("y.band") && col("x.pbv") === col("y.pbv")
           && col("x.bv") === col("y.bv")
@@ -476,18 +481,16 @@ object KnnBeam {
       .filter(bit_count(col("x.srp").bitwiseXOR(col("y.srp")))
         .cast("long") <= maxHamming)
       .select(col("x.vec_id").as("node"), col("y.vec_id").as("nbr"),
-        col("x.vec").as("qv"), col("y.vec").as("nv"))
-      .dropDuplicates("node", "nbr")
+        graft.functions.VectorExprs
+          .cosine_similarity(col("x.vec"), col("y.vec")).as("cosine"))
+      .groupBy("node", "nbr").agg(max("cosine").as("cosine"))
     val w = Window.partitionBy("node")
       .orderBy(col("cosine").desc, col("nbr"))
     def cut(scored: DataFrame): DataFrame = scored
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= degree)
       .select("node", "nbr", "cosine")
-    val batchEdges = cut(cand
-      .withColumn("cosine", graft.functions.VectorExprs
-        .cosine_similarity(col("qv"), col("nv")))
-      .select("node", "nbr", "cosine")).localCheckpoint(true)
+    val batchEdges = cut(cand).localCheckpoint(true)
     // symmetrize into the nodes the new edges point at; their stored
     // cosines re-cut as a pure window over ≤ batch·degree
     // neighborhoods

@@ -1422,8 +1422,11 @@ object SimilarityQueries {
         val g0 = graft.operators.KnnBeam.buildGraph(base,
           refineRounds = 2)
         val idx = graft.operators.KnnBeam.buildBandIndex(base)
+        // materialize the composed full view once — each search round
+        // would otherwise re-run the anti-join ∪ delta DAG
         val graph = graft.operators.KnnBeam
           .insertBatchIndexed(g0, idx, batch).graph
+          .localCheckpoint(true)
         val entry = graft.operators.KnnBeam.seeds(all, seedCount = 128)
         val qs = all.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
