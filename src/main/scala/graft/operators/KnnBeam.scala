@@ -340,6 +340,16 @@ object KnnBeam {
       * no recount).
       */
     def withRows(r: DataFrame): BandIndex = copy(rows = r)
+
+    /** True once the maintained count has outgrown the stored banding
+      * — the width bandParams would pick at today's count no longer
+      * matches, so bucket occupancy (and with it Σ|bucket|² insert
+      * fan-out) has drifted past the targetBucket budget. Pure
+      * metadata arithmetic: the rebuild DECISION costs nothing; the
+      * rebuild itself is the index reorganization it names.
+      */
+    def needsRebuild(targetBucket: Long = 32L): Boolean =
+      bandParams(count, targetBucket)._1 != bits
   }
 
   /** One banded-signature pass over `emb` (the only full-corpus scan

@@ -63,4 +63,17 @@ class ExactMathSpec extends SparkSpecBase {
           "sub-ppm contract")
     }
   }
+
+  test("COMPOUND caller expressions bind as units (round-14 ADVICE): " +
+      "'a - b' spliced as the numerator must not re-associate into " +
+      "a - (b * 1e6) div den") {
+    val session = spark
+    import session.implicits._
+    // a - b = 600, den = a + b = 1400: exact ppm = 428571
+    val got = Seq((1000L, 400L)).toDF("a", "b")
+      .withColumn("ppm", expr(ExactMath.ppmExpr("a - b", "a + b")))
+      .head().getLong(2)
+    assert(got == (BigInt(600) * 1000000 / BigInt(1400)).toLong,
+      s"compound splice mis-parenthesized: got $got")
+  }
 }

@@ -148,6 +148,19 @@ class IndexedKnnInsertSpec extends SparkSpecBase {
       "delta wrote a node that is neither affected nor in the batch")
   }
 
+  test("needsRebuild is pure metadata arithmetic: false while the " +
+      "stored banding matches today's count, true once the count " +
+      "outgrows it — and chained inserts carry it") {
+    val idx = KnnBeam.buildBandIndex(base)
+    assert(!idx.needsRebuild(),
+      "a fresh index cannot already need a rebuild")
+    // same geometry, count inflated past the next band-width step:
+    // bits(400·32·2) > bits(400) — the stored 8-bit banding is stale
+    val stale = idx.copy(count = 200000L)
+    assert(stale.needsRebuild(),
+      "a count two decades past build must trip the rebuild check")
+  }
+
   test("autoDegree matches both measured pins: 8 at every bundled " +
       "corpus, 32 at the 10x-100x decades, never beyond the " +
       "measurement boundary") {

@@ -607,4 +607,13 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(s.contains("WindowGroupLimit"),
       s"the top-10 cut must push the group limit:\n$s")
   }
+
+  test("t35 ships GlobalOrder's FLAT single-shuffle plan at bundled " +
+      "scale — AutoSalts must not pay the salted second shuffle " +
+      "where the heaviest length key fits one task") {
+    val s = planOf("t35_length_curriculum").toString
+    assert(!s.contains("__salt"),
+      s"t35's plan carries the salted path's __salt column — " +
+        s"AutoSalts escalated where flat is provably safe:\n$s")
+  }
 }
