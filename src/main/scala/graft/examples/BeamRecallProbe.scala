@@ -318,12 +318,152 @@ object BeamRecallProbe {
     }
   }
 
+  /** `auto` mode: the round-16 verdict measurement — build with
+    * AutoDegree and serve with the AUTO budget (AutoBeam/AutoRounds:
+    * beam = 3·degree, rounds = max(4, degree/4); 4·degree filtered),
+    * no hand-picked numbers anywhere, across the dim-permuted decades.
+    * The SCALE.md contract: the 100× auto row holds the ≥20/50 floor
+    * that the shipped fixed beam 24 lost (7/50 at 200k, round 15).
+    * Also exercises the hash-threshold seeds() on the genemb dirs'
+    * SPARSE id space (copies shifted by 1e6) — the layout the old
+    * id-stride rule only handled by phase luck.
+    */
+  private def autoMode(spark: SparkSession): Unit = {
+    val dirs = Seq(
+      ("1x", "/root/testdata/sf0.1"),
+      ("10x", "/tmp/graft-scale-emb/sf1"),
+      ("100x", "/tmp/graft-scale-emb/sf10"))
+    for ((tag, d) <- dirs) {
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val n = emb.count()
+      val cosine = graft.functions.VectorExprs
+        .cosine_similarity(col("qv"), col("nv"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id"))
+      def exactOver(c: org.apache.spark.sql.DataFrame) =
+        broadcast(q).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosine)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("q_id", "n_id")
+          .localCheckpoint(true)
+      val exact = exactOver(emb.select(col("vec_id").as("n_id"),
+        col("embedding").as("nv")))
+      val exactF = exactOver(emb.filter(col("label") % 2 === 0)
+        .select(col("vec_id").as("n_id"), col("embedding").as("nv")))
+      val tb0 = System.nanoTime()
+      val graph = graft.operators.KnnBeam.buildGraph(emb,
+        refineRounds = 2)
+      val tBuild = (System.nanoTime() - tb0) / 1e9
+      val entry = graft.operators.KnnBeam.seeds(emb, seedCount = 128)
+        .localCheckpoint(true)
+      val (ab, ar) = graft.operators.KnnBeam.serveBudget(n)
+      val t0 = System.nanoTime()
+      val got = graft.operators.KnnBeam.search(graph, emb, q, entry,
+          topK = 5) // AUTO beam/rounds — the defaults
+        .select("q_id", "n_id").localCheckpoint(true)
+      val tServe = (System.nanoTime() - t0) / 1e9
+      val hits = got.join(exact, Seq("q_id", "n_id"), "left_semi")
+        .count()
+      val (fb, fr) = graft.operators.KnnBeam.serveBudget(n,
+        filtered = true)
+      val t1 = System.nanoTime()
+      val gotF = graft.operators.KnnBeam.searchFiltered(graph, emb, q,
+          entry, pred = col("label") % 2 === 0, topK = 5)
+        .select("q_id", "n_id").localCheckpoint(true)
+      val tServeF = (System.nanoTime() - t1) / 1e9
+      val hitsF = gotF.join(exactF, Seq("q_id", "n_id"), "left_semi")
+        .count()
+      println(f"$tag n=$n build=$tBuild%.2fs " +
+        f"auto=(beam=$ab,rounds=$ar) hits=$hits/50 serve=$tServe%.2fs " +
+        f"autoF=(beam=$fb,rounds=$fr) hitsF=$hitsF/50 " +
+        f"serveF=$tServeF%.2fs")
+    }
+  }
+
+  /** `drift` mode: the round-16 verdict's chained-insert recall-drift
+    * curve — the measurement behind BandIndex.needsRebuild's churn
+    * trigger. On the 10× dim-permuted corpus: build graph + band
+    * index on the first half (by id rank), then insert the rest in
+    * ten no-descent indexed chunks; after each chunk, live recall of
+    * the maintained graph vs a FRESH rebuild on the same corpus
+    * prefix, both under the auto serve budget. The churn fraction
+    * where the maintained curve detaches from the rebuild (or crosses
+    * the 20/50 floor) calibrates maxChurn.
+    */
+  private def driftMode(spark: SparkSession): Unit = {
+    val emb = spark.read
+      .parquet("/tmp/graft-scale-emb/sf1/embeddings.parquet")
+      .localCheckpoint(true)
+    val n = emb.count()
+    val ranked = emb.withColumn("__r",
+      row_number().over(Window.orderBy("vec_id")) - 1)
+      .localCheckpoint(true)
+    val half = n / 2
+    val chunk = (n - half) / 10
+    val cosine = graft.functions.VectorExprs
+      .cosine_similarity(col("qv"), col("nv"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id"))
+    val base = ranked.filter(col("__r") < half)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    var graph = graft.operators.KnnBeam
+      .buildGraph(base, refineRounds = 2)
+    var idx = graft.operators.KnnBeam.buildBandIndex(base)
+    for (step <- 1 to 10) {
+      val lo = half + (step - 1) * chunk
+      val hi = if (step == 10) n else half + step * chunk
+      val batch = ranked
+        .filter(col("__r") >= lo && col("__r") < hi)
+        .select("vec_id", "embedding").localCheckpoint(true)
+      val ins = graft.operators.KnnBeam
+        .insertBatchIndexed(graph, idx, batch)
+      graph = ins.graph.localCheckpoint(true)
+      idx = ins.index.copy(rows = ins.index.rows.localCheckpoint(true))
+      val corpus = ranked.filter(col("__r") < hi)
+        .select("vec_id", "embedding").localCheckpoint(true)
+      val exact = broadcast(q)
+        .crossJoin(corpus.select(col("vec_id").as("n_id"),
+          col("embedding").as("nv")))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", cosine)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "n_id")
+        .localCheckpoint(true)
+      val entry = graft.operators.KnnBeam.seeds(corpus,
+        seedCount = 128).localCheckpoint(true)
+      def hitsOf(g: org.apache.spark.sql.DataFrame): Long =
+        graft.operators.KnnBeam.search(g, corpus, q, entry, topK = 5)
+          .select("q_id", "n_id")
+          .join(exact, Seq("q_id", "n_id"), "left_semi").count()
+      val rebuilt = graft.operators.KnnBeam
+        .buildGraph(corpus, refineRounds = 2)
+      val churnFrac = idx.churn.toDouble / idx.count
+      println(f"step=$step corpus=${hi} churn=${idx.churn} " +
+        f"frac=$churnFrac%.3f inc_hits=${hitsOf(graph)}/50 " +
+        f"rebuild_hits=${hitsOf(rebuilt)}/50 " +
+        f"needsRebuild=${idx.needsRebuild()}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("auto")) { autoMode(spark); spark.stop(); return }
+    if (args.contains("drift")) {
+      driftMode(spark); spark.stop(); return
+    }
     if (args.contains("insertcost")) {
       insertCostMode(spark); spark.stop(); return
     }

@@ -22,9 +22,22 @@ object ExactMath {
   /** int64 bound under which `num * 1_000_000` cannot overflow. */
   val MulFirstBound = 9000000000000L
 
-  /** Spark SQL expression: exact parts-per-million of `num` in `den`
-    * (both non-negative int64 expressions, `num <= den` in the
-    * intended callers; `den >= 1`). The operands are parenthesized on
+  /** Spark SQL expression: parts-per-million ratio of `num` to `den`
+    * (both non-negative int64 expressions, `den >= 1`; `num > den` —
+    * ratios above 1, e.g. tokenizer fertility — is fully supported).
+    * EXACT whenever `num <= MulFirstBound` (the multiply-first
+    * branch), for ANY den. Past the bound the div-first branch
+    * truncates the divisor to whole millions; its relative error is
+    * bounded by one part in `floor(den/1e6)` — `< 1.2e-7` whenever
+    * `den > 9e12` (in particular always when `num <= den`), and for a
+    * ratio-style caller with `num > 9e12 > den` still `< ρ·1.2e-7`
+    * at ratio `ρ = num/den` (because `den > num/ρ > 9e12/ρ`): the
+    * error grows with the ratio (round-15 ADVICE), to at most
+    * `0.12·ρ²` absolute ppm units on a result of `ρ·1e6` units —
+    * e.g. ≤ 12 units on a fertility-like ratio of 10, relative error
+    * ~1e-6. Both branches are integer-only and
+    * mirrored in [[ppmSql]], so the two engines agree bit-for-bit on
+    * every row regardless. The operands are parenthesized on
     * splice so a compound caller expression ("a - b") binds as a unit
     * (round-14 ADVICE); note `num` is still interpolated into BOTH
     * branches — a caller whose numerator is an expensive aggregate

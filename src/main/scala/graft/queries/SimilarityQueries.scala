@@ -1306,10 +1306,13 @@ object SimilarityQueries {
     // {1,2,3,4} rounds → 22/28/25/29 hits at binding sf0.1, so 2
     // rounds is the cheapest config holding the floor with ≥40%
     // margin — 4 rounds bought +1 hit for +39% build wall), navigated
-    // by a fixed-round beam search (beam 24, 4 rounds) from a
-    // BOUNDED entry set: seeds() derives its stride from the corpus
-    // count so round 0 scores ~128 seeds per query at ANY corpus
-    // size (the round-13 weak item: a corpus-FRACTION stride made
+    // by a fixed-round beam search under the AUTO serving budget
+    // (round-15 weak item: beam = 3·degree, rounds = max(4, degree/4)
+    // — (24, 4) at every bundled corpus, the shipped config, widening
+    // to the measured (96, 8) point at the 200k decade where fixed
+    // beam 24 collapsed to 7/50) from a BOUNDED entry set: seeds()
+    // hash-threshold-samples ~128 ids at ANY corpus size and id
+    // layout (the round-13 weak item: a corpus-FRACTION stride made
     // round 0 an O(n)-per-query scan — a constant-factor saving, not
     // an index; HNSW's top layer is the same fix). Per-round search
     // work is q·beam·degree candidate rows — the scored set is
@@ -1333,8 +1336,7 @@ object SimilarityQueries {
         val qs = emb(s, d).filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val beam5 = graft.operators.KnnBeam.search(
-            graph, emb(s, d), qs, entry,
-            beam = 24, rounds = 4, topK = 5)
+            graph, emb(s, d), qs, entry, topK = 5)
           .select("q_id", "n_id")
         val exact5 = exactTopK(s, d)
         exact5
@@ -1378,8 +1380,7 @@ object SimilarityQueries {
         val qs = all.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val beam5 = graft.operators.KnnBeam.search(
-            graph, all, qs, entry,
-            beam = 24, rounds = 4, topK = 5)
+            graph, all, qs, entry, topK = 5)
           .select("q_id", "n_id")
         val exact5 = exactTopK(s, d)
         exact5
@@ -1431,8 +1432,7 @@ object SimilarityQueries {
         val qs = all.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val beam5 = graft.operators.KnnBeam.search(
-            graph, all, qs, entry,
-            beam = 24, rounds = 4, topK = 5)
+            graph, all, qs, entry, topK = 5)
           .select("q_id", "n_id")
         val exact5 = exactTopK(s, d)
         exact5
@@ -1457,7 +1457,9 @@ object SimilarityQueries {
     // graph exactly when the filter is selective, the naive
     // post-filter failure), while every scored candidate also feeds a
     // parallel QUALIFIED top-beam accumulator whose top-5 is the
-    // answer; the beam widens 24→32 to compensate for qualified hits
+    // answer; the AUTO filtered budget widens the beam 4/3 over the
+    // unfiltered rule (4·degree = 32 at the bundled corpora — the
+    // calibrated config) to compensate for qualified hits
     // being selectivity-spaced along the walk. Work per round stays
     // q·beam·degree with one predicate boolean riding the candidate
     // fetch (at 100 TB it pushes into the corpus scan). Contract
@@ -1478,8 +1480,7 @@ object SimilarityQueries {
         val qs = all.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val got = graft.operators.KnnBeam.searchFiltered(
-            graph, all, qs, entry, pred,
-            beam = 32, rounds = 4, topK = 5)
+            graph, all, qs, entry, pred, topK = 5)
           .select("q_id", "n_id")
         val q = all.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
