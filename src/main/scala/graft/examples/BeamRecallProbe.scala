@@ -112,7 +112,7 @@ object BeamRecallProbe {
         .localCheckpoint(true)
       def hitsOf(graph: org.apache.spark.sql.DataFrame): Long =
         graft.operators.KnnBeam.search(graph, emb, q, entry,
-            beam = 24, rounds = 4, topK = 5)
+            topK = 5) // AUTO serve — the shipped s25 config
           .select("q_id", "n_id")
           .join(exact, Seq("q_id", "n_id"), "left_semi").count()
       val g0 = graft.operators.KnnBeam.buildGraph(base, refineRounds = 2)
@@ -369,8 +369,7 @@ object BeamRecallProbe {
       val tServe = (System.nanoTime() - t0) / 1e9
       val hits = got.join(exact, Seq("q_id", "n_id"), "left_semi")
         .count()
-      val (fb, fr) = graft.operators.KnnBeam.serveBudget(n,
-        filtered = true)
+      val (fb, fr) = (ab, ar) // one rule for both variants
       val t1 = System.nanoTime()
       val gotF = graft.operators.KnnBeam.searchFiltered(graph, emb, q,
           entry, pred = col("label") % 2 === 0, topK = 5)
@@ -454,12 +453,139 @@ object BeamRecallProbe {
     }
   }
 
+  /** `delete` mode: s29 calibration — live recall of the post-delete
+    * graph (10% slice removed via removeBatch, no repair) against the
+    * exact top-5 over the surviving corpus, per bundled sf; sets
+    * s29's floor. The rebuild column is the ceiling a re-densify
+    * would recover.
+    */
+  private def deleteMode(spark: SparkSession): Unit = {
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val d = s"/root/testdata/sf$sf"
+      val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      val n = emb.count()
+      val corpus = emb.filter(col("vec_id") % 10 =!= 7)
+        .localCheckpoint(true)
+      val cosine = graft.functions.VectorExprs
+        .cosine_similarity(col("qv"), col("nv"))
+      val q = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id"))
+      val exact = broadcast(q)
+        .crossJoin(corpus.select(col("vec_id").as("n_id"),
+          col("embedding").as("nv")))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", cosine)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "n_id")
+        .localCheckpoint(true)
+      val total = exact.count()
+      val g0 = graft.operators.KnnBeam.buildGraph(emb, refineRounds = 2)
+      val idx = graft.operators.KnnBeam.buildBandIndex(emb)
+      val rem = graft.operators.KnnBeam.removeBatch(g0, idx,
+        emb.filter(col("vec_id") % 10 === 7).select("vec_id"))
+      val entry = graft.operators.KnnBeam.seeds(corpus, seedCount = 128)
+        .localCheckpoint(true)
+      def hitsOf(g: org.apache.spark.sql.DataFrame): Long =
+        graft.operators.KnnBeam.search(g, corpus, q, entry, topK = 5)
+          .select("q_id", "n_id")
+          .join(exact, Seq("q_id", "n_id"), "left_semi").count()
+      val rebuilt = graft.operators.KnnBeam.buildGraph(corpus,
+        refineRounds = 2)
+      println(s"sf$sf n=$n del_hits=${hitsOf(rem.graph)}/$total " +
+        s"rebuild_hits=${hitsOf(rebuilt)}/$total")
+    }
+  }
+
+  /** `serve100` mode: one auto-degree build at the 100× decade, then
+    * a (seeds, rounds, beam) serve sweep over the SAME graph — the
+    * measurement behind the round-16 auto-budget multiplier choice
+    * (the hash-threshold seed draw moved the 200k recall: beam 96 +
+    * rounds 8 measured 24/50 with round-15 stride seeds, 17/50 with
+    * hash seeds — the budget rule must hold the floor under the
+    * shipped entry scheme, not a lucky draw).
+    */
+  private def serve100Mode(spark: SparkSession): Unit = {
+    val emb = spark.read
+      .parquet("/tmp/graft-scale-emb/sf10/embeddings.parquet")
+    val n = emb.count()
+    val cosine = graft.functions.VectorExprs
+      .cosine_similarity(col("qv"), col("nv"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("sim").desc, col("n_id"))
+    val exact = broadcast(q)
+      .crossJoin(emb.select(col("vec_id").as("n_id"),
+        col("embedding").as("nv")))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("q_id", "n_id")
+      .localCheckpoint(true)
+    val tb0 = System.nanoTime()
+    val graph = graft.operators.KnnBeam.buildGraph(emb,
+      refineRounds = 2)
+    val tBuild = (System.nanoTime() - tb0) / 1e9
+    println(f"100x n=$n build=$tBuild%.2fs (auto degree)")
+    val grid = Seq(
+      (128, 8, 96), (128, 8, 128), (128, 8, 192),
+      (128, 12, 128), (256, 8, 128))
+    for ((seedN, rounds, beam) <- grid) {
+      val entry = graft.operators.KnnBeam.seeds(emb, seedCount = seedN)
+        .localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val got = graft.operators.KnnBeam.search(graph, emb, q, entry,
+          beam = beam, rounds = rounds, topK = 5)
+        .select("q_id", "n_id").localCheckpoint(true)
+      val dt = (System.nanoTime() - t0) / 1e9
+      val hits = got.join(exact, Seq("q_id", "n_id"), "left_semi")
+        .count()
+      println(f"100x seeds=$seedN rounds=$rounds beam=$beam " +
+        f"hits=$hits/50 serve=$dt%.2fs")
+    }
+  }
+
+  /** `build10` mode: bare graph-build wall at the 10× decade (warm +
+    * min-of-2) — the back-to-back A/B harness for descent-loop
+    * formulation changes (round 16: stored-cosine reuse
+    * measured-and-rejected with it).
+    */
+  private def build10Mode(spark: SparkSession): Unit = {
+    val emb = spark.read
+      .parquet("/tmp/graft-scale-emb/sf1/embeddings.parquet")
+      .localCheckpoint(true)
+    val n = emb.count()
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.KnnBeam.buildGraph(emb, refineRounds = 2)
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // warmup
+    val best = Seq(once(), once()).min
+    println(f"build10 n=$n build=$best%.2fs (auto degree, refine 2)")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("build10")) {
+      build10Mode(spark); spark.stop(); return
+    }
+    if (args.contains("serve100")) {
+      serve100Mode(spark); spark.stop(); return
+    }
+    if (args.contains("delete")) {
+      deleteMode(spark); spark.stop(); return
+    }
     if (args.contains("auto")) { autoMode(spark); spark.stop(); return }
     if (args.contains("drift")) {
       driftMode(spark); spark.stop(); return

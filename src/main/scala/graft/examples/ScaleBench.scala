@@ -126,7 +126,11 @@ object ScaleBench {
     // exponents on the standard dirs; the flat-insert-cost and
     // filtered-recall stories run on the dim-permuted dirs via
     // BeamRecallProbe `insertcost`/`filtered` modes)
-    "s27_indexed_knn_insert", "s28_filtered_knn")
+    "s27_indexed_knn_insert", "s28_filtered_knn",
+    // round-16: graph-ANN delete (time exponent on the dim-permuted
+    // emb dirs like s27/s28; the recall story is BeamRecallProbe
+    // `delete`/`drift` modes)
+    "s29_knn_delete")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.

@@ -97,31 +97,31 @@ object KnnBeam {
     */
   val AutoRounds = -1
 
-  /** Auto serving budget at corpus count `n`: beam = 3·degree
-    * (4·degree for the FILTERED search — the same 4/3 widening the
-    * shipped 32-vs-24 config carries, compensating for qualified hits
-    * being selectivity-spaced along the walk), rounds =
-    * max(4, degree/4), with degree = [[autoDegree]](n). Pinned to
-    * BOTH measured serve points (SCALE.md rounds 14–16): degree 8 →
-    * (24, 4) — the shipped config at every bundled corpus, so all
-    * oracle hashes hold — and degree 32 → (96, 8), the cheapest
-    * config measured holding ≥20/50 at the 200k dim-permuted decade.
+  /** Auto serving budget at corpus count `n`: beam = 4·degree,
+    * rounds = max(4, degree/4), with degree = [[autoDegree]](n) — ONE
+    * rule for both the plain and the FILTERED search (the filtered
+    * qualified accumulator rides the same navigation budget). Pinned
+    * to the round-16 measured points (SCALE.md, hash-threshold
+    * seeds): degree 8 → (32, 4) — covering every bundled corpus,
+    * where beam 32 is exactly s28's calibrated filtered config and
+    * buys the plain search +1 hit at the binding sf0.1 — and degree
+    * 32 → (128, 8), the cheapest swept config holding the ≥20/50
+    * floor at the 200k decade (beam 96: 17/50; 128: 24/50; 192:
+    * 31/50; rounds 12 and seeds 256 move nothing at beam 128).
     * Per-query serve work is O(seeds + rounds·beam·degree) scored
     * vectors — corpus-independent — so the auto budget grows the
     * serve cost ~8× per decade past 4k vectors while recall holds,
     * instead of holding cost flat while recall collapses.
     */
-  private[graft] def serveBudget(
-      n: Long, filtered: Boolean = false): (Int, Int) = {
+  private[graft] def serveBudget(n: Long): (Int, Int) = {
     val d = autoDegree(n)
-    (if (filtered) 4 * d else 3 * d, math.max(4, d / 4))
+    (4 * d, math.max(4, d / 4))
   }
 
   private def resolveServe(
-      beam: Int, rounds: Int, filtered: Boolean,
-      n: => Long): (Int, Int) =
+      beam: Int, rounds: Int, n: => Long): (Int, Int) =
     if (beam == AutoBeam || rounds == AutoRounds) {
-      val (ab, ar) = serveBudget(n, filtered)
+      val (ab, ar) = serveBudget(n)
       (if (beam == AutoBeam) ab else beam,
         if (rounds == AutoRounds) ar else rounds)
     } else (beam, rounds)
@@ -236,34 +236,31 @@ object KnnBeam {
         col("node").as("nbr"), col("cosine")))
     var graph = cut(sym).localCheckpoint(true)
     for (_ <- 1 to refineRounds) {
-      // stored edges already carry their exact build-time cosine:
-      // carry them through BOTH orientations (cosine is symmetric —
-      // per-element products commute, accumulation order fixed) and
-      // SCORE only the wedge candidates not already stored. The
-      // result is bit-identical to re-scoring everything (a stored
-      // score equals a recomputed one), but the vector-fetch join —
-      // the round's heavy shuffle, two 64-float vectors per candidate
-      // row — now moves only the genuinely NEW pairs; the stored
-      // pairs ride through as 24-byte (node, nbr, cosine) rows
-      val stored = graph
-        .unionByName(graph.select(col("nbr").as("node"),
-          col("node").as("nbr"), col("cosine")))
-        // a pair stored in both directions carries EQUAL cosines —
-        // max() collapses to one row per (node, nbr)
-        .groupBy("node", "nbr").agg(max("cosine").as("cosine"))
       // wedge candidates: neighbors-of-neighbors through the CURRENT
       // graph, both orientations (an undirected descent step), capped
-      // at degree² per node by construction
+      // at degree² per node by construction.
+      //
+      // Deliberately RE-SCORES stored edges (round-16 measured-and-
+      // rejected, SCALE.md): carrying stored cosines through and
+      // anti-joining them out of the wedge set is bit-identical but
+      // SLOWER — the stored overlap is ≤ (2·degree + hits)/degree² of
+      // the candidate volume, the vector fetch for it rides a
+      // broadcast-hash join wherever the corpus fits an executor
+      // (every measured decade), and the anti-join adds a full
+      // sort-merge pass over the n·degree² wedge rows: 10× build
+      // 12.2 → 29.1 s, 100× 483 → 585 s. The cheap score is cheaper
+      // than the bookkeeping that avoids it.
       val edges = graph.select("node", "nbr")
       val hop2 = edges.as("a")
         .join(edges.as("b"), col("a.nbr") === col("b.node"))
         .select(col("a.node").as("node"), col("b.nbr").as("nbr"))
         .filter(col("node") =!= col("nbr"))
+      val cands = edges
+        .unionByName(edges.select(col("nbr").as("node"),
+          col("node").as("nbr")))
+        .unionByName(hop2)
         .distinct()
-        .join(stored.select("node", "nbr"),
-          Seq("node", "nbr"), "left_anti")
-      val next = cut(score(hop2).unionByName(stored))
-        .localCheckpoint(true)
+      val next = cut(score(cands)).localCheckpoint(true)
       org.apache.spark.sql.graft.bridge.checkpointedRdd(graph)
         .foreach(_.unpersist(blocking = false))
       graph = next
@@ -408,13 +405,17 @@ object KnnBeam {
       *   - CHURN drift: maintenance ops (inserts, which skip the
       *     NN-descent densifier, and removals, which drop edges
       *     without repair) have touched more than `maxChurn` of the
-      *     live corpus since the last full build — the measured
-      *     recall-drift trigger (SCALE.md round 16: chained no-descent
-      *     inserts degrade recall with the inserted fraction; the
-      *     floor holds comfortably below this threshold).
+      *     live corpus since the last full build. Calibrated by the
+      *     round-16 drift curve (SCALE.md): ten chained no-descent
+      *     inserts onto a half-corpus base at the 10× decade hold the
+      *     ≥20/50 floor at EVERY step (min 31/50 at churn 0.375), but
+      *     the gap to a fresh rebuild opens from parity to ~8–14 hits
+      *     past churn ≈ 0.3 — the default schedules the re-densify
+      *     while the maintained index is still comfortably above
+      *     floor, not when it is about to fail.
       */
     def needsRebuild(targetBucket: Long = 32L,
-        maxChurn: Double = 0.5): Boolean =
+        maxChurn: Double = 0.3): Boolean =
       bandParams(count, targetBucket)._1 != bits ||
         churn > maxChurn * count
 
@@ -875,8 +876,7 @@ object KnnBeam {
       .localCheckpoint(true)
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
     // auto budget: one count action over the corpus, only when asked
-    val (bm, rounds2) =
-      resolveServe(beam, rounds, filtered = false, c.count())
+    val (bm, rounds2) = resolveServe(beam, rounds, c.count())
     require(bm >= topK, s"auto beam $bm must cover topK $topK")
     val sim = graft.functions.VectorExprs
       .cosine_similarity(col("qv"), col("nv"))
@@ -970,10 +970,9 @@ object KnnBeam {
     val c = corpus
       .withColumn("__ok", pred)
       .select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("__ok"))
-    // auto budget: the filtered widening (4·degree vs 3·degree) rides
-    // the same count action
-    val (bm, rounds2) =
-      resolveServe(beam, rounds, filtered = true, c.count())
+    // auto budget: one rule for both search variants — the qualified
+    // accumulator rides the same navigation budget
+    val (bm, rounds2) = resolveServe(beam, rounds, c.count())
     require(bm >= topK, s"auto beam $bm must cover topK $topK")
     val sim = graft.functions.VectorExprs
       .cosine_similarity(col("qv"), col("nv"))

@@ -183,9 +183,9 @@ class BandIndexLifecycleSpec extends SparkSpecBase {
     val idx = KnnBeam.buildBandIndex(base)
     assert(!idx.needsRebuild(),
       "a fresh index cannot need a rebuild")
-    assert(!idx.copy(churn = (idx.count * 0.4).toLong).needsRebuild(),
+    assert(!idx.copy(churn = (idx.count * 0.25).toLong).needsRebuild(),
       "churn below the threshold must not trip the trigger")
-    assert(idx.copy(churn = (idx.count * 0.6).toLong).needsRebuild(),
+    assert(idx.copy(churn = (idx.count * 0.35).toLong).needsRebuild(),
       "churn past the threshold must trip the trigger")
     // geometry drift still fires independently of churn
     assert(idx.copy(count = 200000L).needsRebuild())

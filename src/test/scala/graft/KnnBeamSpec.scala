@@ -153,12 +153,12 @@ class KnnBeamSpec extends SparkSpecBase {
     assert(a == b)
   }
 
-  test("NN-descent with stored-edge reuse is bit-identical to " +
-      "re-scoring every candidate from vectors (the round-16 " +
-      "optimization: stored cosine == recomputed cosine)") {
-    // reference: ONE descent round in the pre-round-16 formulation —
-    // candidates = edges ∪ reverse ∪ wedges, ALL re-scored from
-    // vectors — applied to the same deterministic refine-0 base
+  test("one NN-descent round is bit-identical to the inline reference " +
+      "formulation — any future reformulation (e.g. stored-cosine " +
+      "reuse, measured-and-rejected in round 16) must stay bit-exact") {
+    // reference: ONE descent round spelled out inline — candidates =
+    // edges ∪ reverse ∪ wedges, all re-scored from vectors —
+    // applied to the same deterministic refine-0 base
     val g0 = KnnBeam.buildGraph(emb, refineRounds = 0)
       .localCheckpoint(true)
     val c = emb.select(col("vec_id").as("__cid"),
@@ -196,17 +196,15 @@ class KnnBeamSpec extends SparkSpecBase {
         "optimization must be bit-exact, not approximately equal")
   }
 
-  test("serveBudget matches both measured pins: the shipped (24, 4) " +
-      "at every bundled corpus (degree 8), the measured (96, 8) at " +
-      "the 200k decade (degree 32), and the 4/3 filtered widening") {
-    assert(KnnBeam.serveBudget(500L) == (24, 4))
-    assert(KnnBeam.serveBudget(2000L) == (24, 4))
-    assert(KnnBeam.serveBudget(4096L) == (24, 4))
-    assert(KnnBeam.serveBudget(200000L) == (96, 8))
-    assert(KnnBeam.serveBudget(200000000L) == (96, 8))
-    assert(KnnBeam.serveBudget(500L, filtered = true) == (32, 4))
-    assert(KnnBeam.serveBudget(2000L, filtered = true) == (32, 4))
-    assert(KnnBeam.serveBudget(200000L, filtered = true) == (128, 8))
+  test("serveBudget matches both measured pins: (32, 4) at every " +
+      "bundled corpus (degree 8 — beam 32 is s28's calibrated " +
+      "filtered config), (128, 8) at the 200k decade (degree 32 — " +
+      "the cheapest swept config holding the 20/50 floor)") {
+    assert(KnnBeam.serveBudget(500L) == (32, 4))
+    assert(KnnBeam.serveBudget(2000L) == (32, 4))
+    assert(KnnBeam.serveBudget(4096L) == (32, 4))
+    assert(KnnBeam.serveBudget(200000L) == (128, 8))
+    assert(KnnBeam.serveBudget(200000000L) == (128, 8))
   }
 
   test("seeds is O(seedCount) and deterministic on a SPARSE id space " +
