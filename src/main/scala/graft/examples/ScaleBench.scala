@@ -158,7 +158,9 @@ object ScaleBench {
     "s14_knn_beam", "s25_incremental_knn", "d22_banding_sweep",
     "q84_entity_resolution_multipass",
     // round-15 heavies (emb-dir queries: dim-permuted dirs)
-    "s27_indexed_knn_insert", "s28_filtered_knn")
+    "s27_indexed_knn_insert", "s28_filtered_knn",
+    // round-16 heavy (emb-dir query: dim-permuted dirs)
+    "s29_knn_delete")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")
