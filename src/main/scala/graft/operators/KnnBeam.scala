@@ -387,7 +387,7 @@ object KnnBeam {
     * like any other index reorganization.
     */
   case class BandIndex(rows: DataFrame, count: Long, bits: Int,
-      nBands: Int, churn: Long = 0L) {
+      nBands: Int, churn: Long = 0L, gen: Long = 0L) {
     /** Rebind to rows re-read from storage (count/geometry carried —
       * no recount).
       */
@@ -424,12 +424,15 @@ object KnnBeam {
       * one bv-SORTED file per (band, pbv) directory — the (band, pbv)
       * literal filter prunes directories statically, the bare-column
       * bv In-filter prunes parquet row groups within one — plus the
-      * metadata (count/geometry/churn) as a one-row parquet under
+      * metadata (count/geometry/churn/gen) as a one-row parquet under
       * `_graft_meta` (underscore-prefixed: invisible to the rows
-      * read). Single-writer, like any index maintenance.
+      * read). Every stored row carries the index's current `gen` —
+      * the generation bar tombstones cut against (see [[BandIndex
+      * .tombstone]]). Single-writer, like any index maintenance.
       */
     def write(dir: String): Unit = {
-      rows.repartition(col("band"), col("pbv"))
+      rows.withColumn("gen", lit(gen))
+        .repartition(col("band"), col("pbv"))
         .sortWithinPartitions("bv")
         .write.partitionBy("band", "pbv")
         .mode("overwrite").parquet(dir)
@@ -444,8 +447,8 @@ object KnnBeam {
     private[KnnBeam] def writeMeta(dir: String, idx: BandIndex): Unit = {
       val spark = idx.rows.sparkSession
       import spark.implicits._
-      Seq((idx.count, idx.bits, idx.nBands, idx.churn))
-        .toDF("count", "bits", "nBands", "churn")
+      Seq((idx.count, idx.bits, idx.nBands, idx.churn, idx.gen))
+        .toDF("count", "bits", "nBands", "churn", "gen")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/$MetaDir")
     }
 
@@ -455,12 +458,19 @@ object KnnBeam {
 
     /** Rehydrate a stored index: rows re-read from the partitioned
       * store (lineage FLAT — chained in-memory inserts accumulate a
-      * unionByName DAG; a load starts from the scan), tombstoned ids
-      * applied as a broadcast anti-join at read (removals never
-      * rewrite data files — compaction happens at the next full
-      * `write`, the rebuild the churn trigger schedules anyway), and
-      * metadata from `_graft_meta` — no recount, no geometry
-      * re-derivation.
+      * unionByName DAG; a load starts from the scan), tombstones
+      * applied as a GENERATION-BARRED broadcast join at read: a
+      * tombstone (vec_id, gen) kills the id's rows stamped at-or-below
+      * that generation, so an id re-inserted AFTER its delete (whose
+      * new rows [[append]] stamped with a LATER gen) survives while
+      * its dead pre-delete rows stay masked — the LSM
+      * sequence-number discipline; a plain anti-join on vec_id would
+      * either resurrect deleted rows or swallow re-inserted ones.
+      * Removals never rewrite data files — [[compact]] folds them.
+      * Metadata comes from `_graft_meta` — no recount, no geometry
+      * re-derivation. The `gen` column is dropped after the bar: the
+      * in-memory row schema is unchanged and generations stay a
+      * storage-layer concern.
       */
     def load(spark: org.apache.spark.sql.SparkSession,
         dir: String): BandIndex = {
@@ -468,38 +478,80 @@ object KnnBeam {
       val rows0 = spark.read.parquet(dir)
       val tombPath = new org.apache.hadoop.fs.Path(dir, TombDir)
       val rows =
-        if (fs(spark, tombPath).exists(tombPath))
-          rows0.join(broadcast(spark.read.parquet(tombPath.toString)),
-            Seq("vec_id"), "left_anti")
-        else rows0
+        if (fs(spark, tombPath).exists(tombPath)) {
+          val bar = spark.read.parquet(tombPath.toString)
+            .groupBy("vec_id").agg(max("gen").as("__tgen"))
+          rows0.join(broadcast(bar), Seq("vec_id"), "left")
+            .filter(col("__tgen").isNull || col("gen") > col("__tgen"))
+            .drop("__tgen", "gen")
+        } else rows0.drop("gen")
       BandIndex(rows, m.getAs[Long]("count"), m.getAs[Int]("bits"),
-        m.getAs[Int]("nBands"), m.getAs[Long]("churn"))
+        m.getAs[Int]("nBands"), m.getAs[Long]("churn"),
+        m.getAs[Long]("gen"))
     }
 
     /** Apply an [[insertBatchIndexed]] result to the store: append
       * ONLY the batch's band rows (delta-sized — same repartition +
       * sort discipline, so new rows land as one bv-sorted file per
       * touched directory; repeated appends accumulate one extra file
-      * per touched directory until the next full `write` compacts),
-      * refresh the metadata, and return the RELOADED index — flat
-      * lineage for the next chained insert.
+      * per touched directory until the next [[compact]]), refresh the
+      * metadata, and return the RELOADED index — flat lineage for the
+      * next chained insert.
+      *
+      * The delta is stamped with the NEXT generation (the loaded
+      * index's gen + 1, persisted to the metadata): a batch id whose
+      * old rows are tombstoned — the update-in-place flow
+      * (removeBatch → tombstone → insert → append) — re-admits
+      * cleanly, because `load`'s generation bar masks only rows
+      * stamped at-or-below the delete's gen and these new rows are
+      * stamped above it. The tombstone list itself is never touched
+      * here; stale entries are harmless under the bar and [[compact]]
+      * folds them.
       */
     def append(dir: String, ins: IndexedInsert): BandIndex = {
-      ins.indexDelta.repartition(col("band"), col("pbv"))
+      val spark = ins.indexDelta.sparkSession
+      val bumped = ins.index.copy(gen = ins.index.gen + 1L)
+      ins.indexDelta.withColumn("gen", lit(bumped.gen))
+        .repartition(col("band"), col("pbv"))
         .sortWithinPartitions("bv")
         .write.partitionBy("band", "pbv")
         .mode("append").parquet(dir)
-      writeMeta(dir, ins.index)
-      load(ins.indexDelta.sparkSession, dir)
+      writeMeta(dir, bumped)
+      load(spark, dir)
+    }
+
+    /** Fold the store back to its canonical layout: rewrite the LIVE
+      * rows (appended deltas merged, tombstones applied) as one
+      * bv-sorted file per (band, pbv) directory and CLEAR the
+      * tombstone list it applied. Metadata — including churn — is
+      * preserved: compaction is an IO reorganization, not the
+      * re-densifying rebuild `needsRebuild` schedules (no descent
+      * runs, the row set is unchanged). The live rows are
+      * materialized (localCheckpoint) before the overwrite so the
+      * rewrite never reads the files it is replacing.
+      */
+    def compact(spark: org.apache.spark.sql.SparkSession,
+        dir: String): BandIndex = {
+      val idx = load(spark, dir)
+      val pinned = idx.withRows(idx.rows.localCheckpoint(true))
+      pinned.write(dir) // static overwrite truncates dir: deltas,
+      // tombstones, and meta all fold into the rewrite
+      org.apache.spark.sql.graft.bridge.checkpointedRdd(pinned.rows)
+        .foreach(_.unpersist(blocking = false))
+      load(spark, dir)
     }
 
     /** Apply a [[removeBatch]] result to the store: append the
-      * removed ids to the tombstone list (`load` anti-joins it; data
-      * files are never rewritten — the next full `write` compacts),
-      * refresh the metadata, and return the reloaded index.
+      * removed ids to the tombstone list as (vec_id, gen) — the bar
+      * is the index's CURRENT generation, so every stored row of the
+      * id (all stamped at-or-below it) is masked by `load`, while a
+      * later re-insert's rows ([[append]] stamps gen+1) are not. Data
+      * files are never rewritten — [[compact]] folds the list.
+      * Refreshes the metadata and returns the reloaded index.
       */
     def tombstone(dir: String, rem: IndexedRemove): BandIndex = {
-      rem.removedIds.select("vec_id")
+      rem.removedIds.select(col("vec_id"),
+          lit(rem.index.gen).as("gen"))
         .write.mode("append").parquet(s"$dir/$TombDir")
       writeMeta(dir, rem.index)
       load(rem.removedIds.sparkSession, dir)
@@ -727,7 +779,7 @@ object KnnBeam {
     IndexedInsert(full, delta, affected,
       BandIndex(index.rows.unionByName(bandB),
         index.count + batchN, index.bits, index.nBands,
-        index.churn + batchN),
+        index.churn + batchN, index.gen),
       bandB)
   }
 
@@ -747,7 +799,8 @@ object KnnBeam {
     *     same deal the no-descent insert makes;
     *   - the index view anti-joins the removed ids (a persisted store
     *     appends them to the tombstone list instead — [[BandIndex
-    *     .tombstone]] — and compacts at the next full write);
+    *     .tombstone]] — and folds it at the next [[BandIndex
+    *     .compact]]);
     *   - metadata: count decreases and churn increases by the LIVE
     *     removed count (ids not present are ignored — deletes are
     *     idempotent), counted by one column-pruned semi-join against
@@ -813,7 +866,7 @@ object KnnBeam {
       BandIndex(
         index.rows.join(broadcast(live), Seq("vec_id"), "left_anti"),
         index.count - liveN, index.bits, index.nBands,
-        index.churn + liveN),
+        index.churn + liveN, index.gen),
       live)
   }
 

@@ -177,6 +177,94 @@ class BandIndexLifecycleSpec extends SparkSpecBase {
       "a re-inserted id gained no edges")
   }
 
+  test("store-mediated update-in-place: a tombstoned id that is " +
+      "re-inserted and APPENDED survives the next load — the " +
+      "generation bar masks only the id's PRE-delete rows (a plain " +
+      "vec_id anti-join would swallow the new rows; pruning the " +
+      "tombstone instead would resurrect the old ones)") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val idx = KnnBeam.buildBandIndex(base)
+    val dir = tmp()
+    idx.write(dir)
+    val stored = BandIndex.load(spark, dir)
+    val victims = base.select("vec_id").orderBy("vec_id").limit(2)
+    val victimIds = victims.collect().map(_.getLong(0))
+    val rem = KnnBeam.removeBatch(g0, stored, victims)
+    val idxT = BandIndex.tombstone(dir, rem)
+    // re-insert the removed vectors and PERSIST the insert
+    val reinsert = emb.filter(
+      col("vec_id").isin(victimIds.map(Long.box): _*))
+    val ins = KnnBeam.insertBatchIndexed(
+      rem.graph.localCheckpoint(true), idxT, reinsert)
+    val idx2 = BandIndex.append(dir, ins)
+    assert(idx2.count == stored.count,
+      "metadata count must round-trip remove + re-insert")
+    assert(idx2.rows.filter(
+      col("vec_id").isin(victimIds.map(Long.box): _*)).count() ==
+      idx2.nBands.toLong * victimIds.length,
+      "a re-inserted id's NEW band rows were anti-joined away by a " +
+        "stale tombstone entry")
+    // and a FRESH load sees the same thing (nothing special about the
+    // index append returned)
+    val reloaded = BandIndex.load(spark, dir)
+    assert(reloaded.rows.filter(
+      col("vec_id").isin(victimIds.map(Long.box): _*)).count() ==
+      reloaded.nBands.toLong * victimIds.length)
+    // ids never re-inserted stay tombstoned
+    val rem2 = KnnBeam.removeBatch(
+      ins.graph.localCheckpoint(true), idx2,
+      base.select("vec_id").orderBy(col("vec_id").desc).limit(1))
+    val gone2 = rem2.removedIds.collect().map(_.getLong(0))
+    val idx3 = BandIndex.tombstone(dir, rem2)
+    assert(idx3.rows.filter(
+      col("vec_id").isin(gone2.map(Long.box): _*)).count() == 0L,
+      "a tombstoned-and-never-reinserted id must stay gone")
+  }
+
+  test("compact: a full rewrite folds appended deltas and tombstones " +
+      "into one bv-sorted file per directory; rows and metadata are " +
+      "unchanged") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val idx = KnnBeam.buildBandIndex(base)
+    val dir = tmp()
+    idx.write(dir)
+    val stored = BandIndex.load(spark, dir)
+    // one append + one tombstone → extra delta files + a live
+    // tombstone list
+    val ins = KnnBeam.insertBatchIndexed(g0, stored, b1)
+    val idx1 = BandIndex.append(dir, ins)
+    val rem = KnnBeam.removeBatch(
+      ins.graph.localCheckpoint(true), idx1,
+      base.select("vec_id").orderBy("vec_id").limit(2))
+    val idxT = BandIndex.tombstone(dir, rem)
+    val before = idxT.rows.select("vec_id", "srp", "band", "bv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    val compacted = BandIndex.compact(spark, dir)
+    assert(compacted.count == idxT.count &&
+      compacted.churn == idxT.churn &&
+      compacted.bits == idxT.bits && compacted.nBands == idxT.nBands)
+    val after = compacted.rows.select("vec_id", "srp", "band", "bv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(3))).toSet
+    assert(after == before, "compaction changed the live row set")
+    // tombstone list folded into the data rewrite
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_graft_tombstones")),
+      "compact must clear the tombstone list it applied")
+    // one data file per (band, pbv) directory again
+    val dirs = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("pbv="))
+      .iterator()
+    while (dirs.hasNext) {
+      val d = dirs.next()
+      val files = java.nio.file.Files.list(d)
+        .filter(_.toString.endsWith(".parquet")).count()
+      assert(files == 1L, s"directory $d has $files files after compact")
+    }
+  }
+
   test("needsRebuild churn trigger is pure metadata arithmetic: " +
       "quiet below the maxChurn fraction, fires past it, and " +
       "maintenance ops accumulate churn") {
