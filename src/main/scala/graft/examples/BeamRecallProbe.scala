@@ -193,6 +193,98 @@ object BeamRecallProbe {
     * dim-permuted from sf0.1's first 200 vectors with ids at 9e9+i —
     * disjoint from every corpus id, decorrelated from every copy.
     */
+  /** `lifecycle` mode: wall time of every persisted-store operation
+    * at the 10× decade (20k vectors, dim-permuted `genemb` dir) —
+    * the round-16 BandIndex lifecycle measured end-to-end on one
+    * store: write (full), load (+ one materialization of the view),
+    * insert + append (delta-sized), remove + tombstone
+    * (metadata-sized), the generation-barred UPDATE-IN-PLACE
+    * (re-insert the tombstoned ids + append — the late-round-16 fix's
+    * scale path), and compact (one full rewrite folding deltas +
+    * tombstones). Row-count asserts at each step make it a live
+    * integration check, not just a timer.
+    */
+  private def lifecycleMode(spark: SparkSession): Unit = {
+    import graft.operators.KnnBeam
+    import graft.operators.KnnBeam.BandIndex
+    val d = "/tmp/graft-scale-emb/sf1"
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .localCheckpoint(true)
+    val n = emb.count()
+    val perm: Array[Int] = {
+      val arr = (0 until 64).toArray
+      val rnd = new java.util.Random(99L * 2654435761L)
+      var i = arr.length - 1
+      while (i >= 1) {
+        val j = rnd.nextInt(i + 1)
+        val t = arr(i); arr(i) = arr(j); arr(j) = t
+        i -= 1
+      }
+      arr
+    }
+    val batch = spark.read
+      .parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+      .select((col("vec_id") + 9000000000L).as("vec_id"),
+        array(perm.map(p => col("embedding")(p)).toIndexedSeq: _*)
+          .as("embedding"))
+      .localCheckpoint(true)
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    val (g0, tBuild) = timed(
+      KnnBeam.buildGraph(emb, refineRounds = 2).localCheckpoint(true))
+    val (idx, tIdx) = timed(KnnBeam.buildBandIndex(emb))
+    val store = "/tmp/graft-lifecycle-idx"
+    val (_, tWrite) = timed(idx.write(store))
+    val (stored, tLoad) = timed {
+      val s = BandIndex.load(spark, store); s.rows.count(); s
+    }
+    val (ins, tIns) = timed(
+      KnnBeam.insertBatchIndexed(g0, stored, batch))
+    val (idx1, tAppend) = timed {
+      val s = BandIndex.append(store, ins); s.rows.count(); s
+    }
+    assert(idx1.count == n + 200, s"append count ${idx1.count}")
+    val victims = emb.filter(col("vec_id") < 200).select("vec_id")
+    val (rem, tRem) = timed(KnnBeam.removeBatch(
+      ins.graph.localCheckpoint(true), idx1, victims))
+    val (idxT, tTomb) = timed {
+      val s = BandIndex.tombstone(store, rem); s.rows.count(); s
+    }
+    assert(idxT.count == n, s"tombstone count ${idxT.count}")
+    // generation-barred update-in-place at scale: re-insert the
+    // tombstoned ids, persist, and the NEW rows must survive a load
+    val reinsert = emb.filter(col("vec_id") < 200)
+    val (ins2, tIns2) = timed(KnnBeam.insertBatchIndexed(
+      rem.graph.localCheckpoint(true), idxT, reinsert))
+    val (idx2, tAppend2) = timed {
+      val s = BandIndex.append(store, ins2); s.rows.count(); s
+    }
+    val backRows = idx2.rows
+      .join(victims, Seq("vec_id"), "left_semi").count()
+    assert(backRows == idx2.nBands.toLong * 200L,
+      s"update-in-place: $backRows band rows for 200 re-inserted " +
+        s"ids, expected ${idx2.nBands.toLong * 200L}")
+    // materialize BEFORE compacting: compact rewrites the store in
+    // place, so views loaded earlier dangle (single-writer contract)
+    val liveRowsBefore = idx2.rows.count()
+    val (idxC, tCompact) = timed {
+      val s = BandIndex.compact(spark, store); s.rows.count(); s
+    }
+    assert(idxC.count == idx2.count && idxC.churn == idx2.churn,
+      "compact changed metadata")
+    assert(idxC.rows.count() == liveRowsBefore,
+      "compact changed the live row set")
+    println(f"10x n=$n build=$tBuild%.2fs index=$tIdx%.2fs " +
+      f"write=$tWrite%.2fs load=$tLoad%.2fs")
+    println(f"insert(200)=$tIns%.2fs append=$tAppend%.2fs " +
+      f"remove(200)=$tRem%.2fs tombstone=$tTomb%.2fs")
+    println(f"reinsert(200)=$tIns2%.2fs append2=$tAppend2%.2fs " +
+      f"compact=$tCompact%.2fs")
+  }
+
   private def insertCostMode(spark: SparkSession): Unit = {
     val perm: Array[Int] = {
       val arr = (0 until 64).toArray
@@ -592,6 +684,9 @@ object BeamRecallProbe {
     }
     if (args.contains("insertcost")) {
       insertCostMode(spark); spark.stop(); return
+    }
+    if (args.contains("lifecycle")) {
+      lifecycleMode(spark); spark.stop(); return
     }
     if (args.contains("filtered")) {
       filteredMode(spark); spark.stop(); return

@@ -528,7 +528,11 @@ object KnnBeam {
       * re-densifying rebuild `needsRebuild` schedules (no descent
       * runs, the row set is unchanged). The live rows are
       * materialized (localCheckpoint) before the overwrite so the
-      * rewrite never reads the files it is replacing.
+      * rewrite never reads the files it is replacing. Compaction is
+      * an IN-PLACE rewrite under the store's single-writer contract:
+      * index views loaded BEFORE the compact dangle afterwards
+      * (their plans reference replaced files) — re-`load` after
+      * compacting, as with any index reorganization.
       */
     def compact(spark: org.apache.spark.sql.SparkSession,
         dir: String): BandIndex = {
