@@ -412,7 +412,8 @@ object BeamRecallProbe {
 
   /** `auto` mode: the round-16 verdict measurement — build with
     * AutoDegree and serve with the AUTO budget (AutoBeam/AutoRounds:
-    * beam = 3·degree, rounds = max(4, degree/4); 4·degree filtered),
+    * beam = 4·degree, rounds = max(4, degree/4) — ONE rule for both
+    * the plain and filtered variants, KnnBeam.serveBudget),
     * no hand-picked numbers anywhere, across the dim-permuted decades.
     * The SCALE.md contract: the 100× auto row holds the ≥20/50 floor
     * that the shipped fixed beam 24 lost (7/50 at 200k, round 15).
@@ -592,6 +593,73 @@ object BeamRecallProbe {
     }
   }
 
+  /** `update` mode: s30 calibration — recall of the maintained graph
+    * after UPDATE-IN-PLACE (removeBatch a 10% slice, re-insert the
+    * SAME ids with NEGATED vectors — the remove-then-insert contract
+    * insertBatchIndexed's replay guard prescribes for changed
+    * vectors) vs the exact top-5 over the UPDATED corpus. The victim
+    * query's own hits are reported separately: a graph still serving
+    * the STALE vector would strand that query in its pre-update
+    * neighborhood, so per-victim hits are the update-visibility
+    * signal. A fresh rebuild on the updated corpus is the ceiling.
+    */
+  private def updateMode(spark: SparkSession): Unit = {
+    for (sf <- Seq("0.001", "0.01", "0.1")) {
+      val d = s"/root/testdata/sf$sf"
+      val emb0 = spark.read.parquet(s"$d/embeddings.parquet")
+      val n = emb0.count()
+      val upd = emb0.withColumn("embedding",
+          when(col("vec_id") % 10 === 3,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")))
+        .localCheckpoint(true)
+      val cosine = graft.functions.VectorExprs
+        .cosine_similarity(col("qv"), col("nv"))
+      val q = upd.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy("q_id")
+        .orderBy(col("sim").desc, col("n_id"))
+      val exact = broadcast(q)
+        .crossJoin(upd.select(col("vec_id").as("n_id"),
+          col("embedding").as("nv")))
+        .filter(col("q_id") =!= col("n_id"))
+        .withColumn("sim", cosine)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select("q_id", "n_id")
+        .localCheckpoint(true)
+      val total = exact.count()
+      val victimExact = exact.filter(col("q_id") % 10 === 3)
+      val victimTotal = victimExact.count()
+      val g0 = graft.operators.KnnBeam.buildGraph(emb0,
+        refineRounds = 2)
+      val idx = graft.operators.KnnBeam.buildBandIndex(emb0)
+      val rem = graft.operators.KnnBeam.removeBatch(g0, idx,
+        emb0.filter(col("vec_id") % 10 === 3).select("vec_id"))
+      val ins = graft.operators.KnnBeam.insertBatchIndexed(
+        rem.graph.localCheckpoint(true), rem.index,
+        upd.filter(col("vec_id") % 10 === 3))
+      val entry = graft.operators.KnnBeam.seeds(upd, seedCount = 128)
+        .localCheckpoint(true)
+      def hitsOf(g: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val got = graft.operators.KnnBeam
+          .search(g, upd, q, entry, topK = 5)
+          .select("q_id", "n_id").localCheckpoint(true)
+        (got.join(exact, Seq("q_id", "n_id"), "left_semi").count(),
+          got.join(victimExact, Seq("q_id", "n_id"), "left_semi")
+            .count())
+      }
+      val (updHits, updVictim) = hitsOf(ins.graph.localCheckpoint(true))
+      val rebuilt = graft.operators.KnnBeam.buildGraph(upd,
+        refineRounds = 2)
+      val (rbHits, rbVictim) = hitsOf(rebuilt)
+      println(s"sf$sf n=$n upd_hits=$updHits/$total " +
+        s"victim=$updVictim/$victimTotal " +
+        s"rebuild_hits=$rbHits/$total victim=$rbVictim/$victimTotal")
+    }
+  }
+
   /** `serve100` mode: one auto-degree build at the 100× decade, then
     * a (seeds, rounds, beam) serve sweep over the SAME graph — the
     * measurement behind the round-16 auto-budget multiplier choice
@@ -677,6 +745,9 @@ object BeamRecallProbe {
     }
     if (args.contains("delete")) {
       deleteMode(spark); spark.stop(); return
+    }
+    if (args.contains("update")) {
+      updateMode(spark); spark.stop(); return
     }
     if (args.contains("auto")) { autoMode(spark); spark.stop(); return }
     if (args.contains("drift")) {

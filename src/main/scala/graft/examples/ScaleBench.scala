@@ -127,10 +127,10 @@ object ScaleBench {
     // filtered-recall stories run on the dim-permuted dirs via
     // BeamRecallProbe `insertcost`/`filtered` modes)
     "s27_indexed_knn_insert", "s28_filtered_knn",
-    // round-16: graph-ANN delete (time exponent on the dim-permuted
-    // emb dirs like s27/s28; the recall story is BeamRecallProbe
-    // `delete`/`drift` modes)
-    "s29_knn_delete")
+    // round-16: graph-ANN delete + update-in-place (time exponents on
+    // the dim-permuted emb dirs like s27/s28; the recall stories are
+    // BeamRecallProbe `delete`/`drift`/`update` modes)
+    "s29_knn_delete", "s30_knn_update")
 
   /** The two-decade subset: the heaviest iterative/join families whose
     * 100×-survival claim the 10× study could only extrapolate.
@@ -159,8 +159,8 @@ object ScaleBench {
     "q84_entity_resolution_multipass",
     // round-15 heavies (emb-dir queries: dim-permuted dirs)
     "s27_indexed_knn_insert", "s28_filtered_knn",
-    // round-16 heavy (emb-dir query: dim-permuted dirs)
-    "s29_knn_delete")
+    // round-16 heavies (emb-dir queries: dim-permuted dirs)
+    "s29_knn_delete", "s30_knn_update")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("bench")

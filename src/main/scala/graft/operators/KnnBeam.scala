@@ -479,9 +479,13 @@ object KnnBeam {
       val tombPath = new org.apache.hadoop.fs.Path(dir, TombDir)
       val rows =
         if (fs(spark, tombPath).exists(tombPath)) {
+          // UNHINTED join: the tombstone list is usually tiny and AQE
+          // broadcasts it from its file statistics, but a
+          // long-uncompacted list must be allowed to shuffle instead
+          // of force-collecting to the driver
           val bar = spark.read.parquet(tombPath.toString)
             .groupBy("vec_id").agg(max("gen").as("__tgen"))
-          rows0.join(broadcast(bar), Seq("vec_id"), "left")
+          rows0.join(bar, Seq("vec_id"), "left")
             .filter(col("__tgen").isNull || col("gen") > col("__tgen"))
             .drop("__tgen", "gen")
         } else rows0.drop("gen")
@@ -526,22 +530,39 @@ object KnnBeam {
       * tombstone list it applied. Metadata — including churn — is
       * preserved: compaction is an IO reorganization, not the
       * re-densifying rebuild `needsRebuild` schedules (no descent
-      * runs, the row set is unchanged). The live rows are
-      * materialized (localCheckpoint) before the overwrite so the
-      * rewrite never reads the files it is replacing. Compaction is
-      * an IN-PLACE rewrite under the store's single-writer contract:
-      * index views loaded BEFORE the compact dangle afterwards
-      * (their plans reference replaced files) — re-`load` after
-      * compacting, as with any index reorganization.
+      * runs, the row set is unchanged).
+      *
+      * WRITE-THEN-SWAP, never truncate-then-rewrite: the new store is
+      * written COMPLETE to a `.compacting` sibling (reading the old
+      * files directly — no executor-local checkpoint whose loss would
+      * be unrecoverable), then the old directory is renamed aside,
+      * the new one renamed in, and the old one deleted. A failure
+      * before the first rename leaves the store untouched (a stale
+      * `.compacting` is cleaned on the next attempt); a failure
+      * between the renames leaves the previous store intact under
+      * `<dir>.old` — recoverable by renaming it back. The
+      * delete-everything-then-hope window of an in-place overwrite
+      * never exists. Still single-writer, and index views loaded
+      * BEFORE the compact dangle afterwards (their plans reference
+      * the replaced files) — re-`load` after compacting, as with any
+      * index reorganization.
       */
     def compact(spark: org.apache.spark.sql.SparkSession,
         dir: String): BandIndex = {
       val idx = load(spark, dir)
-      val pinned = idx.withRows(idx.rows.localCheckpoint(true))
-      pinned.write(dir) // static overwrite truncates dir: deltas,
-      // tombstones, and meta all fold into the rewrite
-      org.apache.spark.sql.graft.bridge.checkpointedRdd(pinned.rows)
-        .foreach(_.unpersist(blocking = false))
+      val fsys = fs(spark, new org.apache.hadoop.fs.Path(dir))
+      val cur = new org.apache.hadoop.fs.Path(dir)
+      val fresh = new org.apache.hadoop.fs.Path(dir + ".compacting")
+      val old = new org.apache.hadoop.fs.Path(dir + ".old")
+      if (fsys.exists(fresh)) fsys.delete(fresh, true) // stale attempt
+      if (fsys.exists(old)) fsys.delete(old, true)
+      idx.write(fresh.toString) // reads old files, writes the sibling
+      require(fsys.rename(cur, old),
+        s"compact: could not rename $cur aside")
+      require(fsys.rename(fresh, cur),
+        s"compact: could not activate $fresh — previous store " +
+          s"preserved at $old")
+      fsys.delete(old, true)
       load(spark, dir)
     }
 
@@ -847,13 +868,16 @@ object KnnBeam {
           graph.filter(!col("node").isin(arr: _*) &&
             !col("nbr").isin(arr: _*)))
       } else {
+        // past the literal cap: UNHINTED joins — a forced broadcast
+        // of an unbounded delete set (a retention sweep can remove a
+        // large corpus fraction) is a driver/executor OOM; AQE still
+        // broadcasts when the id set actually fits the threshold, and
+        // falls back to a shuffle join when it does not
         val asNode = live.select(col("vec_id").as("node"))
         val asNbr = live.select(col("vec_id").as("nbr"))
         val g = graph
-          .join(broadcast(asNode).withColumn("__rmn", lit(1)),
-            Seq("node"), "left")
-          .join(broadcast(asNbr).withColumn("__rmb", lit(1)),
-            Seq("nbr"), "left")
+          .join(asNode.withColumn("__rmn", lit(1)), Seq("node"), "left")
+          .join(asNbr.withColumn("__rmb", lit(1)), Seq("nbr"), "left")
         val orig = graph.columns.map(col).toSeq
         (g.filter(col("__rmn").isNotNull || col("__rmb").isNotNull)
             .select(orig: _*),
@@ -866,9 +890,13 @@ object KnnBeam {
         Seq("node"), "left_anti")
       .localCheckpoint(true)
     val delta = kept.join(affected, Seq("node"), "left_semi")
+    // hint the anti-join broadcast only for bounded delete sets; an
+    // unbounded one rides AQE's own size decision
+    val liveSide =
+      if (liveN <= maxPruneKeys.toLong) broadcast(live) else live
     IndexedRemove(kept, delta, affected,
       BandIndex(
-        index.rows.join(broadcast(live), Seq("vec_id"), "left_anti"),
+        index.rows.join(liveSide, Seq("vec_id"), "left_anti"),
         index.count - liveN, index.bits, index.nBands,
         index.churn + liveN, index.gen),
       live)
@@ -901,8 +929,14 @@ object KnnBeam {
       seedCount: Int = 128): DataFrame = {
     require(seedCount >= 1, s"seedCount must be positive: $seedCount")
     val n = emb.count()
+    // the modulus stays LONG: n/seedCount past 2^31 (plausible at the
+    // 100 TB framing) would wrap an Int truncation to a tiny or
+    // negative stride — round 0 degenerating to a corpus-sized scan
+    // (or an empty entry set) exactly where the bounded entry matters
+    // most. Identical selection for every stride below the boundary
+    // (int→bigint promotion is value-preserving).
     val stride = math.max(1L, n / seedCount.toLong)
-    emb.filter(pmod(hash(col(idCol)), lit(stride.toInt)) === 0)
+    emb.filter(pmod(hash(col(idCol)), lit(stride)) === 0)
       .select(col(idCol).as("node"))
   }
 
@@ -911,6 +945,12 @@ object KnnBeam {
     * (idCol, vecCol); output (q_id, n_id, rank, sim) with rank 1 the
     * best. Self-matches (q_id == n_id) are excluded, mirroring the
     * exact top-k definition the recall contract compares against.
+    *
+    * `corpusCount`: the corpus size the AUTO serve budget derives
+    * (beam, rounds) from. Pass it when known — a maintained
+    * [[BandIndex]] carries it as metadata — so the serving path stays
+    * scan-free; left at the sentinel, the fallback runs ONE count job
+    * over the corpus (and only when an AUTO sentinel needs it).
     */
   def search(
       graph: DataFrame,
@@ -923,7 +963,8 @@ object KnnBeam {
       qVecCol: String = "qv",
       beam: Int = AutoBeam,
       rounds: Int = AutoRounds,
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5,
+      corpusCount: Long = -1L): DataFrame = {
     require(beam == AutoBeam || beam >= topK,
       s"beam $beam must cover topK $topK")
     require(rounds == AutoRounds || rounds >= 0,
@@ -932,8 +973,12 @@ object KnnBeam {
       .select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
       .localCheckpoint(true)
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
-    // auto budget: one count action over the corpus, only when asked
-    val (bm, rounds2) = resolveServe(beam, rounds, c.count())
+    // auto budget needs the corpus count — pass `corpusCount` (a
+    // maintained BandIndex carries it as metadata) to keep the
+    // serving path scan-free; the count JOB runs only as the
+    // fallback, and only when an AUTO sentinel asks for it
+    val (bm, rounds2) = resolveServe(beam, rounds,
+      if (corpusCount >= 0L) corpusCount else c.count())
     require(bm >= topK, s"auto beam $bm must cover topK $topK")
     val sim = graft.functions.VectorExprs
       .cosine_similarity(col("qv"), col("nv"))
@@ -1016,7 +1061,8 @@ object KnnBeam {
       qVecCol: String = "qv",
       beam: Int = AutoBeam,
       rounds: Int = AutoRounds,
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5,
+      corpusCount: Long = -1L): DataFrame = {
     require(beam == AutoBeam || beam >= topK,
       s"beam $beam must cover topK $topK")
     require(rounds == AutoRounds || rounds >= 0,
@@ -1028,8 +1074,10 @@ object KnnBeam {
       .withColumn("__ok", pred)
       .select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("__ok"))
     // auto budget: one rule for both search variants — the qualified
-    // accumulator rides the same navigation budget
-    val (bm, rounds2) = resolveServe(beam, rounds, c.count())
+    // accumulator rides the same navigation budget; pass
+    // `corpusCount` (BandIndex metadata) to keep serving scan-free
+    val (bm, rounds2) = resolveServe(beam, rounds,
+      if (corpusCount >= 0L) corpusCount else c.count())
     require(bm >= topK, s"auto beam $bm must cover topK $topK")
     val sim = graft.functions.VectorExprs
       .cosine_similarity(col("qv"), col("nv"))

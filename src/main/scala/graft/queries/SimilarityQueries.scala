@@ -1610,6 +1610,100 @@ object SimilarityQueries {
         FROM ranked WHERE rank <= 5""")
     )),
 
+    // GRAPH-ANN UPDATE-IN-PLACE (remove → re-insert, the contract
+    // insertBatchIndexed's replay guard prescribes for changed
+    // vectors — completing the maintenance triad: insert s27, delete
+    // s29, update s30; the production shape is embedding-model
+    // refresh / record correction under a stable id): build graph +
+    // band index on the original corpus, removeBatch a 10% slice
+    // (vec_id % 10 = 3), re-insert the SAME ids with NEGATED vectors
+    // (deterministic, engine-exact — IEEE negation is sign-bit flip —
+    // and adversarial: the new vector lands maximally far from the
+    // old neighborhood, so a graph still serving the stale vector
+    // fails loudly), search the UPDATED corpus. Contract frame: exact
+    // top-5 over the updated corpus + a global recall floor + an
+    // UPDATE-VISIBILITY floor on the victim query's own hits (q3's
+    // exact neighbors under the new vector are unreachable from its
+    // pre-update neighborhood — stale state strands it at 0).
+    // Floors measured round 16 (BeamRecallProbe `update`, auto
+    // build + serve): global 41/46/27 of 50 vs same-corpus rebuilds
+    // 44/45/30 — the maintained graph tracks the rebuild within 3
+    // everywhere (and beats it at sf0.01) — and victim hits 5/4/2 of
+    // 5 (rebuild 5/4/4); floor 18 = s29's 40% line (50% margin at
+    // the binding sf0.1), victim floor 1 (the 0-vs-nonzero
+    // stale-state signal, 2× margin at sf0.1).
+    "s30_knn_update" -> ((
+      (s: SparkSession, d: String) => {
+        val all = emb(s, d)
+        val upd = all.withColumn("embedding",
+          when(col("vec_id") % 10 === 3,
+            transform(col("embedding"), x => -x))
+            .otherwise(col("embedding")))
+        val g0 = graft.operators.KnnBeam.buildGraph(all,
+          refineRounds = 2)
+        val idx = graft.operators.KnnBeam.buildBandIndex(all)
+        val victims = all.filter(col("vec_id") % 10 === 3)
+          .select("vec_id")
+        val rem = graft.operators.KnnBeam
+          .removeBatch(g0, idx, victims)
+        val ins = graft.operators.KnnBeam.insertBatchIndexed(
+          rem.graph.localCheckpoint(true), rem.index,
+          upd.filter(col("vec_id") % 10 === 3))
+        val graph = ins.graph.localCheckpoint(true)
+        val entry = graft.operators.KnnBeam.seeds(upd,
+          seedCount = 128)
+        val qs = upd.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val got = graft.operators.KnnBeam.search(
+            graph, upd, qs, entry, topK = 5)
+          .select("q_id", "n_id").localCheckpoint(true)
+        val c = upd
+          .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        val exact5 = broadcast(qs).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("n_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+        val victimHits = got.filter(col("q_id") % 10 === 3)
+          .join(exact5.filter(col("q_id") % 10 === 3)
+            .select("q_id", "n_id"), Seq("q_id", "n_id"), "left_semi")
+          .count()
+        exact5
+          .join(got.withColumn("__hit", lit(1L)),
+            Seq("q_id", "n_id"), "left")
+          .withColumn("__hits",
+            sum(coalesce(col("__hit"), lit(0L)))
+              .over(Window.partitionBy()))
+          .select(col("q_id"), col("n_id"), col("rank"), col("sim_r"),
+            (col("__hits") >= 18).as("upd_recall_floor_ok"),
+            lit(victimHits >= 1L).as("upd_visible_ok"))
+      },
+      Some(s"""WITH u AS (
+            SELECT vec_id,
+                   CASE WHEN vec_id % 10 = 3
+                        THEN [-x for x in embedding]
+                        ELSE embedding END AS embedding
+            FROM embeddings),
+          q AS (SELECT vec_id AS q_id, embedding AS qv
+                FROM u WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv FROM u),
+          sims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id),
+          ranked AS (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank
+            FROM sims)
+        SELECT q_id, n_id, rank, round(sim, 6) AS sim_r,
+               TRUE AS upd_recall_floor_ok, TRUE AS upd_visible_ok
+        FROM ranked WHERE rank <= 5""")
+    )),
+
     // k-NN CLASSIFICATION over the embedding space — the eval loop
     // every labeled-corpus curation pipeline runs (label propagation
     // to unlabeled pools, annotator-agreement checks, embedding-
