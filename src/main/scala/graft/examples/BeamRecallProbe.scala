@@ -237,7 +237,10 @@ object BeamRecallProbe {
       KnnBeam.buildGraph(emb, refineRounds = 2).localCheckpoint(true))
     val (idx, tIdx) = timed(KnnBeam.buildBandIndex(emb))
     val store = "/tmp/graft-lifecycle-idx"
+    val edges = "/tmp/graft-lifecycle-edges"
     val (_, tWrite) = timed(idx.write(store))
+    val (_, tEdgeWrite) = timed(
+      graft.operators.EdgeStore.write(g0, edges, nBuckets = 256))
     val (stored, tLoad) = timed {
       val s = BandIndex.load(spark, store); s.rows.count(); s
     }
@@ -246,6 +249,8 @@ object BeamRecallProbe {
     val (idx1, tAppend) = timed {
       val s = BandIndex.append(store, ins); s.rows.count(); s
     }
+    val (_, tEdgeIns) = timed(
+      graft.operators.EdgeStore.applyInsert(edges, ins))
     assert(idx1.count == n + 200, s"append count ${idx1.count}")
     val victims = emb.filter(col("vec_id") < 200).select("vec_id")
     val (rem, tRem) = timed(KnnBeam.removeBatch(
@@ -253,6 +258,11 @@ object BeamRecallProbe {
     val (idxT, tTomb) = timed {
       val s = BandIndex.tombstone(store, rem); s.rows.count(); s
     }
+    val (_, tEdgeRem) = timed(
+      graft.operators.EdgeStore.applyRemove(edges, rem))
+    assert(graft.operators.EdgeStore.load(spark, edges)
+      .filter(col("node").isin((0L until 200L).map(Long.box): _*))
+      .count() == 0L, "a removed id kept edge rows in the store")
     assert(idxT.count == n, s"tombstone count ${idxT.count}")
     // generation-barred update-in-place at scale: re-insert the
     // tombstoned ids, persist, and the NEW rows must survive a load
@@ -262,6 +272,12 @@ object BeamRecallProbe {
     val (idx2, tAppend2) = timed {
       val s = BandIndex.append(store, ins2); s.rows.count(); s
     }
+    val (_, tEdgeIns2) = timed(
+      graft.operators.EdgeStore.applyInsert(edges, ins2))
+    assert(graft.operators.EdgeStore.load(spark, edges)
+      .join(victims.select(col("vec_id").as("node")),
+        Seq("node"), "left_semi").count() > 0L,
+      "a re-inserted id gained no edge rows in the store")
     val backRows = idx2.rows
       .join(victims, Seq("vec_id"), "left_semi").count()
     assert(backRows == idx2.nBands.toLong * 200L,
@@ -278,11 +294,12 @@ object BeamRecallProbe {
     assert(idxC.rows.count() == liveRowsBefore,
       "compact changed the live row set")
     println(f"10x n=$n build=$tBuild%.2fs index=$tIdx%.2fs " +
-      f"write=$tWrite%.2fs load=$tLoad%.2fs")
+      f"write=$tWrite%.2fs load=$tLoad%.2fs edgewrite=$tEdgeWrite%.2fs")
     println(f"insert(200)=$tIns%.2fs append=$tAppend%.2fs " +
-      f"remove(200)=$tRem%.2fs tombstone=$tTomb%.2fs")
+      f"edgeapply=$tEdgeIns%.2fs remove(200)=$tRem%.2fs " +
+      f"tombstone=$tTomb%.2fs edgeremove=$tEdgeRem%.2fs")
     println(f"reinsert(200)=$tIns2%.2fs append2=$tAppend2%.2fs " +
-      f"compact=$tCompact%.2fs")
+      f"edgeapply2=$tEdgeIns2%.2fs compact=$tCompact%.2fs")
   }
 
   private def insertCostMode(spark: SparkSession): Unit = {

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted k-NN-graph EDGE storage — the other half of the
+  * maintained ANN deployment beside [[KnnBeam.BandIndex]] (which
+  * persists the banded signatures): (node, nbr, cosine) rows hashed
+  * into a FIXED number of node buckets, one directory per bucket, so
+  * maintenance ops touch only the buckets their nodes hash into.
+  *
+  * [[KnnBeam.insertBatchIndexed]] / [[KnnBeam.removeBatch]] already
+  * return delta-shaped results — `delta` is the affected ∪ new
+  * nodes' complete rewritten neighborhoods — precisely so a store
+  * can apply them without rewriting untouched data. `applyDelta` is
+  * that application: it replaces the stored neighborhoods of the
+  * delta's nodes (plus explicitly dropped ids, for deletes) and
+  * rewrites ONLY the touched buckets.
+  *
+  * Scale shape: `nBuckets` is fixed at store creation (metadata,
+  * like the BandIndex banding geometry) and sizes the unit of
+  * rewrite — a bucket holds ~n·degree/nBuckets edge rows, so pick
+  * nBuckets to make one bucket ≈ one comfortable task/file
+  * (re-bucketing is a full `write`, an index reorganization). A
+  * delta touching b distinct buckets rewrites those b directories
+  * and nothing else; reads of a known node prune statically on the
+  * bucket literal and then on the node-sorted row groups within the
+  * file.
+  *
+  * Crash safety mirrors [[KnnBeam.BandIndex.compact]]'s
+  * write-then-swap: new bucket contents are written COMPLETE to a
+  * `.staging` sibling (reading the old files — no executor-local
+  * checkpoint), then each touched bucket directory is swapped in by
+  * rename with the old copy preserved until its swap completes. A
+  * mid-apply crash leaves every bucket either fully old or fully
+  * new — and `applyDelta` is IDEMPOTENT (replacing a neighborhood
+  * with the same rows converges), so re-applying the same delta
+  * heals a partial application. Single-writer, like any index
+  * maintenance.
+  */
+object EdgeStore {
+  private val MetaDir = "_graft_meta"
+  private val StagingSuffix = ".staging"
+
+  private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeMeta(spark: SparkSession, dir: String,
+      nBuckets: Int): Unit = {
+    import spark.implicits._
+    Seq(nBuckets).toDF("nBuckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/$MetaDir")
+  }
+
+  /** The stored bucket count. */
+  def buckets(spark: SparkSession, dir: String): Int =
+    spark.read.parquet(s"$dir/$MetaDir").collect().head.getInt(0)
+
+  private def withBucket(g: DataFrame, nBuckets: Int): DataFrame =
+    g.select(col("node"), col("nbr"), col("cosine"))
+      .withColumn("bucket", pmod(hash(col("node")), lit(nBuckets)))
+
+  private def writeBuckets(g: DataFrame, dir: String,
+      nBuckets: Int): Unit =
+    withBucket(g, nBuckets)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("node")
+      .write.partitionBy("bucket")
+      .mode("overwrite").parquet(dir)
+
+  /** Full store write: one node-sorted file per bucket directory +
+    * the bucket-count metadata. `graph` must carry the build-time
+    * `cosine` column ([[KnnBeam.buildGraph]] output) — the stored
+    * scores are what make delete/insert re-cuts fetch-free.
+    */
+  def write(graph: DataFrame, dir: String, nBuckets: Int = 256): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
+    val spark = graph.sparkSession
+    writeBuckets(graph, dir, nBuckets)
+    writeMeta(spark, dir, nBuckets)
+  }
+
+  /** Rehydrate the full edge view — a plain scan (flat lineage), the
+    * bucket column dropped so the in-memory schema matches
+    * [[KnnBeam.buildGraph]]'s output.
+    */
+  def load(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir).drop("bucket")
+
+  /** Apply an [[KnnBeam.insertBatchIndexed]] result: the affected ∪
+    * new neighborhoods are replaced by `ins.delta`, touched buckets
+    * only.
+    */
+  def applyInsert(dir: String, ins: KnnBeam.IndexedInsert): Unit = {
+    val spark = ins.delta.sparkSession
+    import spark.implicits._
+    applyDelta(dir, ins.delta, ins.affected,
+      Seq.empty[Long].toDF("vec_id"))
+  }
+
+  /** Apply a [[KnnBeam.removeBatch]] result: removed nodes' rows
+    * drop, affected survivors' neighborhoods are replaced by
+    * `rem.delta`, touched buckets only.
+    */
+  def applyRemove(dir: String, rem: KnnBeam.IndexedRemove): Unit =
+    applyDelta(dir, rem.delta, rem.affected, rem.removedIds)
+
+  /** Apply a maintenance delta: REPLACE the stored neighborhoods of
+    * `affected`'s nodes (one `node` column — passed EXPLICITLY, not
+    * derived from `delta`'s rows: a delete can strip a survivor of
+    * its every edge, leaving it affected but row-less in the delta,
+    * and its stale stored rows must still drop) with `delta`'s rows,
+    * and DROP the neighborhoods of `dropIds` (one `vec_id` column),
+    * rewriting only the touched buckets. Edges POINTING AT a dropped
+    * id sit by definition in affected (or dropped) neighborhoods, so
+    * the bucket-local rewrite is exact. Prefer the typed
+    * [[applyInsert]]/[[applyRemove]] entry points.
+    *
+    * The replaced-node set is collected (it is delta-sized — ≤
+    * batch·degree + batch for inserts, ≤ removed·(degree+1) for
+    * deletes) to drive the literal bucket prune and the swap list;
+    * deltas past `maxReplaceIds` should rebuild the store with
+    * `write` instead (the caller is resizing the index, not
+    * maintaining it).
+    */
+  def applyDelta(dir: String, delta: DataFrame, affected: DataFrame,
+      dropIds: DataFrame, maxReplaceIds: Int = 1000000): Unit = {
+    val spark = delta.sparkSession
+    val nBuckets = buckets(spark, dir)
+    val replaced = delta.select(col("node"))
+      .unionByName(affected.select(col("node")))
+      .unionByName(dropIds.select(col("vec_id").as("node")))
+      .distinct().localCheckpoint(true)
+    val nReplaced = replaced.count()
+    if (nReplaced == 0L) return
+    require(nReplaced <= maxReplaceIds,
+      s"applyDelta: $nReplaced replaced nodes exceeds " +
+        s"maxReplaceIds=$maxReplaceIds — rebuild the store with " +
+        "write() instead of applying an index-sized delta")
+    val touched = replaced
+      .select(pmod(hash(col("node")), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    // current contents of ONLY the touched buckets (static partition
+    // prune on the bucket literal), minus every replaced node's rows,
+    // plus the delta — the complete new contents of those buckets
+    val cur = spark.read.parquet(dir)
+      .filter(col("bucket").isin(touched.map(Int.box): _*))
+      .drop("bucket")
+    val out = cur.join(replaced, Seq("node"), "left_anti")
+      .unionByName(delta.select("node", "nbr", "cosine"))
+    // write-then-swap: stage the new buckets reading the old files,
+    // then swap each touched bucket directory by rename
+    val stagePath = new org.apache.hadoop.fs.Path(dir + StagingSuffix)
+    val fsys = fs(spark, stagePath)
+    if (fsys.exists(stagePath)) fsys.delete(stagePath, true)
+    withBucket(out, nBuckets)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("node")
+      .write.partitionBy("bucket")
+      .mode("overwrite").parquet(stagePath.toString)
+    touched.foreach { b =>
+      val live = new org.apache.hadoop.fs.Path(dir, s"bucket=$b")
+      val fresh = new org.apache.hadoop.fs.Path(
+        stagePath.toString, s"bucket=$b")
+      val old = new org.apache.hadoop.fs.Path(dir, s"bucket=$b.old")
+      if (fsys.exists(old)) fsys.delete(old, true)
+      val hadLive = fsys.exists(live)
+      if (hadLive) require(fsys.rename(live, old),
+        s"applyDelta: could not rename $live aside")
+      // a touched bucket may have NO rows in the new contents (all
+      // its nodes dropped) — then there is nothing to rename in and
+      // the bucket directory simply ends gone
+      if (fsys.exists(fresh)) require(fsys.rename(fresh, live),
+        s"applyDelta: could not activate $fresh — previous bucket " +
+          s"preserved at $old")
+      if (hadLive) fsys.delete(old, true)
+    }
+    fsys.delete(stagePath, true)
+  }
+}

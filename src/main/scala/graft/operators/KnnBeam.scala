@@ -615,6 +615,56 @@ object KnnBeam {
         col("vec"))
     }.reduce(_ unionByName _)
 
+  /** The point-lookup prune shared by [[insertBatchIndexed]] and
+    * [[presentIds]]: the batch's bucket keys as LITERAL filters over
+    * `index.rows` (band·1000 + pbv references only partition columns,
+    * so a partitionBy("band","pbv") store prunes DIRECTORIES
+    * statically; the bare-column bv In-filter pushes into parquet —
+    * row-group stats prune within a directory on the bv-sorted
+    * layout). Two conjunctive OVER-approximations of the exact
+    * (band, bv) key set — exactness comes from the caller's
+    * equi-join/semi-join; these only prune. Bounded by batch·nBands;
+    * past `maxPruneKeys` the filter is skipped (identical rows, no
+    * static prune, join keys stay available for runtime DPP).
+    */
+  private def prunedIndexRows(index: BandIndex, bandB: DataFrame,
+      batchN: Long, maxPruneKeys: Int): DataFrame =
+    if (batchN * index.nBands <= maxPruneKeys) {
+      val rows = bandB
+        .select((col("band") * 1000L + col("pbv")).as("k"), col("bv"))
+        .distinct().collect()
+      val keys = rows.map(_.getLong(0)).distinct.sorted
+      val bvKeys = rows.map(_.getLong(1)).distinct.sorted
+      index.rows.filter(
+        (col("band") * 1000L + col("pbv")).isin(keys: _*) &&
+          col("bv").isin(bvKeys: _*))
+    } else index.rows
+
+  /** Ids of `batch` rows ALREADY PRESENT in the index — the
+    * replay/overlap probe, riding the same pruned bucket read as
+    * [[insertBatchIndexed]]'s fail-fast guard (an unchanged vector's
+    * band rows land in exactly the colliding buckets the probe
+    * reads): O(batch collisions), never an index scan. The streaming
+    * maintenance driver splits an at-least-once redelivery with it —
+    * already-ingested ids skipped, the fresh remainder inserted.
+    *
+    * Detects a REPLAY (same id, same vector). A changed vector under
+    * an existing id bands elsewhere and is NOT detectable
+    * bucket-locally — updates stay remove-then-insert by contract.
+    */
+  def presentIds(index: BandIndex, batch: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dims: Int = 64, maxPruneKeys: Int = 8192): DataFrame = {
+    val sigB = SemanticDedup.signaturesWithVec(
+      batch.select(col(idCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding")),
+      "vec_id", "embedding", dims).localCheckpoint(true)
+    val bandB = bandRowsOf(sigB, index.bits, index.nBands)
+    bandB.select("vec_id").distinct()
+      .join(prunedIndexRows(index, bandB, sigB.count(), maxPruneKeys),
+        Seq("vec_id"), "left_semi")
+  }
+
   /** The result of an indexed insert. `graph` is the full updated
     * edge view (old graph minus affected nodes, plus `delta`) — use
     * it directly for search; `delta` alone is what a store
@@ -713,29 +763,7 @@ object KnnBeam {
     val degree = resolveDegree(graphDegree, index.count + batchN)
     val bandB = bandRowsOf(sigB, index.bits, index.nBands)
       .localCheckpoint(true)
-    // the point-lookup prune: batch bucket keys as a LITERAL partition
-    // filter (band·1000 + pbv references only partition columns, so a
-    // partitioned store prunes statically). Bounded by batch·nBands;
-    // past maxPruneKeys skip it — the equi-join below is still exact
-    val bucketKeys = bandB
-      .select((col("band") * 1000L + col("pbv")).as("k"), col("bv"))
-      .distinct()
-    val idxRows =
-      if (batchN * index.nBands <= maxPruneKeys) {
-        val rows = bucketKeys.collect()
-        val keys = rows.map(_.getLong(0)).distinct.sorted
-        val bvKeys = rows.map(_.getLong(1)).distinct.sorted
-        // two conjunctive over-approximations of the exact (band, bv)
-        // key set — exactness comes from the equi-join below; these
-        // only PRUNE: the (band, pbv) filter references partition
-        // columns (static directory prune on a partitionBy store),
-        // and the bare-column bv filter pushes into parquet
-        // (In-filter row-group stats prune on a bv-sorted layout,
-        // where one directory holds many buckets)
-        index.rows.filter(
-          (col("band") * 1000L + col("pbv")).isin(keys: _*) &&
-            col("bv").isin(bvKeys: _*))
-      } else index.rows
+    val idxRows = prunedIndexRows(index, bandB, batchN, maxPruneKeys)
     // replay guard (round-15 ADVICE): a batch id already in the index
     // means a replayed/overlapping batch — its band rows sit in the
     // colliding buckets this insert reads anyway, so the check is a

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{EdgeStore, KnnBeam}
+
+/** The node-bucketed edge store: write/load round-trip, delta-sized
+  * bucket rewrites that leave untouched buckets' FILES untouched,
+  * exactness of the store-mediated view vs the in-memory result for
+  * both insert and delete, idempotent re-application (the crash-heal
+  * contract), and the index-sized-delta guard.
+  */
+class EdgeStoreSpec extends SparkSpecBase {
+
+  private def emb: DataFrame = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  private def base = emb.filter(col("vec_id") % 10 < 8)
+  private def b1 = emb.filter(col("vec_id") % 10 === 8)
+
+  private def tmp(): String = java.nio.file.Files
+    .createTempDirectory("graft-edgestore").toString
+
+  private def edgeSet(g: DataFrame): Set[(Long, Long, Double)] =
+    g.select("node", "nbr", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def bucketFiles(dir: String): Map[String, Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("bucket="))
+      .map { d =>
+        d.getFileName.toString -> java.nio.file.Files.list(d)
+          .iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(_.getFileName.toString).toSet
+      }.toMap
+  }
+
+  test("write → load round-trips the edge rows exactly (cosines " +
+      "bit-for-bit) with flat lineage") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val dir = tmp()
+    EdgeStore.write(g0, dir, nBuckets = 16)
+    assert(EdgeStore.buckets(spark, dir) == 16)
+    val loaded = EdgeStore.load(spark, dir)
+    assert(edgeSet(loaded) == edgeSet(g0),
+      "stored edges diverged from the built graph")
+    val hasUnion = org.apache.spark.sql.graft.bridge.analyzed(loaded)
+      .collectFirst {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+      }.nonEmpty
+    assert(!hasUnion, "loaded edges must be a plain scan")
+  }
+
+  test("applyInsert rewrites ONLY the touched buckets and the " +
+      "reloaded view equals the in-memory insert edge-for-edge; " +
+      "re-applying the same delta is a no-op (idempotent heal)") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val idx = KnnBeam.buildBandIndex(base)
+    val dir = tmp()
+    EdgeStore.write(g0, dir, nBuckets = 16)
+    val before = bucketFiles(dir)
+    val ins = KnnBeam.insertBatchIndexed(g0, idx, b1)
+    EdgeStore.applyInsert(dir, ins)
+    assert(edgeSet(EdgeStore.load(spark, dir)) == edgeSet(ins.graph),
+      "store-mediated insert diverged from the in-memory result")
+    val after = bucketFiles(dir)
+    // the replaced-node set bounds the touched buckets
+    val touched = ins.delta.select("node")
+      .unionByName(ins.affected.select("node")).distinct()
+      .select(pmod(hash(col("node")), lit(16)).as("b"))
+      .distinct().collect().map(r => s"bucket=${r.getInt(0)}").toSet
+    before.keys.filterNot(touched).foreach { b =>
+      assert(after.get(b).contains(before(b)),
+        s"untouched $b was rewritten")
+    }
+    // idempotence: the crash-recovery path re-applies the same delta
+    EdgeStore.applyInsert(dir, ins)
+    assert(edgeSet(EdgeStore.load(spark, dir)) == edgeSet(ins.graph),
+      "re-applying the delta changed the store")
+  }
+
+  test("applyRemove drops removed neighborhoods (node AND nbr side) " +
+      "and the reloaded view equals the in-memory delete") {
+    val full = emb.filter(col("vec_id") % 10 =!= 9)
+    val g0 = KnnBeam.buildGraph(full).localCheckpoint(true)
+    val idx = KnnBeam.buildBandIndex(full)
+    val dir = tmp()
+    EdgeStore.write(g0, dir, nBuckets = 16)
+    val victims = full.filter(col("vec_id") % 10 === 0)
+      .select("vec_id")
+    val rem = KnnBeam.removeBatch(g0, idx, victims)
+    EdgeStore.applyRemove(dir, rem)
+    val loaded = EdgeStore.load(spark, dir)
+    assert(edgeSet(loaded) == edgeSet(rem.graph),
+      "store-mediated delete diverged from the in-memory result")
+    val vIds = rem.removedIds.collect().map(r => Long.box(r.getLong(0)))
+    assert(loaded.filter(col("node").isin(vIds: _*) ||
+      col("nbr").isin(vIds: _*)).count() == 0L,
+      "a removed id survived in the edge store")
+  }
+
+  test("an index-sized delta fails the maxReplaceIds guard with a " +
+      "named error instead of a store-sized 'delta' rewrite; an " +
+      "empty delta is a no-op") {
+    val session = spark
+    import session.implicits._
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val idx = KnnBeam.buildBandIndex(base)
+    val dir = tmp()
+    EdgeStore.write(g0, dir, nBuckets = 16)
+    val ins = KnnBeam.insertBatchIndexed(g0, idx, b1)
+    val e = intercept[IllegalArgumentException] {
+      EdgeStore.applyDelta(dir, ins.delta, ins.affected,
+        Seq.empty[Long].toDF("vec_id"), maxReplaceIds = 1)
+    }
+    assert(e.getMessage.contains("maxReplaceIds"),
+      s"wrong error: ${e.getMessage}")
+    val before = edgeSet(EdgeStore.load(spark, dir))
+    EdgeStore.applyDelta(dir, g0.limit(0),
+      Seq.empty[Long].toDF("node"), Seq.empty[Long].toDF("vec_id"))
+    assert(edgeSet(EdgeStore.load(spark, dir)) == before,
+      "an empty delta changed the store")
+  }
+}
