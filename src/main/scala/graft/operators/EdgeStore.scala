@@ -31,19 +31,24 @@ import org.apache.spark.sql.functions._
   * write-then-swap: new bucket contents are written COMPLETE to a
   * `.staging` sibling (reading the old files — no executor-local
   * checkpoint), then each touched bucket directory is swapped in by
-  * rename with the old copy preserved until its swap completes. A
-  * mid-apply crash leaves every bucket either fully old or fully
-  * new — and `applyDelta` is IDEMPOTENT (replacing a neighborhood
-  * with the same rows converges), so re-applying the same delta
-  * heals a partial application. Single-writer, like any index
-  * maintenance.
+  * rename with the old copy PARKED in a `.old` SIBLING of the store
+  * until its swap completes — both siblings sit outside partition
+  * discovery, so a reader never sees staging rows, stale duplicates,
+  * or a widened partition-column type. A mid-apply crash leaves
+  * every bucket either fully old, fully new, or parked; [[heal]]
+  * (run automatically at the next applyDelta) restores parked
+  * buckets and drops superseded ones, and `applyDelta` is IDEMPOTENT
+  * (replacing a neighborhood with the same rows converges), so
+  * re-applying the same delta finishes a partial application with no
+  * data loss. Single-writer, like any index maintenance.
   */
 object EdgeStore {
   private val MetaDir = "_graft_meta"
   private val StagingSuffix = ".staging"
+  private val OldSuffix = ".old"
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StoreFiles.fs(spark, p)
 
   private def writeMeta(spark: SparkSession, dir: String,
       nBuckets: Int): Unit = {
@@ -140,6 +145,10 @@ object EdgeStore {
     val touched = replaced
       .select(pmod(hash(col("node")), lit(nBuckets)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
+    val fsys = fs(spark, new org.apache.hadoop.fs.Path(dir))
+    // heal any crashed previous apply FIRST, so the staging read
+    // below sees the complete pre-delta store
+    heal(spark, dir)
     // current contents of ONLY the touched buckets (static partition
     // prune on the bucket literal), minus every replaced node's rows,
     // plus the delta — the complete new contents of those buckets
@@ -149,32 +158,70 @@ object EdgeStore {
     val out = cur.join(replaced, Seq("node"), "left_anti")
       .unionByName(delta.select("node", "nbr", "cosine"))
     // write-then-swap: stage the new buckets reading the old files,
-    // then swap each touched bucket directory by rename
+    // then swap each touched bucket directory by rename, PARKING the
+    // old copy in a SIBLING of the store (never inside it: a
+    // bucket=N.old directory under `dir` would enter partition
+    // discovery — stale duplicate rows served to every load and the
+    // bucket column's type widened to string)
     val stagePath = new org.apache.hadoop.fs.Path(dir + StagingSuffix)
-    val fsys = fs(spark, stagePath)
+    val parkRoot = new org.apache.hadoop.fs.Path(dir + OldSuffix)
     if (fsys.exists(stagePath)) fsys.delete(stagePath, true)
     withBucket(out, nBuckets)
       .repartition(col("bucket"))
       .sortWithinPartitions("node")
       .write.partitionBy("bucket")
       .mode("overwrite").parquet(stagePath.toString)
+    fsys.mkdirs(parkRoot)
     touched.foreach { b =>
       val live = new org.apache.hadoop.fs.Path(dir, s"bucket=$b")
       val fresh = new org.apache.hadoop.fs.Path(
         stagePath.toString, s"bucket=$b")
-      val old = new org.apache.hadoop.fs.Path(dir, s"bucket=$b.old")
-      if (fsys.exists(old)) fsys.delete(old, true)
+      val parked = new org.apache.hadoop.fs.Path(
+        parkRoot, s"bucket=$b")
+      if (fsys.exists(parked)) fsys.delete(parked, true)
       val hadLive = fsys.exists(live)
-      if (hadLive) require(fsys.rename(live, old),
-        s"applyDelta: could not rename $live aside")
+      if (hadLive) require(fsys.rename(live, parked),
+        s"applyDelta: could not park $live")
       // a touched bucket may have NO rows in the new contents (all
       // its nodes dropped) — then there is nothing to rename in and
       // the bucket directory simply ends gone
       if (fsys.exists(fresh)) require(fsys.rename(fresh, live),
         s"applyDelta: could not activate $fresh — previous bucket " +
-          s"preserved at $old")
-      if (hadLive) fsys.delete(old, true)
+          s"preserved at $parked")
+      if (hadLive) fsys.delete(parked, true)
     }
+    fsys.delete(parkRoot, true)
     fsys.delete(stagePath, true)
+  }
+
+  /** Restore any buckets a crashed [[applyDelta]] left PARKED in the
+    * `<dir>.old` sibling: a crash between the park and the activate
+    * leaves the bucket's only copy parked (restored here — renamed
+    * back); a crash between the activate and the park-delete leaves
+    * a stale parked duplicate beside a complete live bucket (dropped
+    * here). Either way the store returns to a consistent state —
+    * the pre-crash one in the first case (re-apply the delta to
+    * finish, it is idempotent), the post-apply one in the second.
+    * Runs automatically at the start of every [[applyDelta]]; safe
+    * to call any time (a no-op when nothing is parked). The parked
+    * copies live OUTSIDE the store directory, so reads between a
+    * crash and the heal see a consistent (if partially-applied)
+    * store — never duplicates.
+    */
+  def heal(spark: SparkSession, dir: String): Unit = {
+    val parkRoot = new org.apache.hadoop.fs.Path(dir + OldSuffix)
+    val fsys = fs(spark, parkRoot)
+    if (!fsys.exists(parkRoot)) return
+    fsys.listStatus(parkRoot).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("bucket=")) {
+        val live = new org.apache.hadoop.fs.Path(dir, name)
+        if (!fsys.exists(live))
+          require(fsys.rename(st.getPath, live),
+            s"heal: could not restore parked bucket $name")
+        else fsys.delete(st.getPath, true)
+      }
+    }
+    fsys.delete(parkRoot, true)
   }
 }

@@ -443,6 +443,7 @@ object KnnBeam {
   object BandIndex {
     private val MetaDir = "_graft_meta"
     private val TombDir = "_graft_tombstones"
+    private val PendingDir = "_graft_pending"
 
     private[KnnBeam] def writeMeta(dir: String, idx: BandIndex): Unit = {
       val spark = idx.rows.sparkSession
@@ -453,8 +454,7 @@ object KnnBeam {
     }
 
     private def fs(spark: org.apache.spark.sql.SparkSession,
-        p: org.apache.hadoop.fs.Path) =
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        p: org.apache.hadoop.fs.Path) = StoreFiles.fs(spark, p)
 
     /** Rehydrate a stored index: rows re-read from the partitioned
       * store (lineage FLAT — chained in-memory inserts accumulate a
@@ -475,7 +475,14 @@ object KnnBeam {
     def load(spark: org.apache.spark.sql.SparkSession,
         dir: String): BandIndex = {
       val m = spark.read.parquet(s"$dir/$MetaDir").collect().head
+      val metaGen = m.getAs[Long]("gen")
+      // the metadata gen is the COMMITTED watermark: rows stamped
+      // above it belong to an append whose commit (writeMeta) never
+      // landed — invisible until [[recover]] rolls them forward (or
+      // compact discards them); serving them would also defeat the
+      // tombstone bar, whose cut is taken from the committed gen
       val rows0 = spark.read.parquet(dir)
+        .filter(col("gen") <= metaGen)
       val tombPath = new org.apache.hadoop.fs.Path(dir, TombDir)
       val rows =
         if (fs(spark, tombPath).exists(tombPath)) {
@@ -490,8 +497,7 @@ object KnnBeam {
             .drop("__tgen", "gen")
         } else rows0.drop("gen")
       BandIndex(rows, m.getAs[Long]("count"), m.getAs[Int]("bits"),
-        m.getAs[Int]("nBands"), m.getAs[Long]("churn"),
-        m.getAs[Long]("gen"))
+        m.getAs[Int]("nBands"), m.getAs[Long]("churn"), metaGen)
     }
 
     /** Apply an [[insertBatchIndexed]] result to the store: append
@@ -502,8 +508,8 @@ object KnnBeam {
       * metadata, and return the RELOADED index — flat lineage for the
       * next chained insert.
       *
-      * The delta is stamped with the NEXT generation (the loaded
-      * index's gen + 1, persisted to the metadata): a batch id whose
+      * The delta is stamped with the NEXT generation (the committed
+      * gen + 1, persisted to the metadata): a batch id whose
       * old rows are tombstoned — the update-in-place flow
       * (removeBatch → tombstone → insert → append) — re-admits
       * cleanly, because `load`'s generation bar masks only rows
@@ -511,17 +517,114 @@ object KnnBeam {
       * stamped above it. The tombstone list itself is never touched
       * here; stale entries are harmless under the bar and [[compact]]
       * folds them.
+      *
+      * The rows+metadata pair cannot commit atomically on a plain
+      * filesystem, so append follows an INTENT-MARKER protocol: a
+      * `_graft_pending` marker naming the next gen is written first,
+      * then the delta rows, then the metadata (THE commit point —
+      * `load` ignores rows above the committed gen), then the marker
+      * clears. Every append first [[recover]]s a crashed
+      * predecessor — rolling a committed-rows/uncommitted-meta
+      * append forward by arithmetic, discarding a marker whose rows
+      * never landed — and then checks the batch against the
+      * POST-recovery committed view: a fully-committed batch (the
+      * at-least-once redelivery after a crash) returns as a no-op,
+      * so the caller's replay split stays correct even when the
+      * crash happened inside this method.
       */
     def append(dir: String, ins: IndexedInsert): BandIndex = {
       val spark = ins.indexDelta.sparkSession
-      val bumped = ins.index.copy(gen = ins.index.gen + 1L)
-      ins.indexDelta.withColumn("gen", lit(bumped.gen))
+      recoverPending(spark, dir)
+      val cur = load(spark, dir)
+      val batchIds = ins.indexDelta
+        .filter(col("band") === 0).select("vec_id")
+        .localCheckpoint(true)
+      val batchN = batchIds.count()
+      val present = batchIds.join(
+          prunedIndexRows(cur, ins.indexDelta, batchN, 8192),
+          Seq("vec_id"), "left_semi").count()
+      if (present == batchN) return cur // already committed — no-op
+      require(present == 0L,
+        s"append: $present of $batchN batch ids already committed — " +
+          "a partially applied batch cannot happen under the marker " +
+          "protocol; the store needs compact (or the batch is wrong)")
+      val nextGen = cur.gen + 1L
+      val committed = BandIndex(cur.rows, cur.count + batchN,
+        cur.bits, cur.nBands, cur.churn + batchN, nextGen)
+      writePending(spark, dir, nextGen)
+      ins.indexDelta.withColumn("gen", lit(nextGen))
         .repartition(col("band"), col("pbv"))
         .sortWithinPartitions("bv")
         .write.partitionBy("band", "pbv")
         .mode("append").parquet(dir)
-      writeMeta(dir, bumped)
+      writeMeta(dir, committed) // the commit point
+      clearPending(spark, dir)
       load(spark, dir)
+    }
+
+    private def pendingPath(dir: String) =
+      new org.apache.hadoop.fs.Path(dir, PendingDir)
+
+    private def writePending(spark: org.apache.spark.sql.SparkSession,
+        dir: String, gen: Long): Unit = {
+      val p = new org.apache.hadoop.fs.Path(
+        pendingPath(dir), s"gen-$gen")
+      fs(spark, p).create(p, true).close()
+    }
+
+    private def clearPending(spark: org.apache.spark.sql.SparkSession,
+        dir: String): Unit =
+      fs(spark, pendingPath(dir)).delete(pendingPath(dir), true)
+
+    /** Roll a crashed [[append]] forward or discard it. A pending
+      * marker above the committed gen means an append wrote its
+      * intent and maybe its rows but never its metadata:
+      *
+      *   - rows of the pending gen present (the row write's job
+      *     commit landed — all-or-nothing): COMMIT by arithmetic —
+      *     the delta holds nBands rows per id, so the id count read
+      *     off its band-0 rows advances count/churn exactly as the
+      *     crashed append would have;
+      *   - no rows (crash before the row write committed): nothing
+      *     happened — drop the marker.
+      *
+      * The orphan-row scan filters on `gen == pending`, which parquet
+      * prunes to the delta files by row-group stats (committed files
+      * carry only lower gens). Runs automatically at the start of
+      * every append; [[compact]] instead DISCARDS uncommitted rows
+      * (it rewrites the committed view). Safe to call any time.
+      */
+    def recover(spark: org.apache.spark.sql.SparkSession,
+        dir: String): BandIndex = {
+      recoverPending(spark, dir)
+      load(spark, dir)
+    }
+
+    private def recoverPending(
+        spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      val pend = pendingPath(dir)
+      val fsys = fs(spark, pend)
+      if (!fsys.exists(pend)) return
+      val gens = fsys.listStatus(pend).map(_.getPath.getName)
+        .collect { case n if n.startsWith("gen-") =>
+          n.stripPrefix("gen-").toLong }
+      if (gens.isEmpty) { fsys.delete(pend, true); return }
+      val pGen = gens.max
+      val m = spark.read.parquet(s"$dir/$MetaDir").collect().head
+      if (pGen > m.getAs[Long]("gen")) {
+        val orphanIds = spark.read.parquet(dir)
+          .filter(col("gen") === pGen && col("band") === 0)
+          .select("vec_id").distinct().count()
+        if (orphanIds > 0L) {
+          val rolled = BandIndex(
+            spark.emptyDataFrame, // rows unused by writeMeta
+            m.getAs[Long]("count") + orphanIds,
+            m.getAs[Int]("bits"), m.getAs[Int]("nBands"),
+            m.getAs[Long]("churn") + orphanIds, pGen)
+          writeMeta(dir, rolled)
+        }
+      }
+      fsys.delete(pend, true)
     }
 
     /** Fold the store back to its canonical layout: rewrite the LIVE
@@ -749,7 +852,8 @@ object KnnBeam {
       dims: Int = 64,
       graphDegree: Int = AutoDegree,
       maxHamming: Int = 16,
-      maxPruneKeys: Int = 8192): IndexedInsert = {
+      maxPruneKeys: Int = 8192,
+      assumeDisjoint: Boolean = false): IndexedInsert = {
     require(graph.columns.contains("cosine"),
       "insertBatchIndexed needs build-time cosines on the graph " +
         "edges (buildGraph keeps them); re-derive the graph or use " +
@@ -767,13 +871,18 @@ object KnnBeam {
     // replay guard (round-15 ADVICE): a batch id already in the index
     // means a replayed/overlapping batch — its band rows sit in the
     // colliding buckets this insert reads anyway, so the check is a
-    // semi-join on the PRUNED read, not an index scan
-    val dupIds = bandB.select("vec_id").distinct()
-      .join(idxRows, Seq("vec_id"), "left_semi").count()
-    require(dupIds == 0L,
-      s"insertBatchIndexed: $dupIds batch vec_ids already present in " +
-        "the index — batches must be id-disjoint (replayed batch?); " +
-        "to update a vector, removeBatch it first")
+    // semi-join on the PRUNED read, not an index scan. A caller that
+    // JUST split the batch on [[presentIds]] (the streaming loop) has
+    // run the identical semi-join — `assumeDisjoint` skips the
+    // guaranteed-zero re-check
+    if (!assumeDisjoint) {
+      val dupIds = bandB.select("vec_id").distinct()
+        .join(idxRows, Seq("vec_id"), "left_semi").count()
+      require(dupIds == 0L,
+        s"insertBatchIndexed: $dupIds batch vec_ids already present " +
+          "in the index — batches must be id-disjoint (replayed " +
+          "batch?); to update a vector, removeBatch it first")
+    }
     // candidates: batch vs (pruned index ∪ batch) — the batch side
     // self-joins too, so within-batch neighbors are found exactly as
     // insertBatch finds them; the index side is NEVER self-joined

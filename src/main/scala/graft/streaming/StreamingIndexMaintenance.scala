@@ -80,8 +80,11 @@ object StreamingIndexMaintenance {
       .localCheckpoint(true)
     if (fresh.isEmpty) return // fully replayed micro-batch: no-op
     val graph = EdgeStore.load(spark, edgeDir)
+    // assumeDisjoint: the replay split above ran the identical
+    // pruned semi-join — skip the guaranteed-zero guard job
     val ins = KnnBeam.insertBatchIndexed(graph, idx, fresh,
-      dims = dims, graphDegree = graphDegree, maxHamming = maxHamming)
+      dims = dims, graphDegree = graphDegree, maxHamming = maxHamming,
+      assumeDisjoint = true)
     // edges BEFORE index — see the write-order contract above
     EdgeStore.applyInsert(edgeDir, ins)
     val updated = KnnBeam.BandIndex.append(indexDir, ins)

@@ -265,6 +265,75 @@ class BandIndexLifecycleSpec extends SparkSpecBase {
     }
   }
 
+  test("a crashed append (delta rows committed, metadata not) is " +
+      "INVISIBLE to load — the committed-gen watermark — then rolls " +
+      "forward by arithmetic on recover, after which the tombstone " +
+      "bar still masks a delete of the recovered ids; a redelivered " +
+      "append is a committed no-op, never a duplicate row set") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val idx = KnnBeam.buildBandIndex(base)
+    val dir = tmp()
+    idx.write(dir)
+    val stored = BandIndex.load(spark, dir)
+    val ins = KnnBeam.insertBatchIndexed(g0, stored, b1)
+    val b1N = b1.count()
+    // SIMULATE the crash: replicate append's first two protocol
+    // steps — intent marker + the gen-stamped row write — and stop
+    // before the metadata commit
+    val pend = java.nio.file.Paths.get(dir, "_graft_pending")
+    java.nio.file.Files.createDirectories(pend)
+    java.nio.file.Files.createFile(pend.resolve("gen-1"))
+    ins.indexDelta.withColumn("gen", lit(1L))
+      .repartition(col("band"), col("pbv"))
+      .sortWithinPartitions("bv")
+      .write.partitionBy("band", "pbv")
+      .mode("append").parquet(dir)
+    // uncommitted rows are invisible: metadata AND the view are the
+    // pre-append ones
+    val dirty = BandIndex.load(spark, dir)
+    assert(dirty.count == stored.count && dirty.gen == 0L)
+    assert(dirty.rows.join(b1.select("vec_id"), Seq("vec_id"),
+      "left_semi").count() == 0L,
+      "uncommitted rows leaked past the watermark")
+    // recover rolls forward: metadata advances by the orphan id
+    // count, the rows become visible
+    val rec = BandIndex.recover(spark, dir)
+    assert(rec.count == stored.count + b1N && rec.gen == 1L &&
+      rec.churn == b1N,
+      s"roll-forward metadata wrong: ${rec.count}/${rec.gen}")
+    assert(rec.rows.join(b1.select("vec_id"), Seq("vec_id"),
+      "left_semi").count() == rec.nBands.toLong * b1N)
+    // the tombstone bar is taken from the COMMITTED gen, so deleting
+    // a recovered id masks its rows (the round-16 review's defeat
+    // scenario: uncommitted gen+1 rows would have survived the bar)
+    val victim = b1.select("vec_id").orderBy("vec_id").limit(1)
+    val rem = KnnBeam.removeBatch(
+      ins.graph.localCheckpoint(true), rec, victim)
+    val idxT = BandIndex.tombstone(dir, rem)
+    val vId = victim.collect().head.getLong(0)
+    assert(idxT.rows.filter(col("vec_id") === vId).count() == 0L,
+      "a recovered id survived its delete — the gen bar was defeated")
+    // redelivery after a crash: append detects the batch committed
+    // and no-ops (fresh store this time, crash then append instead
+    // of recover)
+    val dir2 = tmp()
+    idx.write(dir2)
+    val pend2 = java.nio.file.Paths.get(dir2, "_graft_pending")
+    java.nio.file.Files.createDirectories(pend2)
+    java.nio.file.Files.createFile(pend2.resolve("gen-1"))
+    ins.indexDelta.withColumn("gen", lit(1L))
+      .repartition(col("band"), col("pbv"))
+      .sortWithinPartitions("bv")
+      .write.partitionBy("band", "pbv")
+      .mode("append").parquet(dir2)
+    val after = BandIndex.append(dir2, ins)
+    assert(after.count == stored.count + b1N,
+      "redelivered append after crash: wrong count")
+    assert(after.rows.join(b1.select("vec_id"), Seq("vec_id"),
+      "left_semi").count() == after.nBands.toLong * b1N,
+      "redelivered append duplicated or dropped the batch rows")
+  }
+
   test("needsRebuild churn trigger is pure metadata arithmetic: " +
       "quiet below the maxChurn fraction, fires past it, and " +
       "maintenance ops accumulate churn") {

@@ -103,6 +103,53 @@ class EdgeStoreSpec extends SparkSpecBase {
       "a removed id survived in the edge store")
   }
 
+  test("crash windows: a bucket parked by a mid-apply crash is " +
+      "invisible to load (no duplicates, no partition-type widening), " +
+      "heal restores it, and re-applying the delta recovers the full " +
+      "store with no data loss; a stale parked copy beside a " +
+      "complete live bucket is dropped") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val idx = KnnBeam.buildBandIndex(base)
+    val dir = tmp()
+    EdgeStore.write(g0, dir, nBuckets = 16)
+    val ins = KnnBeam.insertBatchIndexed(g0, idx, b1)
+    EdgeStore.applyInsert(dir, ins)
+    val expected = edgeSet(EdgeStore.load(spark, dir))
+    // simulate a crash AFTER the park, BEFORE the activate: one
+    // bucket's only copy sits in the .old sibling
+    import scala.jdk.CollectionConverters._
+    val bucketDir = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("bucket="))
+      .getOrElse(fail("no bucket directory found"))
+    val parkRoot = java.nio.file.Paths.get(dir + ".old")
+    java.nio.file.Files.createDirectories(parkRoot)
+    java.nio.file.Files.move(bucketDir,
+      parkRoot.resolve(bucketDir.getFileName))
+    // between crash and heal: the store reads consistently (the
+    // parked rows are simply absent — never duplicated or re-typed)
+    val partial = EdgeStore.load(spark, dir)
+    assert(edgeSet(partial).subsetOf(expected) &&
+      edgeSet(partial) != expected,
+      "a parked bucket must be absent, not duplicated")
+    // the documented recovery: re-apply the same delta — heal runs
+    // first, restores the parked bucket, and the idempotent apply
+    // converges to the full post-delta store
+    EdgeStore.applyInsert(dir, ins)
+    assert(edgeSet(EdgeStore.load(spark, dir)) == expected,
+      "crash recovery lost rows")
+    assert(!java.nio.file.Files.exists(parkRoot),
+      "heal must clear the park root")
+    // stale parked copy beside a COMPLETE live bucket (crash after
+    // activate, before the park delete): heal drops it, live wins
+    java.nio.file.Files.createDirectories(
+      parkRoot.resolve("bucket=0"))
+    EdgeStore.heal(spark, dir)
+    assert(!java.nio.file.Files.exists(parkRoot),
+      "heal must drop a superseded parked copy")
+    assert(edgeSet(EdgeStore.load(spark, dir)) == expected)
+  }
+
   test("an index-sized delta fails the maxReplaceIds guard with a " +
       "named error instead of a store-sized 'delta' rewrite; an " +
       "empty delta is a no-op") {
