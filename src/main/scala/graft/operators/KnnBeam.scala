@@ -600,6 +600,25 @@ object KnnBeam {
       load(spark, dir)
     }
 
+    /** Repair the metadata COUNT from the store itself: one
+      * column-pruned scan of the live band-0 rows (each live id holds
+      * exactly one). The repair tool for [[tombstone]]'s documented
+      * metadata-drift window (a crash between its list write and its
+      * meta write leaves count high by that delete batch); churn and
+      * gen are left as recorded — churn is a maintenance odometer,
+      * not a derivable quantity. O(index/nBands) read — a maintenance
+      * tool, not a hot-path call.
+      */
+    def recount(spark: org.apache.spark.sql.SparkSession,
+        dir: String): BandIndex = {
+      recoverPending(spark, dir)
+      val idx = load(spark, dir)
+      val live = idx.rows.filter(col("band") === 0)
+        .select("vec_id").distinct().count()
+      if (live != idx.count) writeMeta(dir, idx.copy(count = live))
+      load(spark, dir)
+    }
+
     private def recoverPending(
         spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
       val pend = pendingPath(dir)
@@ -676,6 +695,15 @@ object KnnBeam {
       * later re-insert's rows ([[append]] stamps gen+1) are not. Data
       * files are never rewritten — [[compact]] folds the list.
       * Refreshes the metadata and returns the reloaded index.
+      *
+      * Crash window: list-then-meta, in that order — a crash between
+      * the two leaves the VIEW correct (the list entry masks the
+      * rows; the redelivered delete sees the ids not live and
+      * no-ops) at the price of count/churn staying one delete-batch
+      * high. That is METADATA DRIFT, not a correctness flip (the
+      * reverse order would serve deleted rows with a shrunken
+      * count); [[recount]] repairs it, and the drift only nudges
+      * needsRebuild/autoDegree conservatively (both read count).
       */
     def tombstone(dir: String, rem: IndexedRemove): BandIndex = {
       rem.removedIds.select(col("vec_id"),

@@ -91,6 +91,38 @@ object StreamingIndexMaintenance {
     if (updated.needsRebuild()) onRebuildNeeded(updated)
   }
 
+  /** The DELETE side of the loop — a micro-batch of ids to erase
+    * (retention expiry, takedown/erasure requests): [[KnnBeam
+    * .removeBatch]] against the loaded stores, [[EdgeStore
+    * .applyRemove]] (removed nodes' buckets rewritten, survivors'
+    * neighborhoods replaced), then [[KnnBeam.BandIndex.tombstone]].
+    * Deletes are idempotent by construction (ids not live are
+    * ignored), so redeliveries need no split; the same
+    * edges-before-index write order applies — a crash between the
+    * two re-runs as a no-op on the edge side. An id deleted here
+    * re-admits later through the normal insert path (update-in-place
+    * = this, then insert). Shaped for `foreachBatch` over an id
+    * stream; also callable directly for batch erasure jobs.
+    */
+  def processRemoveBatch(
+      indexDir: String,
+      edgeDir: String,
+      idCol: String = "vec_id",
+      onRebuildNeeded: KnnBeam.BandIndex => Unit = _ => ())(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val ids = batch.select(col(idCol).cast("long").as("vec_id"))
+      .distinct().localCheckpoint(true)
+    if (ids.isEmpty) return
+    val idx = KnnBeam.BandIndex.load(spark, indexDir)
+    val graph = EdgeStore.load(spark, edgeDir)
+    val rem = KnnBeam.removeBatch(graph, idx, ids)
+    if (rem.removedIds.isEmpty) return // nothing live — replay no-op
+    EdgeStore.applyRemove(edgeDir, rem)
+    val updated = KnnBeam.BandIndex.tombstone(indexDir, rem)
+    if (updated.needsRebuild()) onRebuildNeeded(updated)
+  }
+
   /** Attach the maintenance loop to a streaming (id, embedding)
     * frame. The stores must exist ([[KnnBeam.buildGraph]] +
     * [[EdgeStore.write]], [[KnnBeam.buildBandIndex]] +

@@ -334,6 +334,35 @@ class BandIndexLifecycleSpec extends SparkSpecBase {
       "redelivered append duplicated or dropped the batch rows")
   }
 
+  test("a crashed tombstone (list committed, metadata not) keeps the " +
+      "VIEW correct — deleted rows masked — with only count drift, " +
+      "which recount repairs from the live band-0 rows") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val idx = KnnBeam.buildBandIndex(base)
+    val dir = tmp()
+    idx.write(dir)
+    val stored = BandIndex.load(spark, dir)
+    val victims = base.select("vec_id").orderBy("vec_id").limit(3)
+    val rem = KnnBeam.removeBatch(g0, stored, victims)
+    // SIMULATE the crash: the tombstone LIST lands, the metadata
+    // write never does
+    rem.removedIds.select(col("vec_id"), lit(stored.gen).as("gen"))
+      .write.mode("append").parquet(s"$dir/_graft_tombstones")
+    val dirty = BandIndex.load(spark, dir)
+    val vIds = victims.collect().map(r => Long.box(r.getLong(0)))
+    assert(dirty.rows.filter(col("vec_id").isin(vIds: _*))
+      .count() == 0L,
+      "the list entry must mask the rows even before the meta write")
+    assert(dirty.count == stored.count,
+      "test premise: the metadata is stale (crash window)")
+    val fixed = BandIndex.recount(spark, dir)
+    assert(fixed.count == stored.count - 3,
+      s"recount repaired to ${fixed.count}, expected " +
+        s"${stored.count - 3}")
+    assert(fixed.rows.filter(col("vec_id").isin(vIds: _*))
+      .count() == 0L)
+  }
+
   test("needsRebuild churn trigger is pure metadata arithmetic: " +
       "quiet below the maxChurn fraction, fires past it, and " +
       "maintenance ops accumulate churn") {

@@ -114,4 +114,43 @@ class StreamingIndexMaintenanceSpec extends SparkSpecBase {
       edgeSet(memFinal.graph),
       "partial replay diverged from inserting only the fresh ids")
   }
+
+  test("a delete wave through processRemoveBatch equals the " +
+      "in-memory removeBatch on both stores, and a redelivered " +
+      "delete is a no-op") {
+    val session = spark
+    import session.implicits._
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val idx0 = KnnBeam.buildBandIndex(base)
+    val indexDir = tmp() + "/index"
+    val edgeDir = tmp() + "/edges"
+    idx0.write(indexDir)
+    EdgeStore.write(g0, edgeDir, nBuckets = 16)
+    val victimIds = base.select("vec_id").orderBy("vec_id").limit(40)
+      .collect().map(_.getLong(0)).toSeq
+    // the streaming step is directly callable — batch erasure jobs
+    // and foreachBatch share this code
+    StreamingIndexMaintenance.processRemoveBatch(indexDir, edgeDir)(
+      victimIds.toDF("vec_id"), 0L)
+    val mem = KnnBeam.removeBatch(g0, idx0,
+      victimIds.toDF("vec_id"))
+    val storedIdx = KnnBeam.BandIndex.load(spark, indexDir)
+    assert(storedIdx.count == mem.index.count &&
+      storedIdx.churn == mem.index.churn)
+    assert(edgeSet(EdgeStore.load(spark, edgeDir)) ==
+      edgeSet(mem.graph),
+      "streamed delete diverged from the in-memory removeBatch")
+    assert(storedIdx.rows.filter(
+      col("vec_id").isin(victimIds.map(Long.box): _*)).count() == 0L)
+    // redelivery: ids no longer live → no-op on both stores
+    StreamingIndexMaintenance.processRemoveBatch(indexDir, edgeDir)(
+      victimIds.toDF("vec_id"), 1L)
+    val after = KnnBeam.BandIndex.load(spark, indexDir)
+    assert(after.count == mem.index.count &&
+      after.churn == mem.index.churn,
+      "a redelivered delete advanced the metadata")
+    assert(edgeSet(EdgeStore.load(spark, edgeDir)) ==
+      edgeSet(mem.graph),
+      "a redelivered delete changed the edges")
+  }
 }
