@@ -88,9 +88,22 @@ object EdgeStore {
   /** Rehydrate the full edge view — a plain scan (flat lineage), the
     * bucket column dropped so the in-memory schema matches
     * [[KnnBeam.buildGraph]]'s output.
+    *
+    * `load` HEALS first: a crashed applyDelta's parked buckets are
+    * restored BEFORE the scan captures its file listing, because the
+    * caller's next delta is computed from this view — computed
+    * against a bucket-missing listing, a redelivered insert would
+    * rebuild affected neighborhoods WITHOUT their stored edges and
+    * the subsequent apply would overwrite the healed rows with the
+    * underfilled result (and a delete would leave dangling edges to
+    * removed ids, since their owners never enter the affected set).
+    * Heal is a single existence probe when nothing is parked, and
+    * the store is single-writer, so a reader healing is safe.
     */
-  def load(spark: SparkSession, dir: String): DataFrame =
+  def load(spark: SparkSession, dir: String): DataFrame = {
+    heal(spark, dir)
     spark.read.parquet(dir).drop("bucket")
+  }
 
   /** Apply an [[KnnBeam.insertBatchIndexed]] result: the affected ∪
     * new neighborhoods are replaced by `ins.delta`, touched buckets
@@ -211,17 +224,37 @@ object EdgeStore {
   def heal(spark: SparkSession, dir: String): Unit = {
     val parkRoot = new org.apache.hadoop.fs.Path(dir + OldSuffix)
     val fsys = fs(spark, parkRoot)
-    if (!fsys.exists(parkRoot)) return
-    fsys.listStatus(parkRoot).foreach { st =>
-      val name = st.getPath.getName
-      if (name.startsWith("bucket=")) {
-        val live = new org.apache.hadoop.fs.Path(dir, name)
-        if (!fsys.exists(live))
-          require(fsys.rename(st.getPath, live),
-            s"heal: could not restore parked bucket $name")
-        else fsys.delete(st.getPath, true)
+    if (fsys.exists(parkRoot)) {
+      fsys.listStatus(parkRoot).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("bucket=")) {
+          val live = new org.apache.hadoop.fs.Path(dir, name)
+          if (!fsys.exists(live))
+            require(fsys.rename(st.getPath, live),
+              s"heal: could not restore parked bucket $name")
+          else fsys.delete(st.getPath, true)
+        }
+      }
+      fsys.delete(parkRoot, true)
+    }
+    // legacy sweep: an earlier revision parked INSIDE the store as
+    // `bucket=N.old` — partition discovery would serve those rows as
+    // stale duplicates and widen the bucket column to string. Same
+    // resolution rule: restore if the live bucket is missing, drop
+    // if superseded
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    if (fsys.exists(dirPath)) {
+      fsys.listStatus(dirPath).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("bucket=") && name.endsWith(".old")) {
+          val live = new org.apache.hadoop.fs.Path(
+            dir, name.stripSuffix(".old"))
+          if (!fsys.exists(live))
+            require(fsys.rename(st.getPath, live),
+              s"heal: could not restore legacy parked bucket $name")
+          else fsys.delete(st.getPath, true)
+        }
       }
     }
-    fsys.delete(parkRoot, true)
   }
 }

@@ -534,25 +534,39 @@ object KnnBeam {
       */
     def append(dir: String, ins: IndexedInsert): BandIndex = {
       val spark = ins.indexDelta.sparkSession
-      recoverPending(spark, dir)
-      val cur = load(spark, dir)
-      val batchIds = ins.indexDelta
-        .filter(col("band") === 0).select("vec_id")
-        .localCheckpoint(true)
-      val batchN = batchIds.count()
-      val present = batchIds.join(
-          prunedIndexRows(cur, ins.indexDelta, batchN, 8192),
-          Seq("vec_id"), "left_semi").count()
-      if (present == batchN) return cur // already committed — no-op
-      require(present == 0L,
-        s"append: $present of $batchN batch ids already committed — " +
-          "a partially applied batch cannot happen under the marker " +
-          "protocol; the store needs compact (or the batch is wrong)")
-      val nextGen = cur.gen + 1L
-      val committed = BandIndex(cur.rows, cur.count + batchN,
-        cur.bits, cur.nBands, cur.churn + batchN, nextGen)
-      writePending(spark, dir, nextGen)
-      ins.indexDelta.withColumn("gen", lit(nextGen))
+      val hadMarker = recoverPending(spark, dir)
+      // the committed-batch probe runs ONLY after a recovery: a
+      // marker-free entry cannot be a crashed-append redelivery (the
+      // protocol always leaves the marker), and a no-crash
+      // redelivery is caught earlier by insertBatchIndexed's replay
+      // guard — so the no-crash hot path pays zero extra jobs here
+      val committed: BandIndex =
+        if (hadMarker) {
+          val cur = load(spark, dir)
+          val batchIds = ins.indexDelta
+            .filter(col("band") === 0).select("vec_id")
+            .localCheckpoint(true)
+          val batchN = batchIds.count()
+          // probe against the gen-watermarked rows WITHOUT the
+          // tombstone bar: a batch id committed and later DELETED is
+          // still a committed batch (the redelivery must no-op, not
+          // crash claiming an impossible partial commit)
+          val raw = cur.withRows(
+            spark.read.parquet(dir).filter(col("gen") <= cur.gen))
+          val present = batchIds.join(
+              prunedIndexRows(raw, ins.indexDelta, batchN, 8192),
+              Seq("vec_id"), "left_semi").count()
+          if (present == batchN) return cur // committed — no-op
+          require(present == 0L,
+            s"append: $present of $batchN batch ids already " +
+              "committed — a partially applied batch cannot happen " +
+              "under the marker protocol; the store needs compact " +
+              "(or the batch is wrong)")
+          BandIndex(cur.rows, cur.count + batchN, cur.bits,
+            cur.nBands, cur.churn + batchN, cur.gen + 1L)
+        } else ins.index.copy(gen = ins.index.gen + 1L)
+      writePending(spark, dir, committed.gen)
+      ins.indexDelta.withColumn("gen", lit(committed.gen))
         .repartition(col("band"), col("pbv"))
         .sortWithinPartitions("bv")
         .write.partitionBy("band", "pbv")
@@ -606,8 +620,12 @@ object KnnBeam {
       * metadata-drift window (a crash between its list write and its
       * meta write leaves count high by that delete batch); churn and
       * gen are left as recorded — churn is a maintenance odometer,
-      * not a derivable quantity. O(index/nBands) read — a maintenance
-      * tool, not a hot-path call.
+      * not a derivable quantity, so the crashed delete's churn
+      * increment stays lost (see [[tombstone]]'s drift note: the
+      * under-counted churn DELAYS the rebuild trigger — repair the
+      * count here, and rebuild by policy if crashes recur).
+      * O(index/nBands) read — a maintenance tool, not a hot-path
+      * call.
       */
     def recount(spark: org.apache.spark.sql.SparkSession,
         dir: String): BandIndex = {
@@ -619,15 +637,19 @@ object KnnBeam {
       load(spark, dir)
     }
 
+    /** @return true when a pending marker existed (the caller is on
+      *         a crash-recovery path and must re-probe the store).
+      */
     private def recoverPending(
-        spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+        spark: org.apache.spark.sql.SparkSession,
+        dir: String): Boolean = {
       val pend = pendingPath(dir)
       val fsys = fs(spark, pend)
-      if (!fsys.exists(pend)) return
+      if (!fsys.exists(pend)) return false
       val gens = fsys.listStatus(pend).map(_.getPath.getName)
         .collect { case n if n.startsWith("gen-") =>
           n.stripPrefix("gen-").toLong }
-      if (gens.isEmpty) { fsys.delete(pend, true); return }
+      if (gens.isEmpty) { fsys.delete(pend, true); return true }
       val pGen = gens.max
       val m = spark.read.parquet(s"$dir/$MetaDir").collect().head
       if (pGen > m.getAs[Long]("gen")) {
@@ -644,6 +666,7 @@ object KnnBeam {
         }
       }
       fsys.delete(pend, true)
+      true
     }
 
     /** Fold the store back to its canonical layout: rewrite the LIVE
@@ -699,11 +722,17 @@ object KnnBeam {
       * Crash window: list-then-meta, in that order — a crash between
       * the two leaves the VIEW correct (the list entry masks the
       * rows; the redelivered delete sees the ids not live and
-      * no-ops) at the price of count/churn staying one delete-batch
-      * high. That is METADATA DRIFT, not a correctness flip (the
-      * reverse order would serve deleted rows with a shrunken
-      * count); [[recount]] repairs it, and the drift only nudges
-      * needsRebuild/autoDegree conservatively (both read count).
+      * no-ops) at the price of count staying one delete-batch HIGH
+      * and churn one delete-batch LOW. That is METADATA DRIFT, not a
+      * correctness flip (the reverse order would serve deleted rows
+      * with a shrunken count) — but it is NOT a conservative drift:
+      * needsRebuild fires on churn > maxChurn·count, and both errors
+      * push the trigger toward firing LATER on exactly the store
+      * that just churned. [[recount]] repairs the count half from
+      * the live rows; the lost churn increment is not derivable
+      * (churn is an odometer), so a store with repeated crashed
+      * tombstones should schedule its re-densifying rebuild by
+      * policy rather than wait on the under-counted trigger.
       */
     def tombstone(dir: String, rem: IndexedRemove): BandIndex = {
       rem.removedIds.select(col("vec_id"),

@@ -126,20 +126,34 @@ class EdgeStoreSpec extends SparkSpecBase {
     java.nio.file.Files.createDirectories(parkRoot)
     java.nio.file.Files.move(bucketDir,
       parkRoot.resolve(bucketDir.getFileName))
-    // between crash and heal: the store reads consistently (the
-    // parked rows are simply absent — never duplicated or re-typed)
-    val partial = EdgeStore.load(spark, dir)
-    assert(edgeSet(partial).subsetOf(expected) &&
-      edgeSet(partial) != expected,
-      "a parked bucket must be absent, not duplicated")
-    // the documented recovery: re-apply the same delta — heal runs
-    // first, restores the parked bucket, and the idempotent apply
-    // converges to the full post-delta store
+    // load HEALS before capturing its file listing (third-pass fix:
+    // a delta computed from an unhealed, bucket-missing listing
+    // would rebuild affected neighborhoods WITHOUT their stored
+    // edges and the next apply would overwrite the healed rows), so
+    // the very first reader after the crash already sees the full
+    // store — no duplicates, no missing buckets, no re-typed
+    // partition column
+    assert(edgeSet(EdgeStore.load(spark, dir)) == expected,
+      "load must heal the parked bucket before listing files")
+    assert(!java.nio.file.Files.exists(parkRoot),
+      "heal must clear the park root")
+    // and the documented recovery — re-apply the same delta — stays
+    // a pure no-op on the healed store
     EdgeStore.applyInsert(dir, ins)
     assert(edgeSet(EdgeStore.load(spark, dir)) == expected,
       "crash recovery lost rows")
-    assert(!java.nio.file.Files.exists(parkRoot),
-      "heal must clear the park root")
+    // legacy layout: a bucket parked INSIDE the store as bucket=N.old
+    // (the first-cut layout) restores when its live copy is missing
+    val bucketDir2 = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("bucket="))
+      .getOrElse(fail("no bucket directory found"))
+    val legacyOld = bucketDir2.resolveSibling(
+      bucketDir2.getFileName.toString + ".old")
+    java.nio.file.Files.move(bucketDir2, legacyOld)
+    assert(edgeSet(EdgeStore.load(spark, dir)) == expected,
+      "heal must restore a legacy in-store parked bucket")
+    assert(!java.nio.file.Files.exists(legacyOld))
     // stale parked copy beside a COMPLETE live bucket (crash after
     // activate, before the park delete): heal drops it, live wins
     java.nio.file.Files.createDirectories(
