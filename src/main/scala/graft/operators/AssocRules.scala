@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * ONE shuffle (map-side-combined `collect_set` + two narrow
   * explodes, a<b — group fan-out is O(width²) per basket, never
   * O(n²) over the table); `minPairSupport` prunes it immediately;
-  * item supports are one distinct-(basket, item) aggregate whose
-  * item-cardinality result BROADCASTS onto the surviving pairs
-  * twice; the basket count is a broadcast scalar. Nothing touches
-  * pairs that fail support.
+  * item supports are one distinct-(basket, item) aggregate joined
+  * UNHINTED onto the surviving pairs twice — item cardinality grows
+  * with the catalog, so whether it broadcasts is AQE's call from
+  * file statistics (broadcast while it fits, shuffle past that),
+  * never a forced hint; the basket count is a broadcast scalar.
+  * Nothing touches pairs that fail support.
   *
   * Baskets wider than ~10⁴ items square into that basket's pair
   * count — pre-cap pathological baskets upstream (the packing/t6
@@ -57,10 +59,14 @@ object AssocRules {
     val nBaskets = li.select("ok").distinct()
       .agg(count(lit(1)).as("n_baskets"))
     pairs
-      .join(broadcast(itemCnt.select(col("pk").as("item_a"),
-        col("n").as("n_a"))), Seq("item_a"))
-      .join(broadcast(itemCnt.select(col("pk").as("item_b"),
-        col("n").as("n_b"))), Seq("item_b"))
+      // UNHINTED: itemCnt is item-cardinality (grows with the
+      // catalog) — AQE broadcasts it while its file statistics say
+      // it fits, shuffles past that; the 1-row nBaskets scalar
+      // below keeps its hint
+      .join(itemCnt.select(col("pk").as("item_a"),
+        col("n").as("n_a")), Seq("item_a"))
+      .join(itemCnt.select(col("pk").as("item_b"),
+        col("n").as("n_b")), Seq("item_b"))
       .crossJoin(broadcast(nBaskets))
       .select(col("item_a"), col("item_b"), col("n_ab"),
         col("n_a"), col("n_b"),

@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   * the corpus — with a map-side-combinable pair-count aggregate and a
   * narrow zero-shuffle merge pass (a Catalyst `aggregate` fold, no
   * UDF); per round exactly one merge row reaches the driver.
-  * Tokenized lengths then come from broadcasting the trained
-  * (word → n_symbols) vocabulary onto the corpus words — the corpus
-  * is never re-segmented char-by-char.
+  * Tokenized lengths then come from joining the trained
+  * (word → n_symbols) vocabulary onto the corpus words UNHINTED —
+  * AQE broadcasts it while it fits (vocabulary is Heaps-law
+  * sublinear but unbounded at 100 TB, so the hint is the
+  * optimizer's call) — and the corpus is never re-segmented
+  * char-by-char.
   */
 object Bpe {
 
@@ -148,8 +151,9 @@ object Bpe {
     }
 
   /** Per-document token counts under a trained vocabulary: corpus
-    * words broadcast-joined to (word → n_symbols) — the corpus is
-    * never re-segmented. (doc idCol, n_words, n_tokens.)
+    * words joined (unhinted — AQE sizes the vocab) to
+    * (word → n_symbols) — the corpus is never re-segmented.
+    * (doc idCol, n_words, n_tokens.)
     *
     * Words NOT in the training vocabulary are never dropped: the join
     * is a LEFT join, and missed lookups route through [[segment]] —
@@ -169,8 +173,12 @@ object Bpe {
     val words = docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
-    val joined = words.join(broadcast(vocabFinal
-        .select(col("word"), size(col("s")).cast("long").as("n_sym"))),
+    // UNHINTED: the trained vocabulary is word-cardinality —
+    // Heaps-law sublinear but UNBOUNDED at 100 TB — so AQE decides
+    // from file statistics (broadcast while it fits, shuffle past
+    // that); a forced hint would pin an unbounded build side
+    val joined = words.join(vocabFinal
+        .select(col("word"), size(col("s")).cast("long").as("n_sym")),
       Seq("word"), "left")
     val missing = joined.filter(col("n_sym").isNull)
       .select("word").distinct()

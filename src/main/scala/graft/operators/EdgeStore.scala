@@ -46,6 +46,8 @@ object EdgeStore {
   private val MetaDir = "_graft_meta"
   private val StagingSuffix = ".staging"
   private val OldSuffix = ".old"
+  private val RebuildStagingSuffix = ".rebuild-staging"
+  private val RebuildOldSuffix = ".rebuild-old"
 
   private def fs(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
     StoreFiles.fs(spark, p)
@@ -77,12 +79,56 @@ object EdgeStore {
     * the bucket-count metadata. `graph` must carry the build-time
     * `cosine` column ([[KnnBeam.buildGraph]] output) — the stored
     * scores are what make delete/insert re-cuts fetch-free.
+    *
+    * A rebuild SUPERSEDES any parked/staged state a crashed
+    * [[applyDelta]] left beside the store, so `<dir>.old` and
+    * `<dir>.staging` are cleared first — otherwise the next [[heal]]
+    * would rename a parked bucket whose live directory the rebuild
+    * didn't produce back INTO the fresh store, resurrecting
+    * pre-rebuild edges (in the wrong bucket, if nBuckets changed, so
+    * later bucket-pruned rewrites would never replace them).
+    *
+    * And the rebuild of an EXISTING store is write-then-swap, never
+    * truncate-then-rewrite: the new store (buckets + metadata) is
+    * written COMPLETE to a `.rebuild-staging` sibling, the old store
+    * renamed aside to `.rebuild-old`, the new one renamed in, the
+    * old one deleted. A crash before the first rename leaves the
+    * store untouched; a crash between the renames is healed by
+    * [[heal]] (the previous store renamed back — the rebuild never
+    * committed, re-run it). The graph may therefore read the CURRENT
+    * store's files ([[load]] lineage) — they survive until the swap.
     */
   def write(graph: DataFrame, dir: String, nBuckets: Int = 256): Unit = {
     require(nBuckets >= 1, s"nBuckets must be positive: $nBuckets")
     val spark = graph.sparkSession
-    writeBuckets(graph, dir, nBuckets)
-    writeMeta(spark, dir, nBuckets)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fsys = fs(spark, dirPath)
+    Seq(OldSuffix, StagingSuffix).foreach { s =>
+      val p = new org.apache.hadoop.fs.Path(dir + s)
+      if (fsys.exists(p)) fsys.delete(p, true)
+    }
+    if (!fsys.exists(dirPath)) {
+      // fresh create — nothing to preserve; restore a mid-swap park
+      // first so a crashed previous rebuild isn't silently discarded
+      heal(spark, dir)
+      if (!fsys.exists(dirPath)) {
+        writeBuckets(graph, dir, nBuckets)
+        writeMeta(spark, dir, nBuckets)
+        return
+      }
+    }
+    val fresh = new org.apache.hadoop.fs.Path(dir + RebuildStagingSuffix)
+    val old = new org.apache.hadoop.fs.Path(dir + RebuildOldSuffix)
+    if (fsys.exists(fresh)) fsys.delete(fresh, true)
+    if (fsys.exists(old)) fsys.delete(old, true)
+    writeBuckets(graph, fresh.toString, nBuckets)
+    writeMeta(spark, fresh.toString, nBuckets)
+    require(fsys.rename(dirPath, old),
+      s"write: could not rename $dirPath aside")
+    require(fsys.rename(fresh, dirPath),
+      s"write: could not activate $fresh — previous store " +
+        s"preserved at $old")
+    fsys.delete(old, true)
   }
 
   /** Rehydrate the full edge view — a plain scan (flat lineage), the
@@ -224,6 +270,21 @@ object EdgeStore {
   def heal(spark: SparkSession, dir: String): Unit = {
     val parkRoot = new org.apache.hadoop.fs.Path(dir + OldSuffix)
     val fsys = fs(spark, parkRoot)
+    // rebuild-swap recovery FIRST: a [[write]] that crashed between
+    // its two renames left the live directory missing with the
+    // previous store parked at `.rebuild-old` — restore it (the
+    // rebuild never committed; re-run it). A parked copy BESIDE a
+    // complete live store means the swap finished and only the
+    // cleanup crashed — drop the park. The staging sibling is stale
+    // either way (the next write() clears it too).
+    val rebuildOld = new org.apache.hadoop.fs.Path(dir + RebuildOldSuffix)
+    if (fsys.exists(rebuildOld)) {
+      val live = new org.apache.hadoop.fs.Path(dir)
+      if (!fsys.exists(live))
+        require(fsys.rename(rebuildOld, live),
+          s"heal: could not restore pre-rebuild store $rebuildOld")
+      else fsys.delete(rebuildOld, true)
+    }
     if (fsys.exists(parkRoot)) {
       fsys.listStatus(parkRoot).foreach { st =>
         val name = st.getPath.getName

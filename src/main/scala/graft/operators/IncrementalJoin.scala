@@ -21,12 +21,17 @@ import org.apache.spark.sql.functions.broadcast
   *
   * Scale shape: at 100 TB V_old IS the stored materialization — it is
   * appended to, never recomputed. Each maintenance term joins a
-  * DELTA-sized side against one table: with `broadcastDeltas` (the
-  * default) the delta ships to the big side's partitions, so the
-  * history table is scanned once per update but never shuffled, and
-  * the full-history ⨝ full-history join never runs at all. The
-  * full-recompute equivalent is Σ|A|·selectivity work per cycle —
-  * the delta form is Θ(|Δ| · fanout).
+  * DELTA-sized side against one table. By default the deltas join
+  * UNHINTED — AQE broadcasts a delta that its statistics say fits
+  * (the common micro-batch case: history scanned once, never
+  * shuffled) and falls back to a shuffle when a backfill-sized
+  * "delta" arrives — a forced hint would pin an arbitrarily large
+  * build side into memory. `broadcastDeltas = true` restores the
+  * hint for callers that KNOW their delta is bounded (a fixed
+  * micro-batch contract). Either way the full-history ⨝
+  * full-history join never runs. The full-recompute equivalent is
+  * Σ|A|·selectivity work per cycle — the delta form is
+  * Θ(|Δ| · fanout).
   *
   * `IncrementalJoinSpec` pins the partition law on randomized splits;
   * the q48 oracle pins delta-maintained ≡ full-recompute cross-engine.
@@ -40,7 +45,7 @@ object IncrementalJoin {
       aOld: DataFrame, aDelta: DataFrame,
       bOld: DataFrame, bDelta: DataFrame,
       keys: Seq[String],
-      broadcastDeltas: Boolean = true): DataFrame = {
+      broadcastDeltas: Boolean = false): DataFrame = {
     val (da, db) =
       if (broadcastDeltas) (broadcast(aDelta), broadcast(bDelta))
       else (aDelta, bDelta)
@@ -54,7 +59,7 @@ object IncrementalJoin {
       aOld: DataFrame, aDelta: DataFrame,
       bOld: DataFrame, bDelta: DataFrame,
       keys: Seq[String],
-      broadcastDeltas: Boolean = true): DataFrame =
+      broadcastDeltas: Boolean = false): DataFrame =
     oldView.unionByName(
       deltaView(aOld, aDelta, bOld, bDelta, keys, broadcastDeltas))
 }

@@ -526,33 +526,52 @@ object KnnBeam {
       * clears. Every append first [[recover]]s a crashed
       * predecessor — rolling a committed-rows/uncommitted-meta
       * append forward by arithmetic, discarding a marker whose rows
-      * never landed — and then checks the batch against the
-      * POST-recovery committed view: a fully-committed batch (the
-      * at-least-once redelivery after a crash) returns as a no-op,
-      * so the caller's replay split stays correct even when the
-      * crash happened inside this method.
+      * never landed — and then probes the batch against rows of THE
+      * MARKER'S OWN generation only: they exist iff the crashed
+      * row-write committed, so a fully-committed batch (the
+      * at-least-once redelivery after a crash) returns as a no-op
+      * and a batch whose rows never landed probes zero REGARDLESS of
+      * older dead rows. Scoping the probe to the pending gen (not
+      * `gen <= committed`) is what makes the update-in-place flow
+      * crash-safe: a redelivered batch of previously-TOMBSTONED ids
+      * (remove-then-insert) must not see its ids' dead pre-delete
+      * rows and conclude it already committed — and the probe still
+      * runs tombstone-bar-FREE, because a batch committed and then
+      * deleted leaves its physical rows in place at the pending gen
+      * (tombstones never rewrite data files) and that redelivery
+      * must no-op, not re-append.
       */
     def append(dir: String, ins: IndexedInsert): BandIndex = {
       val spark = ins.indexDelta.sparkSession
-      val hadMarker = recoverPending(spark, dir)
+      val pendingGen = recoverPending(spark, dir)
       // the committed-batch probe runs ONLY after a recovery: a
       // marker-free entry cannot be a crashed-append redelivery (the
       // protocol always leaves the marker), and a no-crash
       // redelivery is caught earlier by insertBatchIndexed's replay
       // guard — so the no-crash hot path pays zero extra jobs here
       val committed: BandIndex =
-        if (hadMarker) {
+        if (pendingGen.isDefined) {
           val cur = load(spark, dir)
+          // an empty marker dir (no gen file — either writePending's
+          // file create crashed, so no rows of the crashed append
+          // exist, or clearPending's recursive delete crashed AFTER
+          // the commit, so the batch sits at the committed HEAD gen)
+          // probes the head; a gen-bearing marker probes its own gen
+          val probeGen = pendingGen.filter(_ >= 0L).getOrElse(cur.gen)
           val batchIds = ins.indexDelta
             .filter(col("band") === 0).select("vec_id")
             .localCheckpoint(true)
           val batchN = batchIds.count()
-          // probe against the gen-watermarked rows WITHOUT the
-          // tombstone bar: a batch id committed and later DELETED is
-          // still a committed batch (the redelivery must no-op, not
-          // crash claiming an impossible partial commit)
+          // probe ONLY rows stamped with the crashed append's gen,
+          // WITHOUT the tombstone bar: a batch id committed and later
+          // DELETED is still a committed batch (the redelivery must
+          // no-op, not crash claiming an impossible partial commit),
+          // while dead OLDER rows of a tombstoned-then-reinserted id
+          // carry lower gens and never reach this probe — the
+          // update-in-place redelivery appends instead of silently
+          // no-oping against its own corpses
           val raw = cur.withRows(
-            spark.read.parquet(dir).filter(col("gen") <= cur.gen))
+            spark.read.parquet(dir).filter(col("gen") === probeGen))
           val present = batchIds.join(
               prunedIndexRows(raw, ins.indexDelta, batchN, 8192),
               Seq("vec_id"), "left_semi").count()
@@ -637,19 +656,24 @@ object KnnBeam {
       load(spark, dir)
     }
 
-    /** @return true when a pending marker existed (the caller is on
-      *         a crash-recovery path and must re-probe the store).
+    /** @return None when no pending marker existed (the no-crash hot
+      *         path); Some(pendingGen) when one did — the caller is
+      *         on a crash-recovery path and must probe rows of that
+      *         generation (and only that generation) to decide
+      *         whether the crashed append committed. Some(-1) marks
+      *         the degenerate empty-marker-dir window (no gen file
+      *         survived) — the caller probes the committed head gen.
       */
     private def recoverPending(
         spark: org.apache.spark.sql.SparkSession,
-        dir: String): Boolean = {
+        dir: String): Option[Long] = {
       val pend = pendingPath(dir)
       val fsys = fs(spark, pend)
-      if (!fsys.exists(pend)) return false
+      if (!fsys.exists(pend)) return None
       val gens = fsys.listStatus(pend).map(_.getPath.getName)
         .collect { case n if n.startsWith("gen-") =>
           n.stripPrefix("gen-").toLong }
-      if (gens.isEmpty) { fsys.delete(pend, true); return true }
+      if (gens.isEmpty) { fsys.delete(pend, true); return Some(-1L) }
       val pGen = gens.max
       val m = spark.read.parquet(s"$dir/$MetaDir").collect().head
       if (pGen > m.getAs[Long]("gen")) {
@@ -666,7 +690,7 @@ object KnnBeam {
         }
       }
       fsys.delete(pend, true)
-      true
+      Some(pGen)
     }
 
     /** Fold the store back to its canonical layout: rewrite the LIVE

@@ -25,10 +25,13 @@ import org.apache.spark.sql.functions._
   * every score is engine-exact.
   *
   * Plan shape: one activity aggregate keyed by customer, the group
-  * key broadcast-joined from the (customer-cardinality) dimension,
-  * the corpus max date a broadcast scalar, then three per-group
-  * windows over customer-cardinality rows — the activity table is
-  * shuffled once, on the customer key.
+  * key joined UNHINTED from the (customer-cardinality) dimension —
+  * AQE broadcasts it while its file statistics say it fits and
+  * shuffles past that; customer grows with the data, so a forced
+  * hint would pin an unbounded build side at 100× — the corpus max
+  * date a broadcast scalar, then three per-group windows over
+  * customer-cardinality rows — the activity table is shuffled once,
+  * on the customer key.
   *
   * Amounts are caller-quantized integers (cents, micros — q45's
   * exact-quantizer rule): an exact sum is what keeps the M ordering
@@ -38,8 +41,8 @@ object Segments {
 
   /** @param activity (custCol, dateCol: date, amountCol: long) — one
     *        row per order/event; amounts pre-quantized to integers
-    * @param groups (custCol, groupCol) customer dimension, assumed
-    *        customer-cardinality (broadcast)
+    * @param groups (custCol, groupCol) customer dimension,
+    *        customer-cardinality (joined unhinted — AQE sizes it)
     * @param buckets quantile buckets per score, 2..9 (the 3-digit
     *        segment composition needs single-digit scores)
     * @return one row per active customer: (custCol, groupCol,
@@ -60,8 +63,11 @@ object Segments {
       sum("cents").as("m_cents"))
     val mx = a.agg(max("od").as("corpus_max"))
     val base = agg
-      .join(broadcast(groups.select(col(custCol), col(groupCol))),
-        Seq(custCol))
+      // UNHINTED: `groups` is customer-cardinality (grows with the
+      // data) — AQE broadcasts it from file statistics while it
+      // fits and falls back to a shuffle past that; a forced hint
+      // would OOM the build side at 100×
+      .join(groups.select(col(custCol), col(groupCol)), Seq(custCol))
       .crossJoin(broadcast(mx))
       .withColumn("recency_days",
         datediff(col("corpus_max"), col("last_od")).cast("long"))

@@ -91,14 +91,17 @@ object AnalyticsQueries {
         GROUP BY l_returnflag, l_linestatus""")
     )),
 
-    // Four-way join + aggregation (TPC-H Q5 shape). nation/customer
-    // broadcast; lineitem⋈orders shuffles on the order key.
+    // Four-way join + aggregation (TPC-H Q5 shape). nation (25 rows,
+    // scale-invariant) broadcast by hint; customer UNHINTED — it is
+    // fact-proportional (~15M rows at sf100), so AQE broadcasts it
+    // from file statistics while it fits and shuffles past that;
+    // lineitem⋈orders shuffles on the order key.
     "q2_revenue_by_nation" -> ((
       (s: SparkSession, d: String) =>
         t(s, d, "lineitem")
           .join(t(s, d, "orders"),
             col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(t(s, d, "customer")),
+          .join(t(s, d, "customer"),
             col("o_custkey") === col("c_custkey"))
           .join(broadcast(t(s, d, "nation")),
             col("c_nationkey") === col("n_nationkey"))
@@ -1220,8 +1223,9 @@ object AnalyticsQueries {
           .select(lit("orders_orderkey_unique").as("rule"),
             col("total"), col("violations"))
         val r2 = o.select(col("o_custkey"))
-          .join(broadcast(c.select(col("c_custkey").as("o_custkey"),
-            lit(1).as("__hit"))), Seq("o_custkey"), "left")
+          // UNHINTED: customer is fact-proportional — AQE sizes it
+          .join(c.select(col("c_custkey").as("o_custkey"),
+            lit(1).as("__hit")), Seq("o_custkey"), "left")
           .agg(count(lit(1)).as("total"),
             sum(when(col("__hit").isNull, 1L).otherwise(0L))
               .as("violations"))
@@ -1499,8 +1503,10 @@ object AnalyticsQueries {
         val mx = rev.agg(max("rev_cents").as("max_cents"))
         rev.crossJoin(broadcast(mx))
           .filter(col("rev_cents") === col("max_cents"))
-          .join(broadcast(t(s, d, "supplier")
-            .select(col("s_suppkey").as("l_suppkey"), col("s_name"))),
+          // UNHINTED: supplier grows with the data; the max-filtered
+          // probe side is tiny, so AQE broadcasts whichever side fits
+          .join(t(s, d, "supplier")
+            .select(col("s_suppkey").as("l_suppkey"), col("s_name")),
             Seq("l_suppkey"))
           .select(col("l_suppkey").as("s_suppkey"), col("s_name"),
             col("rev_cents"))
@@ -2183,7 +2189,9 @@ object AnalyticsQueries {
           .select(col("p_partkey"), col("p_brand"), col("p_size"))
         val flagged = t(s, d, "supplier")
           .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
-        li.join(broadcast(flagged),
+        // UNHINTED: flagged is a supplier-proportional slice — AQE
+        // broadcasts it while it fits, shuffles the anti-join past it
+        li.join(flagged,
             col("l_suppkey") === col("s_suppkey"), "left_anti")
           .join(p, col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"), col("p_size"))
@@ -2358,10 +2366,13 @@ object AnalyticsQueries {
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"), col("s_name"),
             col("s_acctbal"), col("n_name"))
+        // UNHINTED semi-join prunes: the part slice and the EUROPE
+        // suppliers both grow with the data — AQE broadcasts them
+        // while they fit, shuffles past that
         val pairs = t(s, d, "lineitem")
-          .join(broadcast(slice.select("p_partkey")),
+          .join(slice.select("p_partkey"),
             col("l_partkey") === col("p_partkey"), "left_semi")
-          .join(broadcast(euroSupp.select("s_suppkey")),
+          .join(euroSupp.select("s_suppkey"),
             col("l_suppkey") === col("s_suppkey"), "left_semi")
           .select(col("l_partkey"), col("l_suppkey"),
             expr("CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)")
@@ -2372,8 +2383,8 @@ object AnalyticsQueries {
         pairs
           .withColumn("min_c", min("cost_c").over(w))
           .filter(col("cost_c") === col("min_c"))
-          .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(slice), col("l_partkey") === col("p_partkey"))
+          .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+          .join(slice, col("l_partkey") === col("p_partkey"))
           .select(round(col("s_acctbal"), 2).as("acctbal_r"),
             col("s_name"), col("n_name"),
             col("l_partkey").as("p_partkey"), col("p_type"),
@@ -2438,7 +2449,9 @@ object AnalyticsQueries {
             col("s_nationkey") === col("n_nationkey"))
           .select(col("s_suppkey"))
         val perPart = t(s, d, "lineitem")
-          .join(broadcast(natSupp),
+          // UNHINTED: natSupp is a supplier-proportional slice (one
+          // nation's suppliers) — AQE sizes it
+          .join(natSupp,
             col("l_suppkey") === col("s_suppkey"), "left_semi")
           .select(col("l_partkey"),
             expr("CAST(floor(l_extendedprice * 100D + 0.5D) AS BIGINT)")
@@ -3535,10 +3548,12 @@ object AnalyticsQueries {
         val deg = adj.groupBy(col("c").as("node"))
           .agg(count(lit(1)).as("deg"))
         wedges
-          .join(broadcast(deg.select(col("node").as("node_a"),
-            col("deg").as("deg_a"))), Seq("node_a"))
-          .join(broadcast(deg.select(col("node").as("node_b"),
-            col("deg").as("deg_b"))), Seq("node_b"))
+          // UNHINTED: deg is node-cardinality (grows with the graph)
+          // — AQE broadcasts it while it fits, shuffles past that
+          .join(deg.select(col("node").as("node_a"),
+            col("deg").as("deg_a")), Seq("node_a"))
+          .join(deg.select(col("node").as("node_b"),
+            col("deg").as("deg_b")), Seq("node_b"))
           .join(e.select(col("a").as("node_a"), col("b").as("node_b"))
             .withColumn("__hit", lit(1)), Seq("node_a", "node_b"), "left")
           .select(col("node_a"), col("node_b"), col("common"),

@@ -500,7 +500,10 @@ object TextQueries {
           .agg(count(lit(1)).as("df"))
         val n = docs(s, d).agg(count(lit(1)).as("n_docs"))
         tf.filter(col("tf") >= 3)
-          .join(broadcast(dfreq), Seq("token"))
+          // UNHINTED: dfreq is token-vocabulary cardinality —
+          // unbounded at 100 TB (the Bpe-vocab class); AQE
+          // broadcasts it while it fits, shuffles past that
+          .join(dfreq, Seq("token"))
           .crossJoin(broadcast(n))
           .select("doc_id", "token", "tf", "df", "n_docs")
       },
@@ -682,8 +685,12 @@ object TextQueries {
           .select(col("doc_id"), explode(expr(fiveGramsExpr)).as("g"))
         val evalGrams = grams.filter(col("doc_id") % 7 === 0)
           .select("g").distinct()
+        // UNHINTED: a production eval set is a fixed benchmark suite
+        // (AQE would broadcast it), but as simulated here it is a
+        // 1/7 corpus fraction — data-growing, so the hint must not
+        // pin it
         grams.filter(col("doc_id") % 7 =!= 0)
-          .join(broadcast(evalGrams), Seq("g"))
+          .join(evalGrams, Seq("g"))
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shared_grams"))
       },
@@ -2936,8 +2943,10 @@ object TextQueries {
         docs(s, d)
           .select(col("source"), explode(split(col("text"), " ")).as("word"))
           .filter(col("word") =!= "")
-          .join(broadcast(vocab.select(col("word"),
-            size(col("s")).cast("long").as("n_sym"))), Seq("word"))
+          // UNHINTED: the trained vocabulary is word-cardinality
+          // (unbounded at 100 TB) — AQE broadcasts it while it fits
+          .join(vocab.select(col("word"),
+            size(col("s")).cast("long").as("n_sym")), Seq("word"))
           .groupBy("source")
           .agg(count(lit(1)).as("n_words"),
             sum("n_sym").as("n_tokens"),

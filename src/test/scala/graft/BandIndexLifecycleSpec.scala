@@ -334,6 +334,50 @@ class BandIndexLifecycleSpec extends SparkSpecBase {
       "redelivered append duplicated or dropped the batch rows")
   }
 
+  test("a crashed append whose ROWS never landed, redelivered with a " +
+      "batch of previously-TOMBSTONED ids (the update-in-place flow), " +
+      "APPENDS instead of no-oping against the ids' dead pre-delete " +
+      "rows — the committed-batch probe is scoped to the marker's own " +
+      "gen, not every gen below the watermark") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val idx = KnnBeam.buildBandIndex(base)
+    val dir = tmp()
+    idx.write(dir)
+    val stored = BandIndex.load(spark, dir)
+    // delete two ids, persist the tombstone — their PHYSICAL rows
+    // stay in the store at gen 0
+    val victims = base.select("vec_id").orderBy("vec_id").limit(2)
+    val victimIds = victims.collect().map(_.getLong(0))
+    val rem = KnnBeam.removeBatch(g0, stored, victims)
+    val idxT = BandIndex.tombstone(dir, rem)
+    // re-insert the same ids (remove-then-insert = update-in-place)
+    val reinsert = emb.filter(
+      col("vec_id").isin(victimIds.map(Long.box): _*))
+    val ins = KnnBeam.insertBatchIndexed(
+      rem.graph.localCheckpoint(true), idxT, reinsert)
+    // SIMULATE the crash: the intent marker for gen 1 lands, the row
+    // write never does
+    val pend = java.nio.file.Paths.get(dir, "_graft_pending")
+    java.nio.file.Files.createDirectories(pend)
+    java.nio.file.Files.createFile(pend.resolve("gen-1"))
+    // the redelivered append: rows of gen 1 don't exist, so the
+    // probe MUST read "not committed" and append — a gen<=watermark
+    // probe would count the victims' dead gen-0 rows as committed
+    // and silently drop the insert (index/edge-store divergence)
+    val idx2 = BandIndex.append(dir, ins)
+    assert(idx2.count == stored.count,
+      s"redelivered update batch was lost: count ${idx2.count}, " +
+        s"expected ${stored.count}")
+    assert(idx2.rows.filter(
+      col("vec_id").isin(victimIds.map(Long.box): _*)).count() ==
+      idx2.nBands.toLong * victimIds.length,
+      "re-inserted ids' NEW rows must be live after the recovery " +
+        "append (the dead gen-0 rows stay masked by the bar)")
+    // and a fresh load agrees
+    val reloaded = BandIndex.load(spark, dir)
+    assert(reloaded.count == stored.count && reloaded.gen == 1L)
+  }
+
   test("a crashed tombstone (list committed, metadata not) keeps the " +
       "VIEW correct — deleted rows masked — with only count drift, " +
       "which recount repairs from the live band-0 rows") {

@@ -164,6 +164,91 @@ class EdgeStoreSpec extends SparkSpecBase {
     assert(edgeSet(EdgeStore.load(spark, dir)) == expected)
   }
 
+  test("a full rebuild (write over an existing store) clears stale " +
+      ".old/.staging siblings from a crashed applyDelta — heal can " +
+      "never resurrect pre-rebuild edges into the fresh store, even " +
+      "when nBuckets changed and the parked bucket has no live twin") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val dir = tmp()
+    EdgeStore.write(g0, dir, nBuckets = 16)
+    // simulate a crashed applyDelta: one real bucket parked at a
+    // bucket number the REBUILT (nBuckets=4) store will never
+    // produce, plus a stale staging sibling
+    import scala.jdk.CollectionConverters._
+    val bucketDir = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("bucket="))
+      .getOrElse(fail("no bucket directory found"))
+    val parkRoot = java.nio.file.Paths.get(dir + ".old")
+    java.nio.file.Files.createDirectories(parkRoot)
+    copyTree(bucketDir, parkRoot.resolve("bucket=15"))
+    val staging = java.nio.file.Paths.get(dir + ".staging")
+    java.nio.file.Files.createDirectories(staging)
+    // the rebuild: fewer buckets, smaller graph — supersedes
+    // everything parked
+    val g1 = KnnBeam.buildGraph(base.filter(col("vec_id") % 2 === 0))
+      .localCheckpoint(true)
+    EdgeStore.write(g1, dir, nBuckets = 4)
+    assert(!java.nio.file.Files.exists(parkRoot),
+      "write must clear the parked sibling it supersedes")
+    assert(!java.nio.file.Files.exists(staging),
+      "write must clear the stale staging sibling")
+    assert(EdgeStore.buckets(spark, dir) == 4)
+    // load runs heal — which must now find nothing to resurrect
+    assert(edgeSet(EdgeStore.load(spark, dir)) == edgeSet(g1),
+      "pre-rebuild edges leaked into the rebuilt store")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "bucket=15")),
+      "a parked pre-rebuild bucket was resurrected by heal")
+  }
+
+  test("a rebuild over an existing store is write-then-swap: a crash " +
+      "between the renames leaves the PREVIOUS store parked and the " +
+      "next load heals it back — the old pair stays servable; a park " +
+      "beside a complete live store (cleanup crash) is dropped") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val dir = tmp()
+    EdgeStore.write(g0, dir, nBuckets = 16)
+    val expected = edgeSet(EdgeStore.load(spark, dir))
+    // simulate the mid-swap crash: live renamed aside, the fresh
+    // store never renamed in (staging still sitting beside it)
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir + ".rebuild-old"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir + ".rebuild-staging"))
+    assert(edgeSet(EdgeStore.load(spark, dir)) == expected,
+      "load must restore the pre-rebuild store after a mid-swap crash")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + ".rebuild-old")))
+    // metadata path works too (buckets reads _graft_meta)
+    assert(EdgeStore.buckets(spark, dir) == 16)
+    // re-running the rebuild now commits cleanly
+    val g1 = KnnBeam.buildGraph(base.filter(col("vec_id") % 2 === 0))
+      .localCheckpoint(true)
+    EdgeStore.write(g1, dir, nBuckets = 8)
+    assert(edgeSet(EdgeStore.load(spark, dir)) == edgeSet(g1))
+    assert(EdgeStore.buckets(spark, dir) == 8)
+    // cleanup crash: park beside a COMPLETE live store → dropped
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir + ".rebuild-old"))
+    EdgeStore.heal(spark, dir)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir + ".rebuild-old")),
+      "heal must drop a superseded rebuild park")
+    assert(edgeSet(EdgeStore.load(spark, dir)) == edgeSet(g1))
+  }
+
+  private def copyTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.foreach { p =>
+      val target = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(target)
+      else java.nio.file.Files.copy(p, target)
+    }
+  }
+
   test("an index-sized delta fails the maxReplaceIds guard with a " +
       "named error instead of a store-sized 'delta' rewrite; an " +
       "empty delta is a no-op") {

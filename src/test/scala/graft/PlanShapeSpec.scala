@@ -65,12 +65,14 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!s.contains("Window"), s)
   }
 
-  test("tf-idf broadcasts the document-frequency table and corpus size") {
+  test("tf-idf: AQE broadcasts the UNHINTED document-frequency table " +
+      "at test scale (token vocab is unbounded at 100 TB, so the " +
+      "hint is the optimizer's call) plus the corpus-size scalar") {
     val plan = finalPlan(planOf("t11_tfidf"))
     val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
-    assert(bhj.nonEmpty, s"df table must broadcast:\n$plan")
+    assert(bhj.nonEmpty, s"df table should broadcast here:\n$plan")
     assert(!plan.toString.contains("SortMergeJoin"),
-      "no shuffled join belongs in the tf-idf plan")
+      "no shuffled join belongs in the tf-idf plan at this scale")
   }
 
   test("bm25 broadcasts df + corpus scalars and plans a distributed " +
@@ -111,11 +113,13 @@ class PlanShapeSpec extends SparkSpecBase {
       && !s.contains("BroadcastNestedLoopJoin"), s)
   }
 
-  test("association rules broadcast item supports and the order-count " +
-      "scalar onto the pair table") {
+  test("association rules: the UNHINTED item-support joins still " +
+      "broadcast at test scale — AQE sizes them from statistics " +
+      "(the hint is gone so a 100× catalog can shuffle instead)") {
     val plan = finalPlan(planOf("q58_association_rules"))
     val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
-    assert(bhj.size >= 2, s"both item-support joins must broadcast:\n$plan")
+    assert(bhj.size >= 2,
+      s"AQE should broadcast the small item supports here:\n$plan")
   }
 
   test("chunking is a zero-shuffle narrow map") {
@@ -124,10 +128,12 @@ class PlanShapeSpec extends SparkSpecBase {
       s"chunk packing must not shuffle:\n$s")
   }
 
-  test("contamination check broadcasts the eval-gram side") {
+  test("contamination check: AQE broadcasts the UNHINTED eval-gram " +
+      "side at test scale (simulated as a corpus fraction, so a " +
+      "forced hint would grow with the data)") {
     val plan = finalPlan(planOf("t13_contamination"))
     assert(plan.collect { case b: BroadcastHashJoinExec => b }.nonEmpty,
-      s"eval grams must broadcast:\n$plan")
+      s"eval grams should broadcast here:\n$plan")
   }
 
   test("sequence packing never uses a single-partition global window") {
