@@ -67,6 +67,19 @@ object KnnBeam {
     */
   val AutoDegree = 0
 
+  /** Build-time corpus-vector broadcast budget (bytes of raw floats,
+    * n·dims·4): up to this size the NN-descent score joins
+    * force-broadcast the (id, vector) fetch side, converting the
+    * wedge-row shuffle from n·degree²·(ids + one 64-float vector) to
+    * ids-only. 256 MB ≈ 1M vectors at dim 64 — a comfortable hash
+    * relation on any executor sized for this build job; past it the
+    * joins run unhinted (AQE shuffles them — an unbounded corpus is
+    * never force-pinned). The gate floor sits at 8 MB, just under
+    * AQE's default auto-broadcast ceiling, so at every bundled scale
+    * the hint is absent and plans stay byte-identical.
+    */
+  val VecBroadcastBudget: Long = 256L << 20
+
   /** degree = max(8, min(32, 8·(⌈log2 n⌉ − 11))): pinned to BOTH
     * measured points — 8 holds the recall level at n ≤ 2k (every
     * bundled corpus, so shipped hashes are unchanged) and 32 is what
@@ -198,13 +211,31 @@ object KnnBeam {
       dims: Int = 64,
       graphDegree: Int = AutoDegree,
       maxHamming: Int = 16,
-      refineRounds: Int = 2): DataFrame = {
+      refineRounds: Int = 2,
+      vecBroadcastBudget: Long = VecBroadcastBudget): DataFrame = {
     require(refineRounds >= 0, s"negative refineRounds: $refineRounds")
     val c = emb.select(col(idCol).as("__cid"), col(vecCol).as("__cv"))
     val sig = SemanticDedup.signatures(emb, idCol, vecCol, dims)
       .localCheckpoint(true)
     val n = sig.count()
     val degree = resolveDegree(graphDegree, n)
+    // the vector-fetch side of the score joins, gated by MEASURED
+    // size (n·dims·4 bytes): past AQE's own ~10 MB ceiling but under
+    // the budget, force the broadcast — without it the second fetch
+    // join shuffles the n·degree² wedge rows WITH a 64-float vector
+    // attached (≈56 GB at the 200k/degree-32 decade, the s28 1.21
+    // exponent; the ids-only wedge is ≈3 GB), and one ~50–250 MB
+    // hash relation per executor is the cheap side of that trade.
+    // Below AQE's ceiling the hint adds nothing (AQE broadcasts from
+    // statistics — bundled scales keep byte-identical plans); past
+    // the budget the corpus no longer fits an executor and the join
+    // must be allowed to shuffle — never force-broadcast unbounded
+    // (the removeBatch/load precedent)
+    val vecBytes = n * dims.toLong * 4L
+    val cSide =
+      if (vecBytes > (8L << 20) && vecBytes <= vecBroadcastBudget)
+        broadcast(c)
+      else c
     val w = Window.partitionBy("node")
       .orderBy(col("cosine").desc, col("nbr"))
     def cut(scored: DataFrame): DataFrame = scored
@@ -212,9 +243,9 @@ object KnnBeam {
       .filter(col("__rn") <= degree)
       .select("node", "nbr", "cosine")
     def score(cand: DataFrame): DataFrame = cand
-      .join(c, cand("node") === c("__cid"))
+      .join(cSide, cand("node") === cSide("__cid"))
       .withColumnRenamed("__cv", "qv").drop("__cid")
-      .join(c, cand("nbr") === c("__cid"))
+      .join(cSide, cand("nbr") === cSide("__cid"))
       .withColumnRenamed("__cv", "nv").drop("__cid")
       .withColumn("cosine", graft.functions.VectorExprs
         .cosine_similarity(col("qv"), col("nv")))
@@ -387,7 +418,8 @@ object KnnBeam {
     * like any other index reorganization.
     */
   case class BandIndex(rows: DataFrame, count: Long, bits: Int,
-      nBands: Int, churn: Long = 0L, gen: Long = 0L) {
+      nBands: Int, churn: Long = 0L, gen: Long = 0L,
+      appends: Long = 0L, tombs: Long = 0L) {
     /** Rebind to rows re-read from storage (count/geometry carried —
       * no recount).
       */
@@ -419,6 +451,31 @@ object KnnBeam {
       bandParams(count, targetBucket)._1 != bits ||
         churn > maxChurn * count
 
+    /** True once the store's READ AMPLIFICATION says a [[BandIndex
+      * .compact]] is due — the IO analog of [[needsRebuild]] (which
+      * schedules the re-densify; this schedules the cheaper file
+      * fold). Pure metadata arithmetic, maintained by the store ops
+      * themselves:
+      *
+      *   - `appends` counts [[BandIndex.append]]s since the last
+      *     compact/full write. Each append lands ONE extra file per
+      *     touched (band, pbv) directory, so a point-lookup that
+      *     should read one bv-sorted file reads up to `appends + 1`
+      *     — linear read amplification that compaction folds back
+      *     to 1;
+      *   - `tombs` counts tombstoned ids pending fold. Every load
+      *     scans (and joins away) their dead rows and pays the
+      *     tombstone-list join; compaction deletes both.
+      *
+      * Defaults: 16 appends ≈ 17× worst-case file amplification on
+      * the hottest directories (SCALE.md round 17 measures the
+      * actual curve), and tombstones past 20% of the live count mean
+      * a fifth of the physical rows are dead weight.
+      */
+    def needsCompact(maxAppends: Long = 16L,
+        maxTombFrac: Double = 0.2): Boolean =
+      appends > maxAppends || tombs > maxTombFrac * count
+
     /** Persist the point-lookup store layout the round-15 measurement
       * picked (flat insert curve across index decades, 63→9 s write):
       * one bv-SORTED file per (band, pbv) directory — the (band, pbv)
@@ -448,9 +505,27 @@ object KnnBeam {
     private[KnnBeam] def writeMeta(dir: String, idx: BandIndex): Unit = {
       val spark = idx.rows.sparkSession
       import spark.implicits._
-      Seq((idx.count, idx.bits, idx.nBands, idx.churn, idx.gen))
-        .toDF("count", "bits", "nBands", "churn", "gen")
+      Seq((idx.count, idx.bits, idx.nBands, idx.churn, idx.gen,
+          idx.appends, idx.tombs))
+        .toDF("count", "bits", "nBands", "churn", "gen",
+          "appends", "tombs")
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/$MetaDir")
+    }
+
+    /** The one-row store metadata, tolerant of stores written before
+      * the compaction counters existed (appends/tombs default 0 —
+      * the next maintenance op starts counting).
+      */
+    private def readMeta(spark: org.apache.spark.sql.SparkSession,
+        dir: String): BandIndex = {
+      val m = spark.read.parquet(s"$dir/$MetaDir").collect().head
+      def longOr0(name: String): Long =
+        if (m.schema.fieldNames.contains(name)) m.getAs[Long](name)
+        else 0L
+      BandIndex(spark.emptyDataFrame, m.getAs[Long]("count"),
+        m.getAs[Int]("bits"), m.getAs[Int]("nBands"),
+        m.getAs[Long]("churn"), m.getAs[Long]("gen"),
+        longOr0("appends"), longOr0("tombs"))
     }
 
     private def fs(spark: org.apache.spark.sql.SparkSession,
@@ -474,8 +549,9 @@ object KnnBeam {
       */
     def load(spark: org.apache.spark.sql.SparkSession,
         dir: String): BandIndex = {
-      val m = spark.read.parquet(s"$dir/$MetaDir").collect().head
-      val metaGen = m.getAs[Long]("gen")
+      heal(spark, dir)
+      val m = readMeta(spark, dir)
+      val metaGen = m.gen
       // the metadata gen is the COMMITTED watermark: rows stamped
       // above it belong to an append whose commit (writeMeta) never
       // landed — invisible until [[recover]] rolls them forward (or
@@ -496,8 +572,30 @@ object KnnBeam {
             .filter(col("__tgen").isNull || col("gen") > col("__tgen"))
             .drop("__tgen", "gen")
         } else rows0.drop("gen")
-      BandIndex(rows, m.getAs[Long]("count"), m.getAs[Int]("bits"),
-        m.getAs[Int]("nBands"), m.getAs[Long]("churn"), metaGen)
+      m.withRows(rows)
+    }
+
+    /** Restore a store whose swap ([[compact]] or a full-rebuild
+      * replace) crashed between its two renames: the live directory
+      * is missing and the previous store sits parked at `<dir>.old`
+      * — rename it back (the swap never committed; re-run it). A
+      * park BESIDE a complete live store means only the post-swap
+      * cleanup crashed — drop it. Runs at the start of every [[load]]
+      * (one existence probe when nothing is parked), so the old
+      * store stays servable across a mid-swap crash with no manual
+      * step.
+      */
+    def heal(spark: org.apache.spark.sql.SparkSession,
+        dir: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(dir)
+      val old = new org.apache.hadoop.fs.Path(dir + ".old")
+      val fsys = fs(spark, old)
+      if (fsys.exists(old)) {
+        if (!fsys.exists(live))
+          require(fsys.rename(old, live),
+            s"heal: could not restore pre-swap store $old")
+        else fsys.delete(old, true)
+      }
     }
 
     /** Apply an [[insertBatchIndexed]] result to the store: append
@@ -581,9 +679,11 @@ object KnnBeam {
               "committed — a partially applied batch cannot happen " +
               "under the marker protocol; the store needs compact " +
               "(or the batch is wrong)")
-          BandIndex(cur.rows, cur.count + batchN, cur.bits,
-            cur.nBands, cur.churn + batchN, cur.gen + 1L)
-        } else ins.index.copy(gen = ins.index.gen + 1L)
+          cur.copy(count = cur.count + batchN,
+            churn = cur.churn + batchN, gen = cur.gen + 1L,
+            appends = cur.appends + 1L)
+        } else ins.index.copy(gen = ins.index.gen + 1L,
+          appends = ins.index.appends + 1L)
       writePending(spark, dir, committed.gen)
       ins.indexDelta.withColumn("gen", lit(committed.gen))
         .repartition(col("band"), col("pbv"))
@@ -675,17 +775,17 @@ object KnnBeam {
           n.stripPrefix("gen-").toLong }
       if (gens.isEmpty) { fsys.delete(pend, true); return Some(-1L) }
       val pGen = gens.max
-      val m = spark.read.parquet(s"$dir/$MetaDir").collect().head
-      if (pGen > m.getAs[Long]("gen")) {
+      val m = readMeta(spark, dir)
+      if (pGen > m.gen) {
         val orphanIds = spark.read.parquet(dir)
           .filter(col("gen") === pGen && col("band") === 0)
           .select("vec_id").distinct().count()
         if (orphanIds > 0L) {
-          val rolled = BandIndex(
-            spark.emptyDataFrame, // rows unused by writeMeta
-            m.getAs[Long]("count") + orphanIds,
-            m.getAs[Int]("bits"), m.getAs[Int]("nBands"),
-            m.getAs[Long]("churn") + orphanIds, pGen)
+          // rows unused by writeMeta; the rolled-forward append
+          // counts toward the compaction trigger like any other
+          val rolled = m.copy(count = m.count + orphanIds,
+            churn = m.churn + orphanIds, gen = pGen,
+            appends = m.appends + 1L)
           writeMeta(dir, rolled)
         }
       }
@@ -709,7 +809,8 @@ object KnnBeam {
       * before the first rename leaves the store untouched (a stale
       * `.compacting` is cleaned on the next attempt); a failure
       * between the renames leaves the previous store intact under
-      * `<dir>.old` — recoverable by renaming it back. The
+      * `<dir>.old` — and [[heal]], run by every load, renames it
+      * back automatically, so the store stays servable. The
       * delete-everything-then-hope window of an in-place overwrite
       * never exists. Still single-writer, and index views loaded
       * BEFORE the compact dangle afterwards (their plans reference
@@ -719,20 +820,44 @@ object KnnBeam {
     def compact(spark: org.apache.spark.sql.SparkSession,
         dir: String): BandIndex = {
       val idx = load(spark, dir)
+      // the rewrite folds every appended delta file and applies-and-
+      // clears the tombstone list — both read-amplification counters
+      // reset with it
+      swapIn(spark, dir, idx.copy(appends = 0L, tombs = 0L))
+      load(spark, dir)
+    }
+
+    /** Atomically replace the stored index with `idx` — the
+      * [[compact]] write-then-swap discipline exposed for the
+      * re-densifying REBUILD ([[IndexLifecycle.rebuildStores]]):
+      * the new store (rows + metadata, no tombstones) is written
+      * complete to a sibling before any rename, so a crash anywhere
+      * leaves either the old store live or the old store parked at
+      * `<dir>.old` — and [[heal]] (run by every load) restores the
+      * park, keeping the pre-rebuild index servable. The counters
+      * reset: a replacement store has one file set and no dead rows.
+      */
+    def replace(spark: org.apache.spark.sql.SparkSession,
+        dir: String, idx: BandIndex): BandIndex = {
+      swapIn(spark, dir, idx.copy(appends = 0L, tombs = 0L))
+      load(spark, dir)
+    }
+
+    private def swapIn(spark: org.apache.spark.sql.SparkSession,
+        dir: String, idx: BandIndex): Unit = {
       val fsys = fs(spark, new org.apache.hadoop.fs.Path(dir))
       val cur = new org.apache.hadoop.fs.Path(dir)
       val fresh = new org.apache.hadoop.fs.Path(dir + ".compacting")
       val old = new org.apache.hadoop.fs.Path(dir + ".old")
       if (fsys.exists(fresh)) fsys.delete(fresh, true) // stale attempt
       if (fsys.exists(old)) fsys.delete(old, true)
-      idx.write(fresh.toString) // reads old files, writes the sibling
+      idx.write(fresh.toString) // may read old files; they survive
       require(fsys.rename(cur, old),
-        s"compact: could not rename $cur aside")
+        s"swapIn: could not rename $cur aside")
       require(fsys.rename(fresh, cur),
-        s"compact: could not activate $fresh — previous store " +
-          s"preserved at $old")
+        s"swapIn: could not activate $fresh — previous store " +
+          s"preserved at $old (heal restores it)")
       fsys.delete(old, true)
-      load(spark, dir)
     }
 
     /** Apply a [[removeBatch]] result to the store: append the
@@ -762,7 +887,11 @@ object KnnBeam {
       rem.removedIds.select(col("vec_id"),
           lit(rem.index.gen).as("gen"))
         .write.mode("append").parquet(s"$dir/$TombDir")
-      writeMeta(dir, rem.index)
+      // the persisted delete is what leaves dead rows behind — count
+      // it toward the compaction trigger at the persist step (the
+      // in-memory removeBatch alone folds nothing into a store)
+      writeMeta(dir, rem.index.copy(
+        tombs = rem.index.tombs + rem.removedIds.count()))
       load(rem.removedIds.sparkSession, dir)
     }
   }
@@ -1020,9 +1149,9 @@ object KnnBeam {
     val full = g.join(affected, Seq("node"), "left_anti")
       .unionByName(delta)
     IndexedInsert(full, delta, affected,
-      BandIndex(index.rows.unionByName(bandB),
-        index.count + batchN, index.bits, index.nBands,
-        index.churn + batchN, index.gen),
+      index.copy(rows = index.rows.unionByName(bandB),
+        count = index.count + batchN,
+        churn = index.churn + batchN),
       bandB)
   }
 
@@ -1113,10 +1242,10 @@ object KnnBeam {
     val liveSide =
       if (liveN <= maxPruneKeys.toLong) broadcast(live) else live
     IndexedRemove(kept, delta, affected,
-      BandIndex(
-        index.rows.join(liveSide, Seq("vec_id"), "left_anti"),
-        index.count - liveN, index.bits, index.nBands,
-        index.churn + liveN, index.gen),
+      index.copy(
+        rows = index.rows.join(liveSide, Seq("vec_id"), "left_anti"),
+        count = index.count - liveN,
+        churn = index.churn + liveN),
       live)
   }
 

@@ -45,8 +45,14 @@ import graft.operators.{EdgeStore, KnnBeam}
   * `onRebuildNeeded` fires (once per triggering batch) when the
   * maintained metadata trips [[KnnBeam.BandIndex.needsRebuild]] —
   * geometry outgrown or churn past the measured re-densify point;
-  * the callback SCHEDULES the rebuild (an offline reorganization),
-  * it does not run it inline.
+  * the callback SCHEDULES the rebuild (an offline reorganization —
+  * [[graft.operators.IndexLifecycle.rebuildStores]]), it does not
+  * run it inline. `onCompactNeeded` is its cheaper IO sibling: it
+  * fires when [[KnnBeam.BandIndex.needsCompact]] says appended delta
+  * files or pending tombstones have amplified reads past the
+  * configured bound, and schedules [[KnnBeam.BandIndex.compact]].
+  * When both trip on one batch only the rebuild fires — it subsumes
+  * the compact (fresh store, counters reset).
   */
 object StreamingIndexMaintenance {
 
@@ -62,7 +68,8 @@ object StreamingIndexMaintenance {
       dims: Int = 64,
       graphDegree: Int = KnnBeam.AutoDegree,
       maxHamming: Int = 16,
-      onRebuildNeeded: KnnBeam.BandIndex => Unit = _ => ())(
+      onRebuildNeeded: KnnBeam.BandIndex => Unit = _ => (),
+      onCompactNeeded: KnnBeam.BandIndex => Unit = _ => ())(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     // in-batch id dedup: at-least-once sources can deliver an id
@@ -89,6 +96,7 @@ object StreamingIndexMaintenance {
     EdgeStore.applyInsert(edgeDir, ins)
     val updated = KnnBeam.BandIndex.append(indexDir, ins)
     if (updated.needsRebuild()) onRebuildNeeded(updated)
+    else if (updated.needsCompact()) onCompactNeeded(updated)
   }
 
   /** The DELETE side of the loop — a micro-batch of ids to erase
@@ -108,7 +116,8 @@ object StreamingIndexMaintenance {
       indexDir: String,
       edgeDir: String,
       idCol: String = "vec_id",
-      onRebuildNeeded: KnnBeam.BandIndex => Unit = _ => ())(
+      onRebuildNeeded: KnnBeam.BandIndex => Unit = _ => (),
+      onCompactNeeded: KnnBeam.BandIndex => Unit = _ => ())(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val ids = batch.select(col(idCol).cast("long").as("vec_id"))
@@ -121,6 +130,7 @@ object StreamingIndexMaintenance {
     EdgeStore.applyRemove(edgeDir, rem)
     val updated = KnnBeam.BandIndex.tombstone(indexDir, rem)
     if (updated.needsRebuild()) onRebuildNeeded(updated)
+    else if (updated.needsCompact()) onCompactNeeded(updated)
   }
 
   /** Attach the maintenance loop to a streaming (id, embedding)
@@ -142,10 +152,11 @@ object StreamingIndexMaintenance {
       graphDegree: Int = KnnBeam.AutoDegree,
       maxHamming: Int = 16,
       trigger: Trigger = Trigger.AvailableNow(),
-      onRebuildNeeded: KnnBeam.BandIndex => Unit = _ => ())
+      onRebuildNeeded: KnnBeam.BandIndex => Unit = _ => (),
+      onCompactNeeded: KnnBeam.BandIndex => Unit = _ => ())
       : StreamingQuery = {
     val step = processBatch(indexDir, edgeDir, idCol, vecCol, dims,
-      graphDegree, maxHamming, onRebuildNeeded) _
+      graphDegree, maxHamming, onRebuildNeeded, onCompactNeeded) _
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
