@@ -63,6 +63,19 @@ object EdgeStore {
   def buckets(spark: SparkSession, dir: String): Int =
     spark.read.parquet(s"$dir/$MetaDir").collect().head.getInt(0)
 
+  /** The stored bucket count, or `default` when no store exists at
+    * `dir` — the metadata read a REBUILD uses, so rebuilding into a
+    * store that was never created (only the index half persisted)
+    * lawfully creates it rather than throwing on the missing
+    * metadata. Does NOT heal — callers on the write path ([[write]],
+    * `IndexLifecycle.rebuildStores`) heal first.
+    */
+  def bucketsOrDefault(spark: SparkSession, dir: String,
+      default: Int = 256): Int = {
+    val meta = new org.apache.hadoop.fs.Path(s"$dir/$MetaDir")
+    if (fs(spark, meta).exists(meta)) buckets(spark, dir) else default
+  }
+
   private def withBucket(g: DataFrame, nBuckets: Int): DataFrame =
     g.select(col("node"), col("nbr"), col("cosine"))
       .withColumn("bucket", pmod(hash(col("node")), lit(nBuckets)))
@@ -81,12 +94,16 @@ object EdgeStore {
     * scores are what make delete/insert re-cuts fetch-free.
     *
     * A rebuild SUPERSEDES any parked/staged state a crashed
-    * [[applyDelta]] left beside the store, so `<dir>.old` and
-    * `<dir>.staging` are cleared first — otherwise the next [[heal]]
-    * would rename a parked bucket whose live directory the rebuild
-    * didn't produce back INTO the fresh store, resurrecting
-    * pre-rebuild edges (in the wrong bucket, if nBuckets changed, so
-    * later bucket-pruned rewrites would never replace them).
+    * [[applyDelta]] left beside the store — but a parked bucket can
+    * be a bucket's ONLY copy (crash between park and activate), and
+    * this rebuild may itself crash before its swap commits, so the
+    * park is HEALED INTO the current store first, never deleted
+    * unhealed: heal restores parked-only buckets (and drops
+    * superseded ones), then the emptied siblings can't resurrect
+    * pre-rebuild edges into the fresh store after the swap (in the
+    * wrong bucket, if nBuckets changed, so later bucket-pruned
+    * rewrites would never replace them) and no double-crash window
+    * loses a bucket.
     *
     * And the rebuild of an EXISTING store is write-then-swap, never
     * truncate-then-rewrite: the new store (buckets + metadata) is
@@ -103,19 +120,18 @@ object EdgeStore {
     val spark = graph.sparkSession
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fsys = fs(spark, dirPath)
-    Seq(OldSuffix, StagingSuffix).foreach { s =>
-      val p = new org.apache.hadoop.fs.Path(dir + s)
-      if (fsys.exists(p)) fsys.delete(p, true)
-    }
+    // heal BEFORE clearing siblings: a parked applyDelta bucket may
+    // be its bucket's only copy, and if this rebuild crashes before
+    // its swap the pre-rebuild store must still be whole — heal
+    // consumes the `.old` park into the live store (restore-or-drop)
+    // and restores a crashed previous rebuild's `.rebuild-old`
+    heal(spark, dir)
+    val staging = new org.apache.hadoop.fs.Path(dir + StagingSuffix)
+    if (fsys.exists(staging)) fsys.delete(staging, true)
     if (!fsys.exists(dirPath)) {
-      // fresh create — nothing to preserve; restore a mid-swap park
-      // first so a crashed previous rebuild isn't silently discarded
-      heal(spark, dir)
-      if (!fsys.exists(dirPath)) {
-        writeBuckets(graph, dir, nBuckets)
-        writeMeta(spark, dir, nBuckets)
-        return
-      }
+      writeBuckets(graph, dir, nBuckets)
+      writeMeta(spark, dir, nBuckets)
+      return
     }
     val fresh = new org.apache.hadoop.fs.Path(dir + RebuildStagingSuffix)
     val old = new org.apache.hadoop.fs.Path(dir + RebuildOldSuffix)
@@ -266,6 +282,17 @@ object EdgeStore {
     * copies live OUTSIDE the store directory, so reads between a
     * crash and the heal see a consistent (if partially-applied)
     * store — never duplicates.
+    *
+    * CONTRACT (heal-at-load extends single-writer to swap windows):
+    * [[load]] heals too, so a load RACING an in-flight swap — the
+    * window between a live writer's park and activate renames —
+    * would mistake it for a crash, restore the park, and abort the
+    * writer's swap. The single-writer contract therefore covers
+    * loads during maintenance: pause serving loads across an
+    * applyDelta/write/rebuild swap (the maintained deployment's
+    * maintenance loop owns the store and serializes exactly this
+    * way). A heal racing a CRASHED writer is always safe — that is
+    * its job.
     */
   def heal(spark: SparkSession, dir: String): Unit = {
     val parkRoot = new org.apache.hadoop.fs.Path(dir + OldSuffix)

@@ -35,6 +35,15 @@ import org.apache.spark.sql.functions.broadcast
   *
   * `IncrementalJoinSpec` pins the partition law on randomized splits;
   * the q48 oracle pins delta-maintained ≡ full-recompute cross-engine.
+  *
+  * ==API change (round 17)==
+  * `broadcastDeltas` DEFAULTED TO `true` before round 17 and now
+  * defaults to `false`: every existing caller of [[view]] /
+  * [[deltaView]] that relied on the implicit hint gets an
+  * AQE-decided plan instead — row-identical results, different plan
+  * shape. Callers with a bounded micro-batch contract who want the
+  * pinned broadcast back must now pass `broadcastDeltas = true`
+  * explicitly.
   */
 object IncrementalJoin {
 

@@ -50,9 +50,11 @@ object IndexLifecycle {
     * replaced store.
     *
     * @param nBuckets edge-store bucket count for the rebuilt store;
-    *        -1 keeps the stored one. A rebuild is the one legal
-    *        point to re-bucket (applyDelta's bucket prune assumes a
-    *        fixed count between rebuilds).
+    *        -1 keeps the stored one (or the EdgeStore default if no
+    *        edge store exists yet — a rebuild may lawfully CREATE the
+    *        edge half when only the index was ever persisted). A
+    *        rebuild is the one legal point to re-bucket (applyDelta's
+    *        bucket prune assumes a fixed count between rebuilds).
     * @return the reloaded post-rebuild index.
     */
   def rebuildStores(
@@ -68,6 +70,13 @@ object IndexLifecycle {
     // roll forward any crashed append first — its rows are part of
     // the live corpus the rebuild must carry
     val idx = KnnBeam.BandIndex.recover(spark, indexDir)
+    // and heal the EDGE store before its metadata read below: a
+    // prior rebuild that crashed between EdgeStore.write's two
+    // renames left the live edge dir missing (parked at
+    // `.rebuild-old`), and the documented "re-running rebuildStores
+    // converges" must hold from exactly that state — the index side
+    // already healed inside recover→load
+    EdgeStore.heal(spark, edgeDir)
     // checkpoint: the build jobs below and the edge-store write all
     // read this; the index swap later deletes the old files it came
     // from, so the lineage must not reach back to them
@@ -83,7 +92,7 @@ object IndexLifecycle {
     // index swap below never happens, old-index + new-edges is a
     // servable pair over the same id set
     val nb = if (nBuckets > 0) nBuckets
-      else EdgeStore.buckets(spark, edgeDir)
+      else EdgeStore.bucketsOrDefault(spark, edgeDir)
     EdgeStore.write(newGraph, edgeDir, nb)
     KnnBeam.BandIndex.replace(spark, indexDir, newIdx)
   }

@@ -468,8 +468,10 @@ object KnnBeam {
       *     tombstone-list join; compaction deletes both.
       *
       * Defaults: 16 appends ≈ 17× worst-case file amplification on
-      * the hottest directories (SCALE.md round 17 measures the
-      * actual curve), and tombstones past 20% of the live count mean
+      * the hottest directories (SCALE.md round 18's StoreAmpProbe
+      * table measures the actual curve: file count per hot directory
+      * grows linearly with appends and folds back to 1 at compact),
+      * and tombstones past 20% of the live count mean
       * a fifth of the physical rows are dead weight.
       */
     def needsCompact(maxAppends: Long = 16L,
@@ -584,6 +586,16 @@ object KnnBeam {
       * (one existence probe when nothing is parked), so the old
       * store stays servable across a mid-swap crash with no manual
       * step.
+      *
+      * CONTRACT (heal-at-load extends single-writer to swap
+      * windows): because loads heal, a load racing an IN-FLIGHT
+      * [[compact]]/[[replace]] swap — between its two renames —
+      * would mistake the live swap for a crash, restore the park,
+      * and abort the writer's rename. Loads are therefore excluded
+      * during maintenance swaps, same as [[EdgeStore.heal]]'s
+      * contract: the maintenance loop owns the store and pauses
+      * serving loads across a swap. Healing behind a CRASHED writer
+      * is always safe.
       */
     def heal(spark: org.apache.spark.sql.SparkSession,
         dir: String): Unit = {

@@ -37,9 +37,42 @@ object SimilarityQueries {
     * graph/index exactly the way a maintained deployment serves one.
     * The self-contained from-scratch paths stay pinned in the specs
     * (BandIndexLifecycleSpec, IndexLifecycleSpec).
+    *
+    * The memo key folds in a CONTENT FINGERPRINT of the input
+    * (embeddings.parquet file names + lengths + mtimes), so data
+    * regenerated under the same dir within one JVM rebuilds the
+    * fixture instead of silently serving a stale store; the temp
+    * dirs are deleted by a JVM shutdown hook. Bench attribution: the
+    * FIRST query to touch a fixture pays the shared build (s14,
+    * alphabetically first of the graph consumers, in a full sweep) —
+    * per-query ANN times are order-dependent by design; the family
+    * total is what to compare.
     */
   private val annFixtures =
     scala.collection.concurrent.TrieMap[String, String]()
+
+  private val fixtureCleanup: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => annFixtures.values.foreach { d =>
+      // best-effort recursive delete of the temp fixture root
+      val root = java.nio.file.Paths.get(d).getParent
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: java.io.IOException => () }
+    }))
+
+  /** (name, length, mtime) of every file under the dataset's
+    * embeddings.parquet — cheap driver-side listing, no data read.
+    */
+  private def fingerprint(s: SparkSession, d: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/embeddings.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted.mkString(",").hashCode.toHexString
+  }
 
   private def fixtureDir(key: String)(write: String => Unit): String =
     annFixtures.synchronized {
@@ -52,13 +85,13 @@ object SimilarityQueries {
     }
 
   private def graphAll(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(fixtureDir(s"g-all-$d") { out =>
+    s.read.parquet(fixtureDir(s"g-all-$d-${fingerprint(s, d)}") { out =>
       graft.operators.KnnBeam.buildGraph(emb(s, d), refineRounds = 2)
         .write.mode("overwrite").parquet(out)
     })
 
   private def graphBase(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(fixtureDir(s"g-base-$d") { out =>
+    s.read.parquet(fixtureDir(s"g-base-$d-${fingerprint(s, d)}") { out =>
       graft.operators.KnnBeam.buildGraph(
           emb(s, d).filter(col("vec_id") % 10 < 8), refineRounds = 2)
         .write.mode("overwrite").parquet(out)
@@ -67,14 +100,14 @@ object SimilarityQueries {
   private def indexAll(s: SparkSession, d: String)
       : graft.operators.KnnBeam.BandIndex =
     graft.operators.KnnBeam.BandIndex.load(s,
-      fixtureDir(s"i-all-$d") { out =>
+      fixtureDir(s"i-all-$d-${fingerprint(s, d)}") { out =>
         graft.operators.KnnBeam.buildBandIndex(emb(s, d)).write(out)
       })
 
   private def indexBase(s: SparkSession, d: String)
       : graft.operators.KnnBeam.BandIndex =
     graft.operators.KnnBeam.BandIndex.load(s,
-      fixtureDir(s"i-base-$d") { out =>
+      fixtureDir(s"i-base-$d-${fingerprint(s, d)}") { out =>
         graft.operators.KnnBeam.buildBandIndex(
           emb(s, d).filter(col("vec_id") % 10 < 8)).write(out)
       })

@@ -238,6 +238,46 @@ class EdgeStoreSpec extends SparkSpecBase {
     assert(edgeSet(EdgeStore.load(spark, dir)) == edgeSet(g1))
   }
 
+  test("double-crash window: write HEALS a crashed applyDelta's " +
+      "parked-only bucket before clearing siblings, so a rebuild " +
+      "that itself crashes before its swap leaves the pre-rebuild " +
+      "store WHOLE — no bucket is lost with nothing for heal to " +
+      "restore") {
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val dir = tmp()
+    EdgeStore.write(g0, dir, nBuckets = 16)
+    val expected = edgeSet(EdgeStore.load(spark, dir))
+    // first crash: applyDelta parked a bucket and died before the
+    // activate — the parked copy is that bucket's ONLY copy
+    import scala.jdk.CollectionConverters._
+    val bucketDir = java.nio.file.Files
+      .list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .find(_.getFileName.toString.startsWith("bucket="))
+      .getOrElse(fail("no bucket directory found"))
+    val parkRoot = java.nio.file.Paths.get(dir + ".old")
+    java.nio.file.Files.createDirectories(parkRoot)
+    java.nio.file.Files.move(bucketDir,
+      parkRoot.resolve(bucketDir.getFileName))
+    // second crash: a rebuild dies AFTER write's sibling cleanup but
+    // BEFORE its swap — forced here by a graph that throws at
+    // execution, which lands exactly in that window (staging write,
+    // no rename yet)
+    val poisoned = g0.select(col("node"), col("nbr"),
+      when(col("node").isNotNull, raise_error(lit("boom")))
+        .cast("double").as("cosine"))
+    intercept[Exception] { EdgeStore.write(poisoned, dir, 16) }
+    // the pre-rebuild store must be COMPLETE: the park was healed
+    // into the live store, not deleted unhealed (the round-17 code
+    // cleared .old first — this state lost the bucket silently)
+    assert(edgeSet(EdgeStore.load(spark, dir)) == expected,
+      "the parked-only bucket was lost in the double-crash window")
+    // and re-running the rebuild converges
+    val g1 = KnnBeam.buildGraph(base.filter(col("vec_id") % 2 === 0))
+      .localCheckpoint(true)
+    EdgeStore.write(g1, dir, nBuckets = 8)
+    assert(edgeSet(EdgeStore.load(spark, dir)) == edgeSet(g1))
+  }
+
   private def copyTree(src: java.nio.file.Path,
       dst: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._

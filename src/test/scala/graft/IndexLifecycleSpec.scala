@@ -149,6 +149,43 @@ class IndexLifecycleSpec extends SparkSpecBase {
       java.nio.file.Paths.get(indexDir + ".old")))
   }
 
+  test("rebuildStores converges from a crashed EDGE-store swap — " +
+      "the live edge dir missing, parked at .rebuild-old — instead " +
+      "of failing its metadata read (heal runs before buckets)") {
+    val (indexDir, edgeDir, liveIds) = churnedStores()
+    // simulate a previous rebuild crashing between EdgeStore.write's
+    // two renames: live gone, previous store parked
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(edgeDir),
+      java.nio.file.Paths.get(edgeDir + ".rebuild-old"))
+    val rebuilt = IndexLifecycle.rebuildStores(spark, indexDir, edgeDir)
+    assert(rebuilt.count == liveIds.size.toLong && rebuilt.churn == 0L)
+    assert(EdgeStore.buckets(spark, edgeDir) == 16,
+      "the healed store's bucket count must carry through the rebuild")
+    val liveRaw = emb.filter(
+      col("vec_id").isin(liveIds.toSeq.map(Long.box): _*))
+    assert(edgeSet(EdgeStore.load(spark, edgeDir)) ==
+      edgeSet(KnnBeam.buildGraph(liveRaw)),
+      "post-crash rebuild diverged from a fresh build")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(edgeDir + ".rebuild-old")))
+  }
+
+  test("rebuildStores lawfully CREATES the edge half when only the " +
+      "index was ever persisted (default bucket count, no metadata " +
+      "read to throw on)") {
+    val indexDir = tmp() + "/index"
+    val edgeDir = tmp() + "/edges"
+    KnnBeam.buildBandIndex(base).write(indexDir)
+    val rebuilt = IndexLifecycle.rebuildStores(spark, indexDir, edgeDir)
+    assert(rebuilt.count == base.count())
+    assert(EdgeStore.buckets(spark, edgeDir) == 256,
+      "a created edge store takes the EdgeStore default")
+    assert(edgeSet(EdgeStore.load(spark, edgeDir)) ==
+      edgeSet(KnnBeam.buildGraph(base)),
+      "created edge store diverged from a fresh build")
+  }
+
   test("needsCompact is maintained metadata arithmetic: appends " +
       "count store appends, tombs count persisted deletes, compact " +
       "resets both, and the thresholds fire exactly past their " +
