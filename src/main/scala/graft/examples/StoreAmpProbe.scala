@@ -11,14 +11,16 @@ import graft.operators.KnnBeam.BandIndex
   * touched (band, pbv) directory — the unit a point lookup reads)
   * and the wall of the maintenance point-lookup itself
   * ([[KnnBeam.presentIds]], the pruned bucket probe every insert
-  * pays); then compact and re-measure. The SCALE.md round-17 row
-  * cites this table.
+  * pays); then compact and re-measure. The SCALE.md round-18 table
+  * is this probe's output (run on the 10× genemb dir — the corpus
+  * must hold > appends·batch vectors; sf0.01's 500 don't cover the
+  * default 16×50).
   *
   *   runMain graft.examples.StoreAmpProbe [sfDir] [appends] [batch]
   */
 object StoreAmpProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val sfDir = args.headOption.getOrElse("/tmp/graft-scale-emb/sf1")
     val nAppends = args.lift(1).map(_.toInt).getOrElse(16)
     val batchN = args.lift(2).map(_.toInt).getOrElse(50)
     val spark = SparkSession.builder().master("local[32]")
@@ -26,12 +28,18 @@ object StoreAmpProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // rank-based splits, NOT vec_id ranges: the genemb dirs'
+    // copy-shifted ids are sparse (0..1999, 1e6..1e6+1999, …), so an
+    // id-range batch past the copy-0 block is silently EMPTY — the
+    // round-17 defaults measured 16 empty appends that way
+    val byId = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("rn", row_number().over(byId).cast("long") - 1L)
       .localCheckpoint(true)
     val n = emb.count()
     val baseN = n - nAppends.toLong * batchN
     require(baseN > 0, s"corpus $n too small for $nAppends×$batchN")
-    val base = emb.filter(col("vec_id") < baseN)
+    val base = emb.filter(col("rn") < baseN).drop("rn")
     val dir = java.nio.file.Files
       .createTempDirectory("graft-amp").toString + "/index"
     val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
@@ -58,13 +66,16 @@ object StoreAmpProbe {
 
     var graph = g0
     var idx = BandIndex.load(spark, dir)
-    val probeBatch = emb.filter(col("vec_id") >= baseN &&
-      col("vec_id") < baseN + batchN).localCheckpoint(true)
+    val probeBatch = emb.filter(col("rn") >= baseN &&
+      col("rn") < baseN + batchN).drop("rn").localCheckpoint(true)
     println(s"[amp] base=$baseN appends=$nAppends batch=$batchN")
     for (i <- 0 until nAppends) {
       val lo = baseN + i.toLong * batchN
-      val b = emb.filter(col("vec_id") >= lo &&
-        col("vec_id") < lo + batchN)
+      val b = emb.filter(col("rn") >= lo &&
+        col("rn") < lo + batchN).drop("rn")
+      require(b.count() == batchN.toLong,
+        s"append $i: batch is not $batchN rows — empty appends " +
+          "measure nothing")
       val ins = KnnBeam.insertBatchIndexed(graph, idx, b)
       idx = BandIndex.append(dir, ins)
       graph = ins.graph.localCheckpoint(true)

@@ -467,11 +467,12 @@ object KnnBeam {
       *     scans (and joins away) their dead rows and pays the
       *     tombstone-list join; compaction deletes both.
       *
-      * Defaults: 16 appends ≈ 17× worst-case file amplification on
-      * the hottest directories (SCALE.md round 18's StoreAmpProbe
-      * table measures the actual curve: file count per hot directory
-      * grows linearly with appends and folds back to 1 at compact),
-      * and tombstones past 20% of the live count mean
+      * Defaults: 16 appends is the measured fold point (SCALE.md
+      * round 18, StoreAmpProbe on the 10× decade: max 10 files in
+      * the hottest directory — under the appends+1 worst case, a
+      * delta doesn't touch every hot directory — and the stabilized
+      * point-probe at ~1.9× the compacted wall; compact folds both
+      * back), and tombstones past 20% of the live count mean
       * a fifth of the physical rows are dead weight.
       */
     def needsCompact(maxAppends: Long = 16L,
@@ -654,6 +655,13 @@ object KnnBeam {
     def append(dir: String, ins: IndexedInsert): BandIndex = {
       val spark = ins.indexDelta.sparkSession
       val pendingGen = recoverPending(spark, dir)
+      // an EMPTY batch appends nothing: advancing gen/appends for it
+      // would charge the compaction trigger for a file that was never
+      // written (found by the round-18 StoreAmpProbe rerun, whose
+      // id-range batches on a sparse-id corpus were silently empty).
+      // Behind a recovered marker the probe below handles emptiness
+      // itself (present == batchN == 0 → committed no-op).
+      if (pendingGen.isEmpty && ins.indexDelta.isEmpty) return ins.index
       // the committed-batch probe runs ONLY after a recovery: a
       // marker-free entry cannot be a crashed-append redelivery (the
       // protocol always leaves the marker), and a no-crash

@@ -112,6 +112,25 @@ object SimilarityQueries {
           emb(s, d).filter(col("vec_id") % 10 < 8)).write(out)
       })
 
+  /** The maintained IVF-PQ deployment s31 serves: built once on the
+    * base 80%, one appended wave under the STORED models, one
+    * tombstoned delete batch — the persisted-store lineage a 100 TB
+    * deployment accumulates between rebuilds (IvfPqStoreSpec drives
+    * the crash protocols; this fixture is the serving-side consumer).
+    */
+  private def ivfpqStoreDir(s: SparkSession, d: String): String =
+    fixtureDir(s"ivfpq-$d-${fingerprint(s, d)}") { out =>
+      val e = emb(s, d)
+      graft.operators.IvfPqStore.build(
+        e.filter(col("vec_id") % 10 < 8), "vec_id", "embedding",
+        out, k = 8)
+      graft.operators.IvfPqStore.append(out,
+        e.filter(col("vec_id") % 10 === 8)
+          .select(col("vec_id"), col("embedding").as("vec")))
+      graft.operators.IvfPqStore.remove(out,
+        e.filter(col("vec_id") % 100 === 17).select("vec_id"))
+    }
+
   /** dot(qv, nv) / (|qv| · |nv|) in double precision, sequential —
     * the native codegen'd expression (see graft.functions.VectorExprs;
     * bit-identical to the zip_with/aggregate HOF formulation, minus
@@ -2056,6 +2075,75 @@ object SimilarityQueries {
               UNION ALL SELECT * FROM sel3 UNION ALL SELECT * FROM sel4
               UNION ALL SELECT * FROM sel5)"""
       }
+    )),
+
+    // PERSISTED IVF-PQ (round-18): s12's architecture with a
+    // LIFECYCLE. s12 retrains centroids and re-encodes codes inside
+    // every query; a 100 TB deployment builds ONCE and maintains —
+    // so this query serves off a persisted IvfPqStore lineage (base
+    // build → one appended wave encoded under the STORED models →
+    // one tombstoned delete batch), loaded fresh per call: probe
+    // nprobe=2 of the k=8 cells (partition-pruned scan), fused-ADC
+    // shortlist over the codes column (the raw-vec column's pages
+    // never read), exact rerank against the store's OWN vectors.
+    // Recall contract over the LIVE corpus (base ∪ appended −
+    // deleted): exact top-5 plus store_recall_floor_ok — the
+    // maintained store must recover >= 10 of the 50 exact neighbors,
+    // pinned TRUE by the oracle. Calibrated on the BUNDLED corpora
+    // (examples/IvfPqCalib: measured 27/24/20 across
+    // sf0.001/0.01/0.1 vs a ~0 random baseline — bracketing s12's
+    // fresh-build 25/22/24, the stale-model appends costing a few
+    // hits only at the binding sf0.1); recalibrate for a different
+    // corpus. IvfPqStoreSpec pins the
+    // store round-trip, lifecycle parity vs fresh builds, trigger
+    // arithmetic, and 100 randomized crash schedules.
+    "s31_ivfpq_store" -> ((
+      (s: SparkSession, d: String) => {
+        val st = graft.operators.IvfPqStore.load(s, ivfpqStoreDir(s, d))
+        val queries = emb(s, d).filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        val served5 = graft.operators.IvfPqStore.search(
+            st, queries, nprobe = 2, shortlist = 50, k = 5)
+          .select("q_id", "n_id")
+        // exact top-5 over the live corpus (what the store now holds)
+        val live = emb(s, d).filter(
+          col("vec_id") % 10 < 9 && col("vec_id") % 100 =!= 17)
+        val c = live.select(col("vec_id").as("n_id"),
+          col("embedding").as("nv"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("n_id"))
+        val exact5 = broadcast(queries).crossJoin(c)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("sim", cosineExpr)
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("n_id"), col("rank"),
+            round(col("sim"), 6).as("sim_r"))
+        exact5
+          .join(served5.withColumn("__hit", lit(1L)),
+            Seq("q_id", "n_id"), "left")
+          .withColumn("__hits",
+            sum(coalesce(col("__hit"), lit(0L)))
+              .over(Window.partitionBy()))
+          .select(col("q_id"), col("n_id"), col("rank"), col("sim_r"),
+            (col("__hits") >= 10).as("store_recall_floor_ok"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id AS n_id, embedding AS nv
+            FROM embeddings
+            WHERE vec_id % 10 < 9 AND vec_id % 100 <> 17),
+          sims AS (
+            SELECT q_id, n_id, $cosineSql AS sim
+            FROM q, c WHERE q_id <> n_id),
+          ranked AS (
+            SELECT q_id, n_id, sim,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY sim DESC, n_id) AS rank
+            FROM sims)
+        SELECT q_id, n_id, rank, round(sim, 6) AS sim_r,
+               TRUE AS store_recall_floor_ok
+        FROM ranked WHERE rank <= 5""")
     )),
   )
 

@@ -77,6 +77,25 @@ class BandIndexLifecycleSpec extends SparkSpecBase {
     assert(idx2.rows.count() == mem2.index.rows.count())
   }
 
+  test("an EMPTY batch append is a pure no-op: gen, appends, and the " +
+      "file layout are untouched (an empty delta writes no file, so " +
+      "charging the compaction trigger for it would mis-schedule)") {
+    val idx = KnnBeam.buildBandIndex(base)
+    val dir = tmp()
+    idx.write(dir)
+    val stored = BandIndex.load(spark, dir)
+    val g0 = KnnBeam.buildGraph(base).localCheckpoint(true)
+    val ins = KnnBeam.insertBatchIndexed(g0, stored, b1.limit(0))
+    val after = BandIndex.append(dir, ins)
+    assert(after.gen == stored.gen && after.appends == stored.appends &&
+      after.count == stored.count && after.churn == stored.churn,
+      "an empty append advanced the store's counters")
+    val reloaded = BandIndex.load(spark, dir)
+    assert(reloaded.gen == stored.gen &&
+      reloaded.appends == stored.appends,
+      "an empty append touched the persisted metadata")
+  }
+
   test("replay guard: re-inserting an overlapping batch fails with " +
       "the named disjointness error instead of silently duplicating " +
       "band rows and double-counting the metadata") {
