@@ -622,4 +622,24 @@ class PlanShapeSpec extends SparkSpecBase {
       s"t35's plan carries the salted path's __salt column — " +
         s"AutoSalts escalated where flat is provably safe:\n$s")
   }
+
+  test("s31's store scans PARTITION-PRUNE on the IVF cell: the ADC " +
+      "pass reads codes (never the raw vec column) from the probed " +
+      "cells' directories, and the rerank fetch carries the same " +
+      "cell prune — the nprobe/k cost model is in the physical plan") {
+    val s = planOf("s31_ivfpq_store").toString
+    // the rerank fetch: an explicit cell IN (...) partition filter
+    assert(s.contains("PartitionFilters: [cell#") ||
+      s.contains("PartitionFilters: [isnotnull(cell#") ||
+      ("""PartitionFilters: \[[^\]]*cell""".r.findFirstIn(s).nonEmpty),
+      s"no cell partition filter reached a store scan:\n${s.take(4000)}")
+    // the ADC scan's read schema must exclude the raw vec column —
+    // column pruning is what makes the codes pass byte-light
+    val adcScans = """ReadSchema: [^\n]*codes[^\n]*""".r
+      .findAllIn(s).toList
+    assert(adcScans.nonEmpty, s"no codes scan found:\n${s.take(4000)}")
+    assert(adcScans.exists(sc => !sc.contains("vec:")),
+      s"the ADC codes scan also reads the raw vec column — column " +
+        s"pruning lost:\n$adcScans")
+  }
 }
