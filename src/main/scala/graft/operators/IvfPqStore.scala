@@ -511,6 +511,32 @@ object IvfPqStore {
 
   // ---- serving ------------------------------------------------------
 
+  /** Sentinel for `nprobe`/`shortlist`: derive the serving budget
+    * from the store's own count (the [[KnnBeam.AutoDegree]] pattern
+    * on this store's serve side). Measured round 18 (IvfPqCalib on
+    * the dim-permuted decades): the FIXED bundled config (nprobe 2,
+    * shortlist 50) decays 20 → 11 → 9 of 50 across n = 2k/20k/200k —
+    * the 8-byte PQ codes rank a bigger corpus too coarsely for the
+    * true top-k to surface in a 50-deep ADC cut — while shortlist
+    * ~n/50 restores 23/50 at 10× (shortlist is the dominant lever:
+    * +8 of the +12 at 10×) and nprobe 3 adds the cell-misassignment
+    * margin (+4); at 100× the same rules measure 22/50. Both rules
+    * DEGENERATE to the calibrated (2, 50) at every bundled corpus
+    * (n ≤ 2000), so shipped oracle hashes are untouched. The 4096
+    * shortlist cap is the measurement boundary (200k), not an
+    * asymptote — recalibrate past it rather than extrapolate (real
+    * deployments scale k with n; this store keeps k fixed between
+    * rebuilds).
+    */
+  val AutoNprobe = 0
+  val AutoShortlist = 0
+
+  private[graft] def autoNprobe(count: Long): Int =
+    if (count <= 8000L) 2 else 3
+
+  private[graft] def autoShortlist(count: Long): Int =
+    math.max(50L, math.min(4096L, count / 50L)).toInt
+
   /** IVF-PQ search off the loaded store: probe `nprobe` cells per
     * query (the equi-join prune — the scan touches ~nprobe/k of the
     * codes), fused-ADC shortlist of `shortlist` per query, exact
@@ -523,12 +549,16 @@ object IvfPqStore {
     * @return (q_id, n_id, rank, sim) — `k` rows per query, cosine
     *         descending, n_id tie-break
     */
-  def search(st: Store, queries: DataFrame, nprobe: Int = 2,
-      shortlist: Int = 50, k: Int = 5): DataFrame = {
+  def search(st: Store, queries: DataFrame, nprobe: Int = AutoNprobe,
+      shortlist: Int = AutoShortlist, k: Int = 5): DataFrame = {
+    val np = if (nprobe == AutoNprobe)
+      math.min(autoNprobe(st.count), st.k) else nprobe
+    val sl = if (shortlist == AutoShortlist) autoShortlist(st.count)
+      else shortlist
     val probed = IvfIndex.probe(
       queries.select(col("q_id"), col("qv"),
         PqIndex.normalizedVec(col("qv")).as("qn")),
-      "qv", st.ivf, nprobe = nprobe)
+      "qv", st.ivf, nprobe = np)
     val cells = probed.select("probe_cell").distinct()
       .collect().map(r => Int.box(r.getInt(0)))
     val wAdc = Window.partitionBy("q_id")
@@ -542,7 +572,7 @@ object IvfPqStore {
         col("qn"), col("codes"), st.pq.codebooks))
       .filter(col("adc").isNotNull)
       .withColumn("rk", row_number().over(wAdc).cast("long"))
-      .filter(col("rk") <= shortlist)
+      .filter(col("rk") <= sl)
       .select("q_id", "n_id")
     val fetch = st.rows
       .filter(col("cell").isin(cells.toIndexedSeq: _*))

@@ -2102,8 +2102,12 @@ object SimilarityQueries {
         val st = graft.operators.IvfPqStore.load(s, ivfpqStoreDir(s, d))
         val queries = emb(s, d).filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        // AUTO serving budget (nprobe/shortlist from the store's own
+        // count — degenerates to the calibrated (2, 50) at every
+        // bundled corpus, scales the ADC cut past it; see
+        // IvfPqStore.AutoShortlist's measured decade table)
         val served5 = graft.operators.IvfPqStore.search(
-            st, queries, nprobe = 2, shortlist = 50, k = 5)
+            st, queries, k = 5)
           .select("q_id", "n_id")
         // exact top-5 over the live corpus (what the store now holds)
         val live = emb(s, d).filter(
