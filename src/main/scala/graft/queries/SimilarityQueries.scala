@@ -1522,7 +1522,7 @@ object SimilarityQueries {
         // would otherwise re-run the anti-join ∪ delta DAG
         val graph = graft.operators.KnnBeam
           .insertBatchIndexed(g0, idx, batch).graph
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         val entry = graft.operators.KnnBeam.seeds(all, seedCount = 128)
         val qs = all.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
@@ -1646,7 +1646,7 @@ object SimilarityQueries {
           .select("vec_id")
         val rem = graft.operators.KnnBeam
           .removeBatch(graph0, idx, victims)
-        val graph = rem.graph.localCheckpoint(true)
+        val graph = rem.graph.localCheckpoint(false)
         val corpus = all.filter(col("vec_id") % 10 =!= 7)
         val entry = graft.operators.KnnBeam.seeds(corpus,
           seedCount = 128)
@@ -1654,7 +1654,7 @@ object SimilarityQueries {
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val got = graft.operators.KnnBeam.search(
             graph, corpus, qs, entry, topK = 5)
-          .select("q_id", "n_id").localCheckpoint(true)
+          .select("q_id", "n_id").localCheckpoint(false)
         val c = corpus
           .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
         val w = Window.partitionBy("q_id")
@@ -1730,17 +1730,22 @@ object SimilarityQueries {
           .select("vec_id")
         val rem = graft.operators.KnnBeam
           .removeBatch(g0, idx, victims)
+        // EAGER: insertBatchIndexed references its graph twice
+        // (affected filter + untouched anti-join) with no
+        // materializing action between — a lazy checkpoint recomputes
+        // the whole removeBatch chain in racing stages (measured
+        // s30 8.9 → 10.5 s, reverted)
         val ins = graft.operators.KnnBeam.insertBatchIndexed(
           rem.graph.localCheckpoint(true), rem.index,
           upd.filter(col("vec_id") % 10 === 3))
-        val graph = ins.graph.localCheckpoint(true)
+        val graph = ins.graph.localCheckpoint(false)
         val entry = graft.operators.KnnBeam.seeds(upd,
           seedCount = 128)
         val qs = upd.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
         val got = graft.operators.KnnBeam.search(
             graph, upd, qs, entry, topK = 5)
-          .select("q_id", "n_id").localCheckpoint(true)
+          .select("q_id", "n_id").localCheckpoint(false)
         val c = upd
           .select(col("vec_id").as("n_id"), col("embedding").as("nv"))
         val w = Window.partitionBy("q_id")
