@@ -559,11 +559,21 @@ object IvfPqStore {
       queries.select(col("q_id"), col("qv"),
         PqIndex.normalizedVec(col("qv")).as("qn")),
       "qv", st.ivf, nprobe = np)
-    val cells = probed.select("probe_cell").distinct()
-      .collect().map(r => Int.box(r.getInt(0)))
+    // ONE probe-assignment job (round-18 ADVICE): the probe table is
+    // query-sized and was already crossing the driver for the
+    // broadcast build — collect it once and serve BOTH the probed-
+    // cell literals (the rerank fetch's static partition prune) and
+    // the ADC join's broadcast side from the same local rows, instead
+    // of computing the assignment job twice per search.
+    val probedDf = probed.select("q_id", "qn", "probe_cell")
+    val probedLocal = probedDf.collect()
+    val cells = probedLocal.map(_.getInt(2)).distinct.sorted
+      .map(Int.box(_))
+    val probeLocal = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(probedLocal: _*), probedDf.schema)
     val wAdc = Window.partitionBy("q_id")
       .orderBy(col("adc"), col("n_id"))
-    val short = broadcast(probed.select("q_id", "qn", "probe_cell"))
+    val short = broadcast(probeLocal)
       .join(st.rows.select(col("vec_id").as("n_id"), col("codes"),
           col("cell")),
         col("probe_cell") === col("cell"))

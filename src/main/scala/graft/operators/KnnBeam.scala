@@ -1157,9 +1157,13 @@ object KnnBeam {
     // prune as the bucket filter: a literal id filter lets a
     // node-partitioned edge store prune statically (fall back to a
     // broadcast semi join past the cap; identical row set either way)
+    // one cap+1-limited collect resolves both the branch test and the
+    // literal id set (round 19: was a count job then a collect job)
+    val affHead = affected.limit(maxPruneKeys + 1).collect()
+      .map(_.getLong(0))
     val gAffected =
-      if (affected.count() <= maxPruneKeys) {
-        val ids = affected.collect().map(_.getLong(0)).sorted
+      if (affHead.length <= maxPruneKeys) {
+        val ids = affHead.sorted
         g.filter(col("node").isin(ids: _*))
       } else g.join(affected, Seq("node"), "left_semi")
     val recut = cut(gAffected
@@ -1229,14 +1233,23 @@ object KnnBeam {
         index.rows.filter(col("band") === 0).select("vec_id"),
         Seq("vec_id"), "left_semi")
       .localCheckpoint(false)
-    val liveN = live.count()
+    // ONE job resolves both the branch test and the literal id set
+    // (round 19: was a count job THEN a collect job): a cap+1-limited
+    // collect is exact below the cap, and only the rare over-cap path
+    // still pays the full count (needed there for the metadata
+    // arithmetic).
+    val liveHead = live.limit(maxPruneKeys + 1).collect()
+      .map(_.getLong(0))
+    val liveN =
+      if (liveHead.length <= maxPruneKeys) liveHead.length.toLong
+      else live.count()
     // literal-prune fast path (the insert's point-lookup discipline):
     // a bounded id set filters as pushable literals; past the cap the
     // same sets come from broadcast semi/anti joins — identical rows
     val (gone, kept) =
       if (liveN == 0L) (graph.limit(0), graph)
       else if (liveN <= maxPruneKeys) {
-        val arr = live.collect().map(r => Long.box(r.getLong(0)))
+        val arr = liveHead.sorted.map(Long.box)
         (graph.filter(col("node").isin(arr: _*) ||
             col("nbr").isin(arr: _*)),
           graph.filter(!col("node").isin(arr: _*) &&

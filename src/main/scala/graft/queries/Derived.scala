@@ -73,8 +73,61 @@ object Derived {
         "vec_id" -> integral, "embedding" -> numericArray))
   }
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  /** Scan-starvation floor and ceiling for [[spreadSmallScan]]: a
+    * corpus table between them is round-robin respread to the session
+    * parallelism right after its scan. The bundled corpus ships every
+    * table as ONE parquet file, so the scan stage — decompression,
+    * decode, every narrow expression chained on it, and the partial
+    * aggregation below the first exchange — otherwise runs as ONE
+    * task regardless of session cores (measured round 19, JobProf:
+    * d16's shingle derivation spent 2.6 s in single-task jobs on a
+    * 32-core session). The rule is scale-adaptive, not a local
+    * constant (guide §2.5 / prompt rule): past cores×maxPartitionBytes
+    * the scan already produces at least one split per core and the
+    * respread would be a pointless shuffle of the corpus — condition
+    * false, plan byte-identical (a 100 TB table never shuffles here).
+    * Below 512 KB the table is dimension-sized: it broadcasts or
+    * aggregates in microseconds, and taxing every such read (and
+    * every broadcast build over it) with an exchange costs more
+    * than the decode. Row-identical either way — the respread only
+    * changes physical row placement, and the query surface is
+    * engine-order-exact by construction (its hashes survive DuckDB's
+    * entirely different orders).
+    */
+  private val SpreadFloorBytes = 512L * 1024L
+
+  private def spreadSmallScan(
+      spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.getContentSummary(p).getLength
+      } catch { case _: java.io.IOException => Long.MaxValue }
+    val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    if (bytes >= SpreadFloorBytes && bytes < cores * maxSplit)
+      df.repartition(cores)
+    else df
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    table(spark, dir, name, spread = true)
+
+  /** `spread = false` opts a caller out of [[spreadSmallScan]]:
+    * measured round 19, the iterative graph-ANN plans re-materialize
+    * their corpus scan once per beam round, so a respread embeddings
+    * table pays the extra exchange PER ROUND and regresses the whole
+    * family (s14 1.3 → 2.0 s, s28 1.6 → 2.5 s, s25 4.5 → 5.3 s at
+    * sf0.1) while the work it parallelizes there — a q·n cosine pass —
+    * is already broadcast-side and cheap. Scan-heavy one-pass readers
+    * (documents/lineitem/events) keep the default.
+    */
+  def table(spark: SparkSession, dir: String, name: String,
+      spread: Boolean): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val raw = spark.read.parquet(path)
+    val df = if (spread) spreadSmallScan(spark, path, raw) else raw
     requiredColumns.get(name).foreach { req =>
       val missing = req.filterNot(df.columns.contains)
       if (missing.nonEmpty)
