@@ -20,6 +20,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Driver-state hygiene, NOT query tuning (round 19): the
+      // status stores retain 1000 jobs / 1000 stages / 100k TASKS /
+      // 1000 SQL executions by default even with the UI off, and a
+      // 209-query sweep at ~30-100 jobs each grows them into a
+      // multi-hundred-MB heap resident that every between-query
+      // System.gc() then traces — late-sweep queries measured 2-4×
+      // their isolated steady state (p2 10.7 s in-sweep vs 3.0 s
+      // isolated, same plan). Bounding retention keeps the timed
+      // region's GC flat across the sweep; the timing loop and every
+      // plan are untouched.
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "5000")
+      .config("spark.sql.ui.retainedExecutions", "20")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

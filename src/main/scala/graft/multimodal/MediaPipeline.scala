@@ -395,9 +395,15 @@ object MediaPipeline {
   def pngFixtures(
       spark: SparkSession, dir: String, everyNth: Int = 5): Dataset[MediaFile] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .where(pmod(col("doc_id"), lit(everyNth)) === 0)
+    // the synth+encode below is the heavy per-row step; a single-file
+    // id scan would otherwise run it all on one task (round 19 —
+    // Derived.spreadSmallScan's condition, so a many-split table at
+    // scale keeps its plan)
+    graft.queries.Derived.spreadSmallScan(spark,
+        s"$dir/documents.parquet",
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"))
+          .where(pmod(col("doc_id"), lit(everyNth)) === 0))
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
@@ -477,9 +483,12 @@ object MediaPipeline {
       spark: SparkSession, dir: String, everyNth: Int = 4)
       : Dataset[MediaFile] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"))
-      .where(pmod(col("doc_id"), lit(everyNth)) === 1)
+    // same per-row-synthesis rationale as pngFixtures
+    graft.queries.Derived.spreadSmallScan(spark,
+        s"$dir/documents.parquet",
+        spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"))
+          .where(pmod(col("doc_id"), lit(everyNth)) === 1))
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>

@@ -32,7 +32,13 @@ object EntityResolution {
   def candidates(records: DataFrame, blockKeys: Seq[Column]): DataFrame = {
     require(blockKeys.nonEmpty, "EntityResolution: need >= 1 blocking key")
     blockKeys.map { k =>
+      // materialized once: the keyed view feeds BOTH sides of the
+      // self-join, and a blocking key can be an expensive derivation
+      // (q84's char-bag key is 12 md5s per record) that would
+      // otherwise be evaluated once per side (round 19; blocks are
+      // released by the ContextCleaner once the plan is GC'd)
       val keyed = records.select(col("rec_id"), col("name"), k.as("bk"))
+        .localCheckpoint(true)
       keyed.select(col("bk"), col("rec_id").as("ra"), col("name").as("na"))
         .join(keyed.select(col("bk"), col("rec_id").as("rb"),
           col("name").as("nb")), Seq("bk"))

@@ -96,7 +96,7 @@ object Derived {
     */
   private val SpreadFloorBytes = 512L * 1024L
 
-  private def spreadSmallScan(
+  private[graft] def spreadSmallScan(
       spark: SparkSession, path: String, df: DataFrame): DataFrame = {
     val cores = spark.sparkContext.defaultParallelism
     val bytes =
@@ -112,16 +112,19 @@ object Derived {
   }
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    table(spark, dir, name, spread = true)
+    table(spark, dir, name, spread = false)
 
-  /** `spread = false` opts a caller out of [[spreadSmallScan]]:
-    * measured round 19, the iterative graph-ANN plans re-materialize
-    * their corpus scan once per beam round, so a respread embeddings
-    * table pays the extra exchange PER ROUND and regresses the whole
-    * family (s14 1.3 → 2.0 s, s28 1.6 → 2.5 s, s25 4.5 → 5.3 s at
-    * sf0.1) while the work it parallelizes there — a q·n cosine pass —
-    * is already broadcast-side and cheap. Scan-heavy one-pass readers
-    * (documents/lineitem/events) keep the default.
+  /** `spread = true` opts a caller INTO [[spreadSmallScan]]. The
+    * default is FALSE after measuring a blanket respread (round 19,
+    * full-bench A/B at sf0.1): it wins only where per-row compute
+    * above the scan dominates — the explode-heavy text derivations
+    * (shingles/minhash/n-grams: d2-d22, t16/t27/t29/t33, −0.4 to
+    * −3.3 s each) — and TAXES everything else with an exchange the
+    * decode never repays (the q-family regressed +35 s in aggregate;
+    * the beam family re-materializes its corpus scan once per round
+    * and pays the exchange per round: s14 1.3 → 2.0 s). Callers
+    * opt in per derivation with the measurement recorded in
+    * OPTIMIZATION_r19.md.
     */
   def table(spark: SparkSession, dir: String, name: String,
       spread: Boolean): DataFrame = {

@@ -20,10 +20,10 @@ object SimilarityQueries {
   import RefQueries.Fn
 
   private def emb(s: SparkSession, d: String) =
-    // spread = false: the beam-search / incremental-insert plans
-    // re-materialize this scan once per round, and the respread's
+    // unspread (the default): the beam-search / incremental-insert
+    // plans re-materialize this scan once per round, and a respread's
     // extra exchange regressed the family (see Derived.table)
-    Derived.table(s, d, "embeddings", spread = false)
+    Derived.table(s, d, "embeddings")
 
   /** Shared ANN build fixtures, persisted once per input dir:
     * s14/s28/s29/s30 each build the IDENTICAL full-corpus graph (and

@@ -25,6 +25,17 @@ object TextQueries {
   private def docs(s: SparkSession, d: String) =
     Derived.table(s, d, "documents")
 
+  /** documents with the scan respread to the session cores
+    * ([[Derived.spreadSmallScan]]) — ONLY for the explode-heavy
+    * derivations where per-doc compute (shingle/minhash/n-gram
+    * hashing, edit-distance blocking) dominates the scan: measured
+    * round 19, these won −0.4 to −3.3 s each under the respread
+    * while light consumers LOST ~+0.3-0.9 s to the exchange, so the
+    * opt-in is per call site, never blanket.
+    */
+  private def docsSpread(s: SparkSession, d: String) =
+    Derived.table(s, d, "documents", spread = true)
+
   /** THE corpus/new-batch split for the incremental-ingest family
     * (d12 admission join, d13 bloom/probe/exact sides), defined ONCE:
     * doc_id % 4 = 0 is the deterministic stand-in for "snapshot N+1".
@@ -185,7 +196,7 @@ object TextQueries {
     * withMinhashSignature for the zero-shuffle derivation.
     */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    withMinhashSignature(docs(s, d)).select("doc_id", "h0", "h1", "h2", "h3")
+    withMinhashSignature(docsSpread(s, d)).select("doc_id", "h0", "h1", "h2", "h3")
 
   private val minhashSql = {
     def h(k: Int) = s"(b * ${2 * k + 3} + ${7 * k + 1}) % $P"
@@ -245,7 +256,7 @@ object TextQueries {
     * verification stage.
     */
   def lshCandidatePairs(s: SparkSession, d: String): DataFrame =
-    lshCandidatePairsDf(docs(s, d))
+    lshCandidatePairsDf(docsSpread(s, d))
 
   /** DataFrame-first form — the one `operators.NearDup` exposes to
     * library consumers with their own corpus.
@@ -583,7 +594,7 @@ object TextQueries {
     // outputs only.
     "t16_ngram_novelty" -> ((
       (s: SparkSession, d: String) => {
-        val grams = docs(s, d)
+        val grams = docsSpread(s, d)
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), explode(expr(fiveGramsExpr)).as("g"))
         val gdf = grams.groupBy("g").agg(count(lit(1)).as("df"))
@@ -943,7 +954,7 @@ object TextQueries {
     // array_distinct on a non-codegen higher-order function.
     "d2_shingle_profile" -> ((
       (s: SparkSession, d: String) =>
-        docs(s, d)
+        docsSpread(s, d)
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"),
             size(expr(shinglesExpr)).cast("long").as("n_shingles"),
@@ -1404,7 +1415,7 @@ object TextQueries {
     // engine-identical.
     "d21_duplication_profile" -> ((
       (s: SparkSession, d: String) => {
-        val grams = docs(s, d)
+        val grams = docsSpread(s, d)
           .select(col("doc_id"), col("source"),
             split(col("text"), " ").as("w"))
           .select(col("doc_id"), col("source"),
@@ -1460,20 +1471,29 @@ object TextQueries {
     // shared verify arm is O(union candidates), never per-config.
     "d22_banding_sweep" -> ((
       (s: SparkSession, d: String) => {
-        val flat = withMinhashSignature(docs(s, d))
+        val flat = withMinhashSignature(docsSpread(s, d))
           .select("doc_id", "h0", "h1", "h2", "h3")
           .localCheckpoint(true)
-        def bandRows(cfg: String, hs: Seq[Seq[String]]): DataFrame =
-          hs.zipWithIndex.map { case (cols, i) =>
-            flat.select(col("doc_id"), lit(cfg).as("cfg"),
-              lit(i).as("band"),
-              md5(concat_ws(",", cols.map(col): _*)).as("bh"))
-          }.reduce(_ unionByName _)
-        val rows = bandRows("b4r1",
-            Seq(Seq("h0"), Seq("h1"), Seq("h2"), Seq("h3")))
-          .unionByName(bandRows("b2r2",
-            Seq(Seq("h0", "h1"), Seq("h2", "h3"))))
-          .unionByName(bandRows("b1r4", Seq(Seq("h0", "h1", "h2", "h3"))))
+        // ONE pass over the checkpointed signature table instead of a
+        // 7-branch union (round 19: the union re-scanned `flat` once
+        // per (cfg, band) arm — 7×32 map tasks feeding the candidate
+        // join's exchange). Safe to explode here, unlike the
+        // explodedBands caveat: the generator input is md5 over
+        // CHECKPOINTED plain columns, so generator-input pruning has
+        // no signature tree to re-inline. Identical rows.
+        def bandEntry(cfg: String, band: Int, hs: Seq[String]) =
+          struct(lit(cfg).as("cfg"), lit(band).as("band"),
+            md5(concat_ws(",", hs.map(col): _*)).as("bh"))
+        val rows = flat.select(col("doc_id"), explode(array(
+            bandEntry("b4r1", 0, Seq("h0")),
+            bandEntry("b4r1", 1, Seq("h1")),
+            bandEntry("b4r1", 2, Seq("h2")),
+            bandEntry("b4r1", 3, Seq("h3")),
+            bandEntry("b2r2", 0, Seq("h0", "h1")),
+            bandEntry("b2r2", 1, Seq("h2", "h3")),
+            bandEntry("b1r4", 0, Seq("h0", "h1", "h2", "h3")))).as("e"))
+          .select(col("doc_id"), col("e.cfg").as("cfg"),
+            col("e.band").as("band"), col("e.bh").as("bh"))
         val cand = rows.as("a")
           .join(rows.as("b"), Seq("cfg", "band", "bh"))
           .filter(col("a.doc_id") < col("b.doc_id"))
@@ -1481,7 +1501,7 @@ object TextQueries {
             col("b.doc_id").as("doc_b"))
           .distinct()
           .localCheckpoint(true)
-        val ver = jaccardForPairsDf(docs(s, d),
+        val ver = jaccardForPairsDf(docsSpread(s, d),
             cand.select("doc_a", "doc_b"))
           .filter(col("jaccard") >= 0.2)
           .select(col("doc_a"), col("doc_b"), lit(1L).as("__v"))
@@ -1584,7 +1604,7 @@ object TextQueries {
     // ~29% of the gram table by construction.
     "d20_winnowing" -> ((
       (s: SparkSession, d: String) => {
-        val grams = docs(s, d)
+        val grams = docsSpread(s, d)
           .select(col("doc_id"), split(col("text"), " ").as("w"))
           .filter(size(col("w")) >= 8) // ≥ 1 full window of 4 grams
           .select(col("doc_id"), posexplode(expr(
@@ -1652,7 +1672,7 @@ object TextQueries {
     */
   def verifiedNearDupEdges(
       s: SparkSession, d: String, threshold: Double = 0.2): DataFrame =
-    verifiedNearDupEdgesDf(docs(s, d), threshold)
+    verifiedNearDupEdgesDf(docsSpread(s, d), threshold)
 
   /** Verified near-dup edges at the shared 0.2 threshold, persisted
     * once per (dir, documents fingerprint) per JVM — d8, d17, d18 and
@@ -1678,7 +1698,7 @@ object TextQueries {
     s.read.parquet(FixtureStore.dir(
         s"vjaccard-$d-${FixtureStore.fingerprint(s, d, "documents")}") {
       out =>
-        verifiedJaccardDf(docs(s, d))
+        verifiedJaccardDf(docsSpread(s, d))
           .write.mode("overwrite").parquet(out)
     })
 
@@ -1712,7 +1732,7 @@ object TextQueries {
     s.read.parquet(FixtureStore.dir(
         s"dupwin-$d-${FixtureStore.fingerprint(s, d, "documents")}") {
       out =>
-        val wins = docs(s, d).withColumn("w", split(col("text"), " "))
+        val wins = docsSpread(s, d).withColumn("w", split(col("text"), " "))
           .filter(size(col("w")) >= 8)
           .select(col("doc_id"), posexplode(expr(winTransformExpr)))
           .select(col("doc_id"), (col("pos") + 1).as("pos"),
@@ -1751,7 +1771,7 @@ object TextQueries {
     */
   private[graft] def gatedShingleScan(
       s: SparkSession, d: String, cand: DataFrame): DataFrame =
-    gatedShingleScanDf(docs(s, d), cand)
+    gatedShingleScanDf(docsSpread(s, d), cand)
 
   private[graft] def gatedShingleScanDf(
       docsDf: DataFrame, cand: DataFrame): DataFrame =
@@ -1765,7 +1785,7 @@ object TextQueries {
     * public API.
     */
   private def verifiedJaccard(s: SparkSession, d: String): DataFrame =
-    verifiedJaccardDf(docs(s, d))
+    verifiedJaccardDf(docsSpread(s, d))
 
   private[graft] def verifiedJaccardDf(docsDf: DataFrame): DataFrame =
     // localCheckpoint (eager), not persist(): blocks are released by
@@ -1941,7 +1961,7 @@ object TextQueries {
       (s: SparkSession, d: String) => {
         // one signature pass feeds both the new and existing sides
         // (localCheckpoint, not persist — see lshCandidatePairsDf)
-        val flat = bandedSignatureFlat(docs(s, d)).localCheckpoint(true)
+        val flat = bandedSignatureFlat(docsSpread(s, d)).localCheckpoint(true)
         val bands = explodedBands(flat)
         val isNew = isNewBatch
         val hits = bands.filter(isNew).as("n")
@@ -1992,7 +2012,7 @@ object TextQueries {
       (s: SparkSession, d: String) => {
         // one signature pass feeds the corpus keys, the probe rows,
         // and the exact side (localCheckpoint, same as d12)
-        val flat = bandedSignatureFlat(docs(s, d)).localCheckpoint(true)
+        val flat = bandedSignatureFlat(docsSpread(s, d)).localCheckpoint(true)
         val bands = explodedBands(flat)
         // corpus/new-batch split: the single isNewBatch definition —
         // bloom, probe, and exact-candidate sides all derive from it
@@ -2122,7 +2142,7 @@ object TextQueries {
         // re-evaluates FOUR times in one plan — under both prefix
         // self-join sides and both verify fetch sides (measured
         // 4 × ~2.4 s racing single-chain jobs at sf0.1)
-        val sets = docs(s, d).filter(col("text").isNotNull)
+        val sets = docsSpread(s, d).filter(col("text").isNotNull)
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), expr(shinglesExpr).as("sh"))
           .select(col("doc_id"), array_sort(col("sh")).as("sh"),
@@ -2567,7 +2587,7 @@ object TextQueries {
     // table broadcasts twice.
     "t29_source_overlap" -> ((
       (s: SparkSession, d: String) => {
-        val grams = docs(s, d)
+        val grams = docsSpread(s, d)
           .withColumn("w", split(col("text"), " "))
           .select(col("source"), explode(expr(fiveGramsExpr)).as("g"))
           .distinct()
@@ -2630,7 +2650,7 @@ object TextQueries {
     // of the per-pair doc lists.
     "t33_contamination_docs" -> ((
       (s: SparkSession, d: String) => {
-        val dg = docs(s, d)
+        val dg = docsSpread(s, d)
           .withColumn("w", split(col("text"), " "))
           .select(col("doc_id"), col("source"),
             explode(expr(fiveGramsExpr)).as("g"))
@@ -2744,7 +2764,7 @@ object TextQueries {
         val wtab = s.range(1024).select(col("id").as("bucket"),
           (pmod(col("id") * lit(2654435761L), lit(2003L)) - 1001L)
             .as("wgt"))
-        val feats = docs(s, d)
+        val feats = docsSpread(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
           .withColumn("bucket",
             pmod(saltedHash(23, col("tok")), lit(1024L)))
@@ -2882,7 +2902,7 @@ object TextQueries {
     // engine). ~30k candidate pairs at sf0.1 vs 12.5M all-pairs.
     "d11_editdist_neardup" -> ((
       (s: SparkSession, d: String) => {
-        val t = docs(s, d).select(col("doc_id"),
+        val t = docsSpread(s, d).select(col("doc_id"),
           substring(col("text"), 1, 40).as("title"))
         val blocked = t.withColumn("blk",
           concat(substring(col("title"), 1, 8), lit(":"),
@@ -3451,7 +3471,7 @@ object TextQueries {
     * shared by d5 (fingerprinting) and d9 (banded near-dup retrieval).
     */
   private def simhashFingerprints(s: SparkSession, d: String): DataFrame = {
-    val tokens = docs(s, d)
+    val tokens = docsSpread(s, d)
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", saltedHash(9, col("tok")))
