@@ -310,6 +310,16 @@ object IvfPqStore {
     * for why the probe is gen-scoped and tombstone-bar-free). The
     * caller anti-joins [[presentIds]] first on the no-crash path
     * (replay guard); this probe only runs behind a recovered marker.
+    *
+    * DIRECT-CALL HAZARD (round-18 ADVICE): behind a recovered marker
+    * the committed-probe compares on vec_id ONLY. A directly
+    * delivered batch that PARTIALLY overlaps previously committed
+    * ids trips the all-or-nothing `require` below, and a batch with
+    * identical ids but CHANGED vectors is treated as committed (a
+    * no-op — the store never compares payloads). Both are impossible
+    * under the shipped streaming loop (recover + presentIds split
+    * run first); a direct API caller must do the same split, or
+    * remove-then-append to change a vector.
     */
   def append(dir: String, batch: DataFrame): Store = {
     val spark = batch.sparkSession

@@ -41,6 +41,12 @@ object StreamingIvfPqMaintenance {
       onCompactNeeded: IvfPqStore.Store => Unit = _ => ())(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // CONTRACT (round-18 ADVICE): conflicting same-id rows WITHIN one
+    // micro-batch are unsupported — dropDuplicates picks an arbitrary
+    // one, so which vector lands is unpinned for that batch (later
+    // redeliveries are replay-split, so the store cannot diverge
+    // afterward). A source that can emit same-id updates in one batch
+    // must pre-aggregate to its latest row before this sink.
     val b = batch.select(col(idCol).cast("long").as("vec_id"),
         col(vecCol).as("vec"))
       .dropDuplicates("vec_id")
